@@ -1,0 +1,398 @@
+"""FASTQ/FASTA records as struct-of-arrays batches, plus parse/format.
+
+The `FastqBatch` mirrors the reference `fastq` SoA (fqzcomp5.c:235-249):
+concatenated NUL-separated names, concatenated sequence bytes,
+concatenated quality bytes already rebased to q-33, per-record lengths
+and READ1/READ2 flags. This layout is the batching boundary for all
+device codecs.
+
+The parser replicates kseq.h tokenization (kseq.h:177-218) and the
+block-packing rule of load_seqs_kseq (fqzcomp5.c:423-623): a record's
+accounted size is ``len(name_without_comment) + 1 + len(seq) +
+len(qual)`` and a block closes when the next record would exceed
+``blk_size`` (the first record is always accepted).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import io
+from typing import Iterator, Optional
+
+import numpy as np
+
+from fqzcomp5_tpu.constants import FQZ_FREAD2
+
+
+@dataclasses.dataclass
+class FastqBatch:
+    """One block's worth of records, struct-of-arrays."""
+
+    name_buf: bytes = b""     # NUL separated (NUL after every name)
+    seq_buf: bytes = b""      # concatenated, no separator
+    qual_buf: bytes = b""     # concatenated, values are (ascii - 33)
+    lens: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.uint32))
+    flags: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.uint32))
+    fixed_len: int = 0        # >0 if all records share one length
+    is_fasta: bool = False
+
+    @property
+    def num_records(self) -> int:
+        return int(len(self.lens))
+
+    @property
+    def name_offsets(self) -> np.ndarray:
+        """Start offset of each name inside name_buf."""
+        nb = np.frombuffer(self.name_buf, np.uint8)
+        ends = np.flatnonzero(nb == 0)
+        starts = np.empty_like(ends)
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+        return starts
+
+    def seq_offsets(self) -> np.ndarray:
+        off = np.zeros(self.num_records, np.int64)
+        np.cumsum(self.lens[:-1], out=off[1:])
+        return off
+
+    def names(self) -> list[bytes]:
+        return self.name_buf.split(b"\x00")[:-1] if self.name_buf else []
+
+
+def _compute_flags(names: list[bytes]) -> np.ndarray:
+    """READ2 detection (fqzcomp5.c:518-527): name ends '/2', or equals
+    the previous record's name."""
+    n = len(names)
+    flags = np.zeros(n, np.uint32)
+    prev = None
+    for i, nm in enumerate(names):
+        if len(nm) > 1 and nm.endswith(b"/2"):
+            flags[i] = FQZ_FREAD2
+        elif prev is not None and nm == prev:
+            flags[i] = FQZ_FREAD2
+        prev = nm
+    return flags
+
+
+def _fixed_len(lens: np.ndarray) -> int:
+    if lens.size == 0:
+        return -1
+    first = int(lens[0])
+    return first if bool((lens == first).all()) else 0
+
+
+@dataclasses.dataclass
+class _Record:
+    name: bytes        # includes " comment" when present
+    name_core_len: int  # length of the name without comment (kseq name.l)
+    seq: bytes
+    qual: bytes        # raw ASCII (not rebased); empty for FASTA
+
+
+class Parser:
+    """Streaming FASTA/Q tokenizer over (possibly gzipped) byte streams.
+
+    Parsing follows kseq.h: records start at '>' or '@'; the name stops
+    at the first whitespace; the rest of the header line is the
+    comment; sequence may span multiple lines until a line starting
+    '>', '+' or '@'; for FASTQ, quality lines are read until their
+    total length reaches the sequence length.
+    """
+
+    def __init__(self, fp):
+        self._fp = fp
+        self._buf = b""
+        self._pos = 0
+        self._eof = False
+        self._pending: Optional[_Record] = None
+
+    # -- low-level buffered reading -------------------------------------
+    def _fill(self) -> bool:
+        if self._eof:
+            return False
+        chunk = self._fp.read(1 << 20)
+        if not chunk:
+            self._eof = True
+            return False
+        self._buf = self._buf[self._pos:] + chunk
+        self._pos = 0
+        return True
+
+    def _readline(self) -> Optional[bytes]:
+        """Return next line without the newline; None at EOF."""
+        while True:
+            nl = self._buf.find(b"\n", self._pos)
+            if nl >= 0:
+                line = self._buf[self._pos:nl]
+                self._pos = nl + 1
+                if line.endswith(b"\r"):
+                    line = line[:-1]
+                return line
+            if not self._fill():
+                if self._pos < len(self._buf):
+                    line = self._buf[self._pos:]
+                    self._pos = len(self._buf)
+                    if line.endswith(b"\r"):
+                        line = line[:-1]
+                    return line
+                return None
+
+    def _peek_byte(self) -> int:
+        while self._pos >= len(self._buf):
+            if not self._fill():
+                return -1
+        return self._buf[self._pos]
+
+    # -- record-level parsing --------------------------------------------
+    _WS = b" \t\x0b\x0c\r"
+
+    def read_record(self) -> Optional[_Record]:
+        # Seek next header
+        while True:
+            c = self._peek_byte()
+            if c < 0:
+                return None
+            if c in (ord(">"), ord("@")):
+                break
+            self._readline()  # skip junk line (kseq skips any non-header)
+        header = self._readline()
+        assert header is not None
+        header = header[1:]
+        # split at first whitespace (kseq KS_SEP_SPACE uses isspace)
+        core_len = len(header)
+        sep = -1
+        for i, b in enumerate(header):
+            if b == 32 or 9 <= b <= 13:
+                sep = i
+                break
+        if sep >= 0:
+            core_len = sep
+            name = header[:sep] + b" " + header[sep + 1:]
+            # reference stores name + ' ' + comment (fqzcomp5.c:505-515)
+        else:
+            name = header
+        # sequence lines
+        seq_parts = []
+        is_fastq = False
+        while True:
+            c = self._peek_byte()
+            if c < 0:
+                break
+            if c in (ord(">"), ord("@")):
+                break
+            if c == ord("+"):
+                is_fastq = True
+                self._readline()  # discard '+' line
+                break
+            line = self._readline()
+            if line:
+                seq_parts.append(line)
+        seq = b"".join(seq_parts)
+        qual = b""
+        if is_fastq:
+            qparts = []
+            qlen = 0
+            while qlen < len(seq):
+                line = self._readline()
+                if line is None:
+                    break
+                qparts.append(line)
+                qlen += len(line)
+            qual = b"".join(qparts)
+            if len(qual) != len(seq):
+                raise ValueError("sequence and quality length mismatch")
+        return _Record(name, core_len, seq, qual)
+
+    # -- block packing -----------------------------------------------------
+    def next_batch(self, blk_size: int) -> Optional[FastqBatch]:
+        """Read one block of records, or None at EOF.
+
+        Uses the reference accounting rule (fqzcomp5.c:470-478).
+        """
+        names: list[bytes] = []
+        seqs: list[bytes] = []
+        quals: list[bytes] = []
+        total = 0
+        while True:
+            rec = self._pending
+            self._pending = None
+            if rec is None:
+                rec = self.read_record()
+            if rec is None:
+                break
+            rsize = rec.name_core_len + 1 + len(rec.seq) + len(rec.qual)
+            if total > 0 and total + rsize > blk_size:
+                self._pending = rec
+                break
+            total += rsize
+            names.append(rec.name)
+            seqs.append(rec.seq)
+            quals.append(rec.qual)
+        if not names:
+            return None
+        lens = np.array([len(s) for s in seqs], np.uint32)
+        qual_buf = b"".join(quals)
+        batch = FastqBatch(
+            name_buf=b"\x00".join(names) + b"\x00",
+            seq_buf=b"".join(seqs),
+            qual_buf=(np.frombuffer(qual_buf, np.uint8) - 33).tobytes(),
+            lens=lens,
+            flags=_compute_flags(names),
+            fixed_len=max(_fixed_len(lens), 0),
+            is_fasta=not quals[0],
+        )
+        return batch
+
+
+class InterleavedParser:
+    """Paired-end reader: alternates R1/R2 records into one batch.
+
+    Mirrors load_seqs_interleaved (fqzcomp5.c:627-865): a block closes
+    only on pair boundaries, and R2 records get FQZ_FREAD2 regardless
+    of their name.
+    """
+
+    def __init__(self, fp1, fp2):
+        self._p1 = Parser(fp1)
+        self._p2 = Parser(fp2)
+        self._pending: Optional[tuple[_Record, _Record]] = None
+
+    def next_batch(self, blk_size: int) -> Optional[FastqBatch]:
+        names: list[bytes] = []
+        seqs: list[bytes] = []
+        quals: list[bytes] = []
+        flags: list[int] = []
+        total = 0
+        while True:
+            pair = self._pending
+            self._pending = None
+            if pair is None:
+                r1 = self._p1.read_record()
+                if r1 is None:
+                    break
+                r2 = self._p2.read_record()
+                if r2 is None:
+                    raise ValueError("unpaired read: R2 ended before R1")
+                pair = (r1, r2)
+            sz = sum(r.name_core_len + 1 + len(r.seq) + len(r.qual)
+                     for r in pair)
+            if total > 0 and total + sz > blk_size:
+                self._pending = pair
+                break
+            total += sz
+            for k, rec in enumerate(pair):
+                names.append(rec.name)
+                seqs.append(rec.seq)
+                quals.append(rec.qual)
+                flags.append(FQZ_FREAD2 if k == 1 else 0)
+        if not names:
+            return None
+        lens = np.array([len(s) for s in seqs], np.uint32)
+        qual_buf = b"".join(quals)
+        return FastqBatch(
+            name_buf=b"\x00".join(names) + b"\x00",
+            seq_buf=b"".join(seqs),
+            qual_buf=(np.frombuffer(qual_buf, np.uint8) - 33).tobytes(),
+            lens=lens,
+            flags=np.array(flags, np.uint32),
+            fixed_len=max(_fixed_len(lens), 0),
+            is_fasta=not quals[0],
+        )
+
+
+def open_input(path: Optional[str]):
+    """Open a FASTQ/FASTA input, transparently decoding gzip.
+
+    The reference always routes input through zlib (fqzcomp5.c:5204),
+    which passes plain data through; we sniff the gzip magic instead.
+    """
+    import sys
+
+    if path is None:
+        raw: io.BufferedReader = sys.stdin.buffer  # type: ignore[assignment]
+        head = raw.peek(2)[:2] if hasattr(raw, "peek") else b""
+        if head == b"\x1f\x8b":
+            return gzip.open(raw)
+        return raw
+    fp = open(path, "rb")
+    if fp.read(2) == b"\x1f\x8b":
+        fp.seek(0)
+        return gzip.open(fp)
+    fp.seek(0)
+    return fp
+
+
+# ---------------------------------------------------------------------------
+# Formatting (decode side). Vectorised with numpy: we build the output
+# buffer by scattering name/seq/qual slices at precomputed offsets.
+# Matches output_fastq / output_fasta (fqzcomp5.c:3441-3741).
+# ---------------------------------------------------------------------------
+
+def format_fastq(batch: FastqBatch, plus_name: bool = False) -> bytes:
+    names = batch.names()
+    lens = batch.lens.astype(np.int64)
+    n = batch.num_records
+    out = io.BytesIO()
+    sq = np.frombuffer(batch.seq_buf, np.uint8)
+    ql = np.frombuffer(batch.qual_buf, np.uint8) + 33
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    seq_mv = memoryview(sq)
+    qual_bytes = ql.tobytes()
+    qual_mv = memoryview(qual_bytes)
+    w = out.write
+    for i in range(n):
+        w(b"@")
+        w(names[i])
+        w(b"\n")
+        w(seq_mv[offs[i]:offs[i + 1]])
+        w(b"\n+")
+        if plus_name:
+            w(names[i])
+        w(b"\n")
+        w(qual_mv[offs[i]:offs[i + 1]])
+        w(b"\n")
+    return out.getvalue()
+
+
+def format_fasta(batch: FastqBatch) -> bytes:
+    names = batch.names()
+    lens = batch.lens.astype(np.int64)
+    n = batch.num_records
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    seq_mv = memoryview(batch.seq_buf)
+    out = io.BytesIO()
+    w = out.write
+    for i in range(n):
+        w(b">")
+        w(names[i])
+        w(b"\n")
+        w(seq_mv[offs[i]:offs[i + 1]])
+        w(b"\n")
+    return out.getvalue()
+
+
+def split_batch(batch: FastqBatch) -> tuple[FastqBatch, FastqBatch]:
+    """De-interleave: even records -> R1 batch, odd -> R2 batch."""
+    names = batch.names()
+    lens = batch.lens.astype(np.int64)
+    n = batch.num_records
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    halves = []
+    for parity in (0, 1):
+        idx = list(range(parity, n, 2))
+        nb = b"\x00".join(names[i] for i in idx) + (b"\x00" if idx else b"")
+        sb = b"".join(batch.seq_buf[offs[i]:offs[i + 1]] for i in idx)
+        qb = b"".join(batch.qual_buf[offs[i]:offs[i + 1]] for i in idx)
+        ls = batch.lens[idx] if idx else np.zeros(0, np.uint32)
+        halves.append(FastqBatch(
+            name_buf=nb, seq_buf=sb, qual_buf=qb, lens=ls,
+            flags=batch.flags[idx] if idx else np.zeros(0, np.uint32),
+            fixed_len=max(_fixed_len(ls), 0), is_fasta=batch.is_fasta,
+        ))
+    return halves[0], halves[1]

@@ -1,0 +1,100 @@
+"""Parser/formatter semantics vs the reference kseq-based loader."""
+import gzip
+import io
+
+import numpy as np
+
+from fqzcomp5_tpu import fastq
+from fqzcomp5_tpu.constants import FQZ_FREAD2
+
+
+def parse_all(path, blk=1 << 30):
+    p = fastq.Parser(fastq.open_input(str(path)))
+    return p.next_batch(blk)
+
+
+def test_sample_fastq(data_dir):
+    b = parse_all(data_dir / "sample.fastq")
+    assert b.num_records == 5
+    assert not b.is_fasta
+    names = b.names()
+    assert names[0] == b"SEQ_ID_1"
+    assert b.fixed_len == 60  # sample.fastq reads are all 60bp
+    # qualities are stored rebased to -33
+    q = np.frombuffer(b.qual_buf, np.uint8)
+    assert q.max() < 94
+    out = fastq.format_fastq(b)
+    assert out == (data_dir / "sample.fastq").read_bytes()
+
+
+def test_fasta(data_dir):
+    b = parse_all(data_dir / "sample.fasta")
+    assert b.is_fasta
+    assert b.qual_buf == b""
+    out = fastq.format_fasta(b)
+    assert out == (data_dir / "sample.fasta").read_bytes()
+
+
+def test_suffix_flags(data_dir):
+    b = parse_all(data_dir / "single_with_suffix.fastq")
+    # /1 and /2 suffixes: records ending /2 flagged FREAD2
+    names = b.names()
+    for nm, fl in zip(names, b.flags):
+        assert (fl == FQZ_FREAD2) == nm.endswith(b"/2")
+
+
+def test_duplicate_name_flags():
+    data = b"@r1\nACGT\n+\n!!!!\n@r1\nACGT\n+\n!!!!\n"
+    p = fastq.Parser(io.BytesIO(data))
+    b = p.next_batch(1 << 20)
+    assert list(b.flags) == [0, FQZ_FREAD2]
+
+
+def test_block_packing_rule():
+    # record size = name_core + 1 + seq + qual = 2+1+4+4 = 11
+    data = b"@r1\nACGT\n+\n!!!!\n" * 10
+    p = fastq.Parser(io.BytesIO(data))
+    b1 = p.next_batch(23)  # fits 2 records (11+11 <= 23), 3rd would be 33
+    assert b1.num_records == 2
+    b2 = p.next_batch(23)
+    assert b2.num_records == 2
+    # tiny block still takes one record
+    p2 = fastq.Parser(io.BytesIO(data))
+    assert p2.next_batch(1).num_records == 1
+
+
+def test_comment_handling():
+    data = b"@r1 some comment\nAC\n+\n!!\n"
+    p = fastq.Parser(io.BytesIO(data))
+    b = p.next_batch(1 << 20)
+    assert b.names() == [b"r1 some comment"]
+
+
+def test_multiline_fasta():
+    data = b">x\nACGT\nACGT\n>y\nTTTT\n"
+    p = fastq.Parser(io.BytesIO(data))
+    b = p.next_batch(1 << 20)
+    assert b.num_records == 2
+    assert b.seq_buf == b"ACGTACGTTTTT"
+    assert list(b.lens) == [8, 4]
+
+
+def test_gzip_input(tmp_path, data_dir):
+    gz = tmp_path / "s.fastq.gz"
+    gz.write_bytes(gzip.compress((data_dir / "sample.fastq").read_bytes()))
+    b = parse_all(gz)
+    assert b.num_records == 5
+
+
+def test_interleave_and_split(data_dir):
+    p = fastq.InterleavedParser(
+        fastq.open_input(str(data_dir / "sample_R1.fastq")),
+        fastq.open_input(str(data_dir / "sample_R2.fastq")),
+    )
+    b = p.next_batch(1 << 30)
+    assert b.num_records == 6
+    assert list(b.flags[::2]) == [0, 0, 0]
+    assert list(b.flags[1::2]) == [FQZ_FREAD2] * 3
+    r1, r2 = fastq.split_batch(b)
+    assert fastq.format_fastq(r1) == (data_dir / "sample_R1.fastq").read_bytes()
+    assert fastq.format_fastq(r2) == (data_dir / "sample_R2.fastq").read_bytes()
