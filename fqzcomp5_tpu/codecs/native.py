@@ -1,0 +1,144 @@
+"""ctypes bindings to the native C++ engine (native/libfqz5.so).
+
+The native library provides the sequential, bit-exact hot paths of the
+FQZ5 codec family (rANS Nx16, range-coder codecs, LZP, tokenizer).
+It is built with ``make -C native`` and loaded lazily; the build is
+attempted automatically on first use.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
+_LIB_PATH = _ROOT / "native" / "libfqz5.so"
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["make", "-C", str(_ROOT / "native"), "-j4"],
+        check=True,
+        capture_output=True,
+    )
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB_PATH.exists():
+            _build()
+        L = ctypes.CDLL(str(_LIB_PATH))
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        L.fqz5_rans_compress.restype = ctypes.c_int64
+        L.fqz5_rans_compress.argtypes = [
+            u8p, ctypes.c_uint32, ctypes.c_int, u8p, ctypes.c_uint32]
+        L.fqz5_rans_uncompress.restype = ctypes.c_int64
+        L.fqz5_rans_uncompress.argtypes = [
+            u8p, ctypes.c_uint32, u8p, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_int]
+        _register_optional(L)
+        _lib = L
+        return L
+
+
+def _register_optional(L: ctypes.CDLL) -> None:
+    """Signatures for codecs added after the first milestone."""
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    for name, restype, argtypes in [
+        ("fqz5_seq_encode", ctypes.c_int64,
+         [u8p, ctypes.c_uint32, u32p, ctypes.c_int, ctypes.c_int,
+          ctypes.c_int, u8p, ctypes.c_uint32]),
+        ("fqz5_seq_decode", ctypes.c_int64,
+         [u8p, ctypes.c_uint32, u32p, ctypes.c_int, ctypes.c_int,
+          ctypes.c_int, u8p, ctypes.c_uint32]),
+        ("fqz5_fqz_compress", ctypes.c_int64,
+         [u8p, ctypes.c_uint64, u32p, u32p, u8p, ctypes.c_int,
+          ctypes.c_int, u8p, ctypes.c_uint64]),
+        ("fqz5_fqz_decompress", ctypes.c_int64,
+         [u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, u8p]),
+        ("fqz5_lzp", ctypes.c_int64,
+         [u8p, ctypes.c_uint32, u8p, ctypes.c_uint32]),
+        ("fqz5_unlzp", ctypes.c_int64,
+         [u8p, ctypes.c_uint32, u8p, ctypes.c_uint32]),
+        ("fqz5_arith_compress", ctypes.c_int64,
+         [u8p, ctypes.c_uint32, ctypes.c_int, u8p, ctypes.c_uint32]),
+        ("fqz5_arith_uncompress", ctypes.c_int64,
+         [u8p, ctypes.c_uint32, u8p, ctypes.c_uint32]),
+        ("fqz5_tok3_encode", ctypes.c_int64,
+         [u8p, ctypes.c_uint32, ctypes.c_int, ctypes.c_int, u8p,
+          ctypes.c_uint32]),
+        ("fqz5_tok3_decode", ctypes.c_int64,
+         [u8p, ctypes.c_uint32, u8p, ctypes.c_uint32]),
+    ]:
+        try:
+            fn = getattr(L, name)
+        except AttributeError:
+            continue
+        fn.restype = restype
+        fn.argtypes = argtypes
+
+
+def _u8(buf) -> tuple:
+    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(
+        buf, np.ndarray) else buf
+    if arr.size == 0:
+        # ctypes needs a valid pointer even for empty buffers
+        arr = np.zeros(1, np.uint8)[:0]
+        ptr = ctypes.cast(1, ctypes.POINTER(ctypes.c_uint8))
+        return arr, ptr
+    return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def rans_compress(data: bytes, order: int) -> bytes:
+    L = lib()
+    n = len(data)
+    # generous bound mirroring rans_compress_bound_4x16
+    stripe_n = (order >> 8) & 0xFF or 4
+    cap = int(1.05 * n) + 257 * 257 * 3 + 1024 + 5 * stripe_n + 128
+    out = np.empty(cap, np.uint8)
+    src, src_p = _u8(data)
+    rc = L.fqz5_rans_compress(
+        src_p, n, order, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap)
+    if rc < 0:
+        raise ValueError(f"rans_compress failed (order={order:#x})")
+    return out[:rc].tobytes()
+
+
+def rans_uncompress(data: bytes, out_hint: int | None = None) -> bytes:
+    from fqzcomp5_tpu import varint
+
+    L = lib()
+    n = len(data)
+    if n == 0:
+        raise ValueError("empty rans stream")
+    if out_hint is None:
+        if data[0] & 0x10:  # NOSZ: size must come from caller
+            raise ValueError("NOSZ stream needs out_hint")
+        osz, _ = varint.get_u32(data, 1)
+        know = 0
+    else:
+        osz = out_hint
+        know = 1
+    cap = osz + 64
+    out = np.empty(cap, np.uint8)
+    src, src_p = _u8(data)
+    rc = L.fqz5_rans_uncompress(
+        src_p, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        osz, know)
+    if rc < 0:
+        raise ValueError("rans_uncompress failed")
+    return out[:rc].tobytes()

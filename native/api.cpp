@@ -1,0 +1,37 @@
+// C ABI for the fqzcomp5-tpu native engine (consumed via ctypes).
+//
+// Convention: every function returns >= 0 on success (typically bytes
+// written) and -1 on failure.  Callers allocate output buffers; sizes
+// are communicated through explicit bound helpers or known framing.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "rans.h"
+
+extern "C" {
+
+// ---- rANS Nx16 (framed; fqzcomp5 SEC payloads) -----------------------
+int64_t fqz5_rans_compress(const uint8_t* in, uint32_t in_size, int order,
+                           uint8_t* out, uint32_t out_cap) {
+    std::vector<uint8_t> v = fqz5::rans_compress(in, in_size, order);
+    // rans_compress returns at least the order byte on success
+    if (v.empty()) return -1;
+    if (v.size() > out_cap) return -1;
+    memcpy(out, v.data(), v.size());
+    return int64_t(v.size());
+}
+
+int64_t fqz5_rans_uncompress(const uint8_t* in, uint32_t in_size,
+                             uint8_t* out, uint32_t out_cap,
+                             uint32_t out_hint, int know_size) {
+    std::vector<uint8_t> v;
+    if (!fqz5::rans_uncompress(in, in_size, v, out_hint, know_size != 0))
+        return -1;
+    if (v.size() > out_cap) return -1;
+    memcpy(out, v.data(), v.size());
+    return int64_t(v.size());
+}
+
+}  // extern "C"

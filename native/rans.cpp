@@ -1,0 +1,1275 @@
+// Interleaved-state rANS Nx16 codec (see rans.h for format notes).
+//
+// This is an original implementation written for fqzcomp5-tpu from the
+// wire-format behaviour of htscodecs' rANS_static4x16pr family
+// (rANS_static4x16pr.c, rANS_static32x16pr.c, rANS_static16_int.h,
+// rANS_word.h, pack.c, rle.c).  Every encoder decision that affects
+// output bytes (frequency normalisation rounding, 10-vs-12-bit shift
+// estimation, tie-breaking, transform fallbacks) matches the reference.
+
+#include "rans.h"
+
+#include <cmath>
+#include <cstring>
+
+namespace fqz5 {
+namespace {
+
+// ---------------------------------------------------------------------
+// Order-byte flags (file format, rANS_static4x16.h:66-103)
+constexpr int kPack = 0x80;
+constexpr int kRle = 0x40;
+constexpr int kCat = 0x20;
+constexpr int kNosz = 0x10;
+constexpr int kStripe = 0x08;
+constexpr int kX32 = 0x04;
+constexpr int kStripeNo0 = 1 << 16;
+constexpr int kSimdAuto = 1 << 17;
+
+constexpr int kShift = 12;            // TF_SHIFT (order-0)
+constexpr uint32_t kTot = 1u << kShift;
+constexpr int kShiftO1 = 12;          // TF_SHIFT_O1
+constexpr int kShiftO1Fast = 10;      // TF_SHIFT_O1_FAST
+constexpr uint32_t kRansL = 1u << 15; // RANS_BYTE_L
+
+// ---------------------------------------------------------------------
+// varints (big-endian base-128; htscodecs/varint.h)
+int put_uv(uint8_t* cp, uint32_t v) {
+    uint8_t tmp[8];
+    int n = 0;
+    tmp[n++] = v & 0x7f;
+    while (v >>= 7) tmp[n++] = uint8_t(v & 0x7f) | 0x80;
+    for (int i = 0; i < n; i++) cp[i] = tmp[n - 1 - i];
+    return n;
+}
+
+int get_uv(const uint8_t* cp, const uint8_t* end, uint32_t* v) {
+    uint32_t j = 0;
+    int n = 5;
+    const uint8_t* op = cp;
+    uint8_t c;
+    do {
+        if (cp >= end) return 0;
+        c = *cp++;
+        j = (j << 7) | (c & 0x7f);
+    } while ((c & 0x80) && n-- > 0);
+    *v = j;
+    return int(cp - op);
+}
+
+// ---------------------------------------------------------------------
+// Frequency normalisation (rANS_static16_int.h:97-163)
+uint32_t round2(uint32_t v) {
+    v--;
+    v |= v >> 1; v |= v >> 2; v |= v >> 4; v |= v >> 8; v |= v >> 16;
+    return v + 1;
+}
+
+int normalise_freq(uint32_t* F, int size, uint32_t tot) {
+    if (!size) return 0;
+    int loop = 0;
+    for (;;) {
+        uint64_t tr = ((uint64_t(tot) << 31) / size) + ((1u << 30) / size);
+        int m = 0, M = 0;
+        size = 0;
+        for (int j = 0; j < 256; j++) {
+            if (!F[j]) continue;
+            if (m < int(F[j])) m = F[j], M = j;
+            if ((F[j] = uint32_t((F[j] * tr) >> 31)) == 0) F[j] = 1;
+            size += F[j];
+        }
+        int adjust = int(tot) - size;
+        if (adjust > 0) {
+            F[M] += adjust;
+        } else if (adjust < 0) {
+            if (int(F[M]) > -adjust && (loop == 1 || int(F[M]) / 2 >= -adjust)) {
+                F[M] += adjust;
+            } else {
+                if (loop < 1) {
+                    loop++;
+                    continue;  // retry with already-scaled freqs
+                }
+                adjust += F[M] - 1;
+                F[M] = 1;
+                for (int j = 0; adjust && j < 256; j++) {
+                    if (F[j] < 2) continue;
+                    int d = int(F[j]) > -adjust;
+                    int mv = d ? adjust : 1 - int(F[j]);
+                    F[j] += mv;
+                    adjust -= mv;
+                }
+            }
+        }
+        return F[M] > 0 ? 0 : -1;
+    }
+}
+
+void normalise_freq_shift(uint32_t* F, uint32_t size, uint32_t max_tot) {
+    if (size == 0 || size == max_tot) return;
+    int shift = 0;
+    while (size < max_tot) size *= 2, shift++;
+    for (int i = 0; i < 256; i++) F[i] <<= shift;
+}
+
+// ---------------------------------------------------------------------
+// Alphabet & frequency (de)serialization (rANS_static16_int.h:165-276)
+int encode_alphabet(uint8_t* cp, const uint32_t* F) {
+    uint8_t* op = cp;
+    int rle = 0;
+    for (int j = 0; j < 256; j++) {
+        if (!F[j]) continue;
+        if (rle) {
+            rle--;
+        } else {
+            *cp++ = uint8_t(j);
+            if (!rle && j && F[j - 1]) {
+                for (rle = j + 1; rle < 256 && F[rle]; rle++)
+                    ;
+                rle -= j + 1;
+                *cp++ = uint8_t(rle);
+            }
+        }
+    }
+    *cp++ = 0;
+    return int(cp - op);
+}
+
+int decode_alphabet(const uint8_t* cp, const uint8_t* cp_end, uint32_t* F) {
+    // NB: do-while — a leading 0 byte is symbol 0 (always present as the
+    // order-1 terminator context), not an empty alphabet.
+    if (cp == cp_end) return 0;
+    const uint8_t* op = cp;
+    int rle = 0;
+    int j = *cp++;
+    if (cp + 2 < cp_end) {
+        do {
+            F[j] = 1;
+            if (!rle && j + 1 == *cp) {
+                j = *cp++;
+                rle = *cp++;
+            } else if (rle) {
+                rle--;
+                j++;
+                if (j > 255) return 0;
+            } else {
+                j = *cp++;
+            }
+        } while (j && cp + 2 < cp_end);
+    }
+    if (j) {
+        do {
+            F[j] = 1;
+            if (cp >= cp_end) return 0;
+            if (!rle && j + 1 == *cp) {
+                if (cp + 1 >= cp_end) return 0;
+                j = *cp++;
+                rle = *cp++;
+            } else if (rle) {
+                rle--;
+                j++;
+                if (j > 255) return 0;
+            } else {
+                if (cp >= cp_end) return 0;
+                j = *cp++;
+            }
+        } while (j && cp < cp_end);
+    }
+    return int(cp - op);
+}
+
+int encode_freq(uint8_t* cp, const uint32_t* F) {
+    uint8_t* op = cp;
+    cp += encode_alphabet(cp, F);
+    for (int j = 0; j < 256; j++)
+        if (F[j]) cp += put_uv(cp, F[j]);
+    return int(cp - op);
+}
+
+int decode_freq(const uint8_t* cp, const uint8_t* cp_end, uint32_t* F,
+                uint32_t* fsum) {
+    if (cp == cp_end) return 0;
+    const uint8_t* op = cp;
+    int asz = decode_alphabet(cp, cp_end, F);
+    if (!asz) return 0;
+    cp += asz;
+    uint32_t tot = 0;
+    for (int j = 0; j < 256; j++) {
+        if (F[j]) {
+            int n = get_uv(cp, cp_end, &F[j]);
+            if (!n) return 0;
+            cp += n;
+            tot += F[j];
+        }
+    }
+    *fsum = tot;
+    return int(cp - op);
+}
+
+// Order-1 row serialization, zero runs collapsed (encode_freq_d)
+int encode_freq_row(uint8_t* cp, const uint32_t* present, const uint32_t* F) {
+    uint8_t* op = cp;
+    int dz = 0;
+    for (int j = 0; j < 256; j++) {
+        if (!present[j]) continue;
+        if (F[j] != 0) {
+            if (dz) {
+                cp -= dz - 1;
+                *cp++ = uint8_t(dz - 1);
+            }
+            dz = 0;
+            cp += put_uv(cp, F[j]);
+        } else {
+            dz++;
+            *cp++ = 0;
+        }
+    }
+    if (dz) {
+        cp -= dz - 1;
+        *cp++ = uint8_t(dz - 1);
+    }
+    return int(cp - op);
+}
+
+int decode_freq_row(const uint8_t* cp, const uint8_t* cp_end,
+                    const uint32_t* present, uint32_t* F, uint32_t* total) {
+    if (cp == cp_end) return 0;
+    const uint8_t* op = cp;
+    int dz = 0;
+    uint32_t T = 0;
+    for (int j = 0; j < 256 && cp < cp_end; j++) {
+        if (!present[j]) continue;
+        uint32_t f;
+        if (dz) {
+            f = 0;
+            dz--;
+        } else {
+            if (cp >= cp_end) return 0;
+            int n = get_uv(cp, cp_end, &f);
+            if (!n) return 0;
+            cp += n;
+            if (f == 0) {
+                if (cp >= cp_end) return 0;
+                dz = *cp++;
+            }
+        }
+        F[j] = f;
+        T += f;
+    }
+    if (total) *total = T;
+    return int(cp - op);
+}
+
+// ---------------------------------------------------------------------
+// 10-vs-12 bit shift estimator (rANS_static4x16pr.c:357-420).
+// fast_log is the reference's bit-trick approximation (utils.h:69-72);
+// the estimate feeds a stored format decision so it must match exactly.
+double fast_log(double a) {
+    union { double d; long long x; } u = {a};
+    return (u.x - 4606921278410026770LL) * 1.539095918623324e-16;
+}
+
+int compute_shift(const uint32_t* F0, uint32_t (*F)[256], const uint32_t* T,
+                  uint32_t* S) {
+    double e10 = 0, e12 = 0;
+    int max_tot = 0;
+    for (int i = 0; i < 256; i++) {
+        if (F0[i] == 0) continue;
+        unsigned int max_val = round2(T[i]);
+        int ns = 0;
+        int sm10 = 0, sm12 = 0;
+        for (int j = 0; j < 256; j++) {
+            if (F[i][j] && max_val / F[i][j] > (1u << kShiftO1Fast)) sm10++;
+            if (F[i][j] && max_val / F[i][j] > (1u << kShiftO1)) sm12++;
+        }
+        double l10 = log((1 << kShiftO1Fast) + sm10);
+        double l12 = log((1 << kShiftO1) + sm12);
+        double T_slow = double(1 << kShiftO1) / T[i];
+        double T_fast = double(1 << kShiftO1Fast) / T[i];
+        for (int j = 0; j < 256; j++) {
+            if (F[i][j]) {
+                ns++;
+                double ff = F[i][j];
+                double v10 = ff * T_fast, v12 = ff * T_slow;
+                e10 -= ff * (fast_log(v10 > 1 ? v10 : 1) - l10);
+                e12 -= ff * (fast_log(v12 > 1 ? v12 : 1) - l12);
+                e10 += 1.3;
+                e12 += 4.7;
+            }
+        }
+        if (ns < 64 && max_val > 128) max_val /= 2;
+        if (max_val > 1024) max_val /= 2;
+        if (max_val > (1u << kShiftO1)) max_val = 1u << kShiftO1;
+        S[i] = max_val;
+        if (max_tot < int(max_val)) max_tot = max_val;
+    }
+    return (e10 / e12 < 1.01 || max_tot <= (1 << kShiftO1Fast))
+               ? kShiftO1Fast
+               : kShiftO1;
+}
+
+// ---------------------------------------------------------------------
+// Core rANS state ops (rANS_word.h)
+struct EncSym {
+    uint32_t x_max;
+    uint32_t start;
+    uint32_t freq;
+    uint32_t bits;
+};
+
+inline void enc_sym_init(EncSym& s, uint32_t start, uint32_t freq,
+                         uint32_t scale_bits) {
+    s.x_max = ((kRansL >> scale_bits) << 16) * freq - 1;
+    s.start = start;
+    s.freq = freq;
+    s.bits = scale_bits;
+}
+
+inline void enc_put(uint32_t& x, uint8_t*& ptr, const EncSym& s) {
+    if (x > s.x_max) {
+        ptr -= 2;
+        ptr[0] = uint8_t(x);
+        ptr[1] = uint8_t(x >> 8);
+        x >>= 16;
+    }
+    x = ((x / s.freq) << s.bits) + (x % s.freq) + s.start;
+}
+
+inline void enc_flush(uint32_t x, uint8_t*& ptr) {
+    ptr -= 4;
+    ptr[0] = uint8_t(x);
+    ptr[1] = uint8_t(x >> 8);
+    ptr[2] = uint8_t(x >> 16);
+    ptr[3] = uint8_t(x >> 24);
+}
+
+inline uint32_t dec_init(const uint8_t*& ptr) {
+    uint32_t x = uint32_t(ptr[0]) | (uint32_t(ptr[1]) << 8) |
+                 (uint32_t(ptr[2]) << 16) | (uint32_t(ptr[3]) << 24);
+    ptr += 4;
+    return x;
+}
+
+inline void dec_renorm(uint32_t& x, const uint8_t*& ptr,
+                       const uint8_t* limit) {
+    if (x < kRansL && ptr + 1 < limit) {
+        x = (x << 16) | (uint32_t(ptr[0]) | (uint32_t(ptr[1]) << 8));
+        ptr += 2;
+    }
+}
+
+// ---------------------------------------------------------------------
+// Order-0 Nx16 core (payload = freq table + rANS stream)
+template <int N>
+bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
+                 std::vector<uint8_t>& out) {
+    // worst case: all renorms + flush + table
+    size_t bound = size_t(in_size) + in_size / 2 + N * 4 + 1024 + 16;
+    out.resize(bound);
+    if (in_size == 0) {
+        out.clear();
+        return true;
+    }
+    uint32_t F[256 + 8] = {0};
+    for (uint32_t i = 0; i < in_size; i++) F[in[i]]++;
+
+    uint32_t fsum = in_size;
+    uint32_t max_val = round2(fsum);
+    if (max_val > kTot) max_val = kTot;
+    if (normalise_freq(F, fsum, max_val) < 0) return false;
+    fsum = max_val;
+
+    uint8_t* tab = out.data();
+    int tab_size = encode_freq(tab, F);
+    if (normalise_freq(F, fsum, kTot) < 0) return false;
+
+    EncSym syms[256];
+    for (int j = 0, x = 0; j < 256; j++) {
+        if (F[j]) {
+            enc_sym_init(syms[j], x, F[j], kShift);
+            x += F[j];
+        }
+    }
+
+    uint8_t* base = out.data();
+    uint8_t* end = base + bound;
+    uint8_t* ptr = end;
+    uint32_t R[N];
+    for (int z = 0; z < N; z++) R[z] = kRansL;
+
+    int rem = in_size & (N - 1);
+    for (int z = rem - 1; z >= 0; z--)
+        enc_put(R[z], ptr, syms[in[in_size - rem + z]]);
+    for (uint32_t i = in_size & ~uint32_t(N - 1); i > 0; i -= N)
+        for (int z = N - 1; z >= 0; z--)
+            enc_put(R[z], ptr, syms[in[i - N + z]]);
+    for (int z = N - 1; z >= 0; z--) enc_flush(R[z], ptr);
+
+    size_t stream = size_t(end - ptr);
+    memmove(base + tab_size, ptr, stream);
+    out.resize(tab_size + stream);
+    return true;
+}
+
+template <int N>
+bool rans_dec_o0(const uint8_t* in, uint32_t in_size, uint8_t* out,
+                 uint32_t out_sz) {
+    if (in_size < 16) return false;
+    const uint8_t* cp = in;
+    const uint8_t* cp_end = in + in_size - 8;  // reference safety margin
+    uint32_t F[256] = {0}, fsum = 0;
+    int fsz = decode_freq(cp, cp_end, F, &fsum);
+    if (!fsz) return false;
+    cp += fsz;
+    normalise_freq_shift(F, fsum, kTot);
+
+    // s3-style flattened lookup: sym, freq, bias per slot
+    static thread_local std::vector<uint32_t> s3v;
+    s3v.resize(kTot);
+    uint32_t* s3 = s3v.data();
+    {
+        uint32_t x = 0;
+        for (int j = 0; j < 256; j++) {
+            if (!F[j]) continue;
+            if (F[j] > kTot - x) return false;
+            uint32_t base = (F[j] << (kShift + 8)) | uint32_t(j);
+            for (uint32_t y = 0; y < F[j]; y++, x++) s3[x] = base + (y << 8);
+        }
+        if (x != kTot) return false;
+    }
+
+    if (cp + 4 * N > in + in_size) return false;
+    uint32_t R[N];
+    const uint8_t* limit = in + in_size;
+    for (int z = 0; z < N; z++) {
+        R[z] = dec_init(cp);
+        if (R[z] < kRansL) return false;
+    }
+    constexpr uint32_t mask = kTot - 1;
+    for (uint32_t i = 0; i < out_sz; i++) {
+        int z = i & (N - 1);
+        uint32_t S = s3[R[z] & mask];
+        out[i] = uint8_t(S);
+        if (i + (N - z) <= out_sz) {  // all but trailing partial group
+            R[z] = (S >> (kShift + 8)) * (R[z] >> kShift) + ((S >> 8) & mask);
+            dec_renorm(R[z], cp, limit);
+        }
+    }
+    return true;
+}
+
+// ---------------------------------------------------------------------
+// Order-1 Nx16 core
+template <int N>
+bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
+                 std::vector<uint8_t>& out) {
+    if (N == 32 && in_size < uint32_t(N)) return false;
+    size_t bound = size_t(in_size) + in_size / 2 + N * 8 + 257 * 257 * 3 + 64;
+    out.resize(bound);
+
+    static thread_local std::vector<uint32_t> Fbuf;
+    Fbuf.assign(256 * 256, 0);
+    uint32_t (*F)[256] = reinterpret_cast<uint32_t(*)[256]>(Fbuf.data());
+    uint32_t T[256] = {0};
+
+    // Order-1 histogram (utils.h hist1_4): ctx 0 precedes in[0].
+    {
+        uint8_t l = 0;
+        for (uint32_t i = 0; i < in_size; i++) {
+            F[l][in[i]]++;
+            l = in[i];
+        }
+        T[l]++;  // final context gets a phantom count
+        for (int i = 0; i < 256; i++) {
+            uint32_t tt = 0;
+            for (int j = 0; j < 256; j++) tt += F[i][j];
+            T[i] += tt;
+        }
+    }
+    uint32_t isz = in_size / N;
+    for (int z = 1; z < N; z++) F[0][in[z * isz]]++;
+    T[0] += N - 1;
+
+    uint8_t* op = out.data();
+    uint8_t* cp = op;
+    uint32_t tmp_T0 = T[0];
+    T[0] = 1;
+    *cp++ = 0;  // header marker (low bit set later if compressed)
+    cp += encode_alphabet(cp, T);
+    T[0] = tmp_T0;
+
+    uint32_t S[256] = {0};
+    int shift = compute_shift(T, F, T, S);
+
+    static thread_local std::vector<EncSym> symv;
+    symv.resize(256 * 256);
+    EncSym (*syms)[256] = reinterpret_cast<EncSym(*)[256]>(symv.data());
+
+    for (int i = 0; i < 256; i++) {
+        if (T[i] == 0) continue;
+        uint32_t max_val = S[i];
+        if (shift == kShiftO1Fast && max_val > (1u << kShiftO1Fast))
+            max_val = 1u << kShiftO1Fast;
+        if (normalise_freq(F[i], T[i], max_val) < 0) return false;
+        T[i] = max_val;
+        cp += encode_freq_row(cp, T, F[i]);
+        normalise_freq_shift(F[i], T[i], 1u << shift);
+        T[i] = 1u << shift;
+        for (int j = 0, x = 0; j < 256; j++) {
+            enc_sym_init(syms[i][j], x, F[i][j], shift);
+            x += F[i][j];
+        }
+    }
+
+    *op = uint8_t(shift << 4);
+    if (cp - op > 1000) {
+        // try O0 compression of the table itself
+        uint32_t u_sz = uint32_t(cp - (op + 1));
+        std::vector<uint8_t> ctab;
+        if (rans_enc_o0<4>(op + 1, u_sz, ctab) &&
+            ctab.size() + 6 < size_t(cp - op)) {
+            uint8_t hdr = *op | 1;
+            uint8_t* p = op;
+            *p++ = hdr;
+            p += put_uv(p, u_sz);
+            p += put_uv(p, uint32_t(ctab.size()));
+            memcpy(p, ctab.data(), ctab.size());
+            cp = p + ctab.size();
+        }
+    }
+    size_t tab_size = size_t(cp - op);
+
+    uint8_t* end = op + bound;
+    uint8_t* ptr = end;
+    uint32_t R[N];
+    for (int z = 0; z < N; z++) R[z] = kRansL;
+
+    int64_t iN[N];
+    uint8_t lN[N];
+    for (int z = 0; z < N; z++) {
+        iN[z] = int64_t(z + 1) * isz - 2;
+        lN[z] = in[iN[z] + 1];
+    }
+    // state N-1 takes the tail
+    lN[N - 1] = in[in_size - 1];
+    for (int64_t i = in_size - 2; i > int64_t(N) * isz - 2; i--) {
+        uint8_t c = in[i];
+        enc_put(R[N - 1], ptr, syms[c][lN[N - 1]]);
+        lN[N - 1] = c;
+    }
+    if (N == 32) iN[N - 1] = int64_t(N) * isz - 2;
+
+    for (; iN[0] >= 0;) {
+        for (int z = N - 1; z >= 0; z--) {
+            uint8_t c = in[iN[z]];
+            enc_put(R[z], ptr, syms[c][lN[z]]);
+            lN[z] = c;
+            iN[z]--;
+        }
+    }
+    for (int z = N - 1; z >= 0; z--) enc_put(R[z], ptr, syms[0][lN[z]]);
+    for (int z = N - 1; z >= 0; z--) enc_flush(R[z], ptr);
+
+    size_t stream = size_t(end - ptr);
+    memmove(op + tab_size, ptr, stream);
+    out.resize(tab_size + stream);
+    return true;
+}
+
+template <int N>
+bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
+                 uint32_t out_sz) {
+    if (in_size < uint32_t(N) * 4) return false;
+    const uint8_t* cp = in;
+    const uint8_t* cp_end = in + in_size;
+
+    std::vector<uint8_t> c_freq;
+    const uint8_t* tab_end = nullptr;
+    const uint8_t* c_freq_end = cp_end;
+    unsigned int shift = *cp >> 4;
+    if (*cp++ & 1) {
+        uint32_t u_sz, c_sz;
+        int n = get_uv(cp, cp_end, &u_sz);
+        if (!n) return false;
+        cp += n;
+        n = get_uv(cp, cp_end, &c_sz);
+        if (!n) return false;
+        cp += n;
+        if (c_sz > uint32_t(cp_end - cp)) return false;
+        tab_end = cp + c_sz;
+        c_freq.resize(u_sz);
+        if (!rans_dec_o0<4>(cp, c_sz, c_freq.data(), u_sz)) return false;
+        cp = c_freq.data();
+        c_freq_end = c_freq.data() + u_sz;
+    }
+    if (shift != kShiftO1 && shift != kShiftO1Fast) return false;
+
+    uint32_t F0[256] = {0};
+    int fsz = decode_alphabet(cp, c_freq_end, F0);
+    if (!fsz) return false;
+    cp += fsz;
+    if (cp >= c_freq_end) return false;
+
+    // fb tables: freq + cumulative base per (ctx, sym); sfb: slot -> sym
+    const uint32_t tot = 1u << shift;
+    static thread_local std::vector<uint8_t> sfbv;
+    static thread_local std::vector<uint32_t> fbv;
+    sfbv.resize(256 * tot);
+    fbv.resize(256 * 256);
+    uint8_t* sfb = sfbv.data();
+    uint32_t* fb = fbv.data();
+
+    for (int i = 0; i < 256; i++) {
+        if (F0[i] == 0) continue;
+        uint32_t F[256] = {0}, T = 0;
+        fsz = decode_freq_row(cp, c_freq_end, F0, F, &T);
+        if (!fsz) return false;
+        cp += fsz;
+        if (!T) continue;
+        normalise_freq_shift(F, T, tot);
+        uint32_t x = 0;
+        for (int j = 0; j < 256; j++) {
+            if (!F[j]) continue;
+            if (F[j] > tot - x) return false;
+            memset(&sfb[i * tot + x], j, F[j]);
+            fb[i * 256 + j] = (F[j] << 16) | x;
+            x += F[j];
+        }
+        if (x != tot) return false;
+    }
+    if (tab_end) cp = tab_end;
+
+    if (cp_end - cp < N * 4) return false;
+    uint32_t R[N];
+    const uint8_t* limit = in + in_size;
+    for (int z = 0; z < N; z++) {
+        R[z] = dec_init(cp);
+        if (R[z] < kRansL) return false;
+    }
+
+    uint32_t isz = out_sz / N;
+    uint32_t i4[N];
+    uint8_t l[N] = {0};
+    for (int z = 0; z < N; z++) i4[z] = z * isz;
+    const uint32_t mask = tot - 1;
+
+    for (uint32_t i = 0; i < isz; i++) {
+        for (int z = 0; z < N; z++) {
+            uint32_t m = R[z] & mask;
+            uint8_t c = sfb[l[z] * tot + m];
+            uint32_t fbe = fb[l[z] * 256 + c];
+            R[z] = (fbe >> 16) * (R[z] >> shift) + m - (fbe & 0xffff);
+            out[i4[z]++] = c;
+            l[z] = c;
+            dec_renorm(R[z], cp, limit);
+        }
+    }
+    // tail on the last state
+    for (uint32_t i = i4[N - 1]; i < out_sz; i++) {
+        uint32_t m = R[N - 1] & mask;
+        uint8_t c = sfb[l[N - 1] * tot + m];
+        uint32_t fbe = fb[l[N - 1] * 256 + c];
+        R[N - 1] = (fbe >> 16) * (R[N - 1] >> shift) + m - (fbe & 0xffff);
+        out[i] = c;
+        l[N - 1] = c;
+        dec_renorm(R[N - 1], cp, limit);
+    }
+    return true;
+}
+
+bool core_encode(const uint8_t* in, uint32_t in_size, int simd, int order01,
+                 std::vector<uint8_t>& out) {
+    if (order01)
+        return simd ? rans_enc_o1<32>(in, in_size, out)
+                    : rans_enc_o1<4>(in, in_size, out);
+    return simd ? rans_enc_o0<32>(in, in_size, out)
+                : rans_enc_o0<4>(in, in_size, out);
+}
+
+bool core_decode(const uint8_t* in, uint32_t in_size, int simd, int order01,
+                 uint8_t* out, uint32_t out_sz) {
+    if (order01)
+        return simd ? rans_dec_o1<32>(in, in_size, out, out_sz)
+                    : rans_dec_o1<4>(in, in_size, out, out_sz);
+    return simd ? rans_dec_o0<32>(in, in_size, out, out_sz)
+                : rans_dec_o0<4>(in, in_size, out, out_sz);
+}
+
+// ---------------------------------------------------------------------
+// PACK transform (pack.c:56-150)
+bool pack_bytes(const uint8_t* in, uint32_t len, std::vector<uint8_t>& meta,
+                std::vector<uint8_t>& packed) {
+    int p[256] = {0};
+    for (uint32_t i = 0; i < len; i++) p[in[i]] = 1;
+    int n = 0;
+    meta.assign(1, 0);
+    for (int i = 0; i < 256; i++) {
+        if (p[i]) {
+            p[i] = n++;
+            meta.push_back(uint8_t(i));
+        }
+    }
+    meta[0] = uint8_t(n);  // 256 wraps to 0
+    if (n > 16) return false;
+
+    int vpb = n > 4 ? 2 : n > 2 ? 4 : n > 1 ? 8 : 0;
+    packed.clear();
+    switch (vpb) {
+        case 2: {
+            uint32_t i = 0;
+            for (; i < (len & ~1u); i += 2)
+                packed.push_back(uint8_t(p[in[i]] | (p[in[i + 1]] << 4)));
+            if (len & 1) packed.push_back(uint8_t(p[in[len - 1]]));
+            break;
+        }
+        case 4: {
+            uint32_t i = 0;
+            for (; i + 4 <= len; i += 4)
+                packed.push_back(uint8_t(p[in[i]] | (p[in[i + 1]] << 2) |
+                                         (p[in[i + 2]] << 4) |
+                                         (p[in[i + 3]] << 6)));
+            if (i < len) {
+                uint8_t b = 0;
+                int x = 0;
+                for (; i < len; i++, x += 2) b |= p[in[i]] << x;
+                packed.push_back(b);
+            }
+            break;
+        }
+        case 8: {
+            uint32_t i = 0;
+            for (; i + 8 <= len; i += 8) {
+                uint8_t b = 0;
+                for (int k = 0; k < 8; k++) b |= p[in[i + k]] << k;
+                packed.push_back(b);
+            }
+            if (i < len) {
+                uint8_t b = 0;
+                int x = 0;
+                for (; i < len; i++, x++) b |= p[in[i]] << x;
+                packed.push_back(b);
+            }
+            break;
+        }
+        case 0:
+            break;  // single symbol: nothing stored
+    }
+    return true;
+}
+
+int unpack_meta(const uint8_t* data, uint32_t data_len, uint8_t* map,
+                int* nsym) {
+    if (data_len == 0) return 0;
+    unsigned int n = data[0];
+    if (n == 0) n = 256;
+    if (n <= 1)
+        *nsym = 0;
+    else if (n <= 2)
+        *nsym = 8;
+    else if (n <= 4)
+        *nsym = 4;
+    else if (n <= 16)
+        *nsym = 2;
+    else {
+        *nsym = 1;
+        return 1;
+    }
+    if (data_len <= 1) return 0;
+    unsigned int j = 1, c = 0;
+    do {
+        map[c++] = data[j++];
+    } while (c < n && j < data_len);
+    return c < n ? 0 : int(j);
+}
+
+bool unpack_bytes(const uint8_t* data, uint32_t len, uint8_t* out,
+                  uint64_t out_len, int nsym, const uint8_t* map) {
+    if (nsym == 1) {
+        memcpy(out, data, len);
+        return true;
+    }
+    switch (nsym) {
+        case 8: {
+            if ((out_len + 7) / 8 > len) return false;
+            uint64_t i = 0, j = 0;
+            for (; i + 8 <= out_len; i += 8) {
+                uint8_t c = data[j++];
+                for (int k = 0; k < 8; k++) out[i + k] = map[(c >> k) & 1];
+            }
+            if (i < out_len) {
+                uint8_t c = data[j++];
+                for (; i < out_len; i++, c >>= 1) out[i] = map[c & 1];
+            }
+            return true;
+        }
+        case 4: {
+            if ((out_len + 3) / 4 > len) return false;
+            uint64_t i = 0, j = 0;
+            for (; i + 4 <= out_len; i += 4) {
+                uint8_t c = data[j++];
+                out[i] = map[c & 3];
+                out[i + 1] = map[(c >> 2) & 3];
+                out[i + 2] = map[(c >> 4) & 3];
+                out[i + 3] = map[(c >> 6) & 3];
+            }
+            if (i < out_len) {
+                uint8_t c = data[j++];
+                for (; i < out_len; i++, c >>= 2) out[i] = map[c & 3];
+            }
+            return true;
+        }
+        case 2: {
+            if ((out_len + 1) / 2 > len) return false;
+            uint64_t i = 0, j = 0;
+            for (; i + 2 <= out_len; i += 2) {
+                uint8_t c = data[j++];
+                out[i] = map[c & 15];
+                out[i + 1] = map[(c >> 4) & 15];
+            }
+            if (i < out_len) out[i] = map[data[j] & 15];
+            return true;
+        }
+        case 0: {
+            memset(out, map[0], out_len);
+            return true;
+        }
+    }
+    return false;
+}
+
+// ---------------------------------------------------------------------
+// RLE transform (rle.c)
+void rle_encode(const uint8_t* in, uint64_t len, std::vector<uint8_t>& runs,
+                std::vector<uint8_t>& lits, uint8_t* rle_syms,
+                int* rle_nsyms) {
+    int64_t saved[256] = {0};
+    {
+        int last = -1;
+        for (uint64_t i = 0; i < len; i++) {
+            if (int(in[i]) == last)
+                saved[in[i]]++;
+            else
+                saved[in[i]]--;
+            last = in[i];
+        }
+    }
+    int n = 0;
+    for (int i = 0; i < 256; i++)
+        if (saved[i] > 0) rle_syms[n++] = uint8_t(i);
+    *rle_nsyms = n;
+
+    runs.clear();
+    lits.clear();
+    uint8_t vbuf[8];
+    for (uint64_t i = 0; i < len; i++) {
+        lits.push_back(in[i]);
+        if (saved[in[i]] > 0) {
+            uint64_t start = i;
+            uint8_t last = in[i];
+            while (i < len && in[i] == last) i++;
+            i--;
+            uint32_t rlen = uint32_t(i - start);
+            int nb = put_uv(vbuf, rlen);
+            runs.insert(runs.end(), vbuf, vbuf + nb);
+        }
+    }
+}
+
+bool rle_decode(const uint8_t* lit, uint64_t lit_len, const uint8_t* run,
+                uint64_t run_len, const uint8_t* rle_syms, int rle_nsyms,
+                uint8_t* out, uint64_t* out_len) {
+    int saved[256] = {0};
+    for (int j = 0; j < rle_nsyms; j++) saved[rle_syms[j]] = 1;
+    const uint8_t* run_end = run + run_len;
+    const uint8_t* lit_end = lit + lit_len;
+    uint8_t* outp = out;
+    uint8_t* out_end = out + *out_len;
+    while (lit < lit_end) {
+        if (outp >= out_end) return false;
+        uint8_t b = *lit;
+        if (saved[b]) {
+            uint32_t rlen = 0;
+            int n = get_uv(run, run_end, &rlen);
+            if (!n) return false;
+            run += n;
+            if (rlen) {
+                if (outp + rlen >= out_end) return false;
+                memset(outp, b, rlen + 1);
+                outp += rlen + 1;
+            } else {
+                *outp++ = b;
+            }
+        } else {
+            *outp++ = b;
+        }
+        lit++;
+    }
+    *out_len = uint64_t(outp - out);
+    return true;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------
+// Top-level framing (rans_compress_to_4x16 / rans_uncompress_to_4x16)
+
+std::vector<uint8_t> rans_compress(const uint8_t* in, uint32_t in_size,
+                                   int order) {
+    std::vector<uint8_t> out;
+    if ((order & kSimdAuto) && in_size >= 50000 && !(order & kStripe))
+        order |= kX32;
+    if (in_size <= 20) order &= ~kStripe;
+    if (in_size <= 1000) order &= ~kX32;
+
+    if (order & kStripe) {
+        int N = (order >> 8) & 0xff;
+        if (N == 0) N = 4;
+        if (uint32_t(N) > in_size) N = in_size;
+
+        // byte-transpose into N sub-streams
+        std::vector<uint8_t> transposed(in_size);
+        uint32_t part_len[256], idx[256];
+        for (int i = 0; i < N; i++) {
+            part_len[i] = in_size / N + ((in_size % N) > uint32_t(i));
+            idx[i] = i ? idx[i - 1] + part_len[i - 1] : 0;
+        }
+        {
+            uint32_t i = 0, x = 0;
+            for (; i + N <= in_size; i += N, x++)
+                for (int j = 0; j < N; j++) transposed[idx[j] + x] = in[i + j];
+            for (int j = 0; i + j < in_size; j++)
+                transposed[idx[j] + x] = in[i + j];
+        }
+
+        std::vector<uint8_t> hdr;
+        hdr.push_back(uint8_t(order & ~kNosz));
+        uint8_t vbuf[8];
+        int nb = put_uv(vbuf, in_size);
+        hdr.insert(hdr.end(), vbuf, vbuf + nb);
+        hdr.push_back(uint8_t(N));
+
+        std::vector<uint8_t> body;
+        const int m[4] = {1, 64, 128, 0};
+        for (int i = 0; i < N; i++) {
+            std::vector<uint8_t> best;
+            bool have = false;
+            for (int j = 0; j < 4; j++) {
+                if ((order & m[j]) != m[j]) continue;
+                if ((order & kStripeNo0) && (m[j] & 1) == 0) continue;
+                std::vector<uint8_t> sub = rans_compress(
+                    transposed.data() + idx[i], part_len[i],
+                    m[j] | kNosz | (order & kX32));
+                if (!sub.empty() && (!have || sub.size() < best.size())) {
+                    best = std::move(sub);
+                    have = true;
+                }
+            }
+            if (!have && part_len[i] > 0) return {};
+            if (!have) {
+                // zero-length stripe: CAT of nothing
+                best = rans_compress(transposed.data() + idx[i], 0,
+                                     kNosz | (order & 1));
+            }
+            nb = put_uv(vbuf, uint32_t(best.size()));
+            hdr.insert(hdr.end(), vbuf, vbuf + nb);
+            body.insert(body.end(), best.begin(), best.end());
+        }
+        out = std::move(hdr);
+        out.insert(out.end(), body.begin(), body.end());
+        return out;
+    }
+
+    if (order & kCat) {
+        out.push_back(uint8_t(order & 0xff));
+        uint8_t vbuf[8];
+        int nb = put_uv(vbuf, in_size);
+        out.insert(out.end(), vbuf, vbuf + nb);
+        out.insert(out.end(), in, in + in_size);
+        return out;
+    }
+
+    int do_pack = order & kPack;
+    int do_rle = order & kRle;
+    int no_size = order & kNosz;
+    int do_simd = order & kX32;
+
+    uint8_t order_byte = uint8_t(order & 0xff);
+    std::vector<uint8_t> meta;  // accumulated transform metadata
+    uint8_t vbuf[8];
+    int nb;
+    if (!no_size) {
+        nb = put_uv(vbuf, in_size);
+        meta.insert(meta.end(), vbuf, vbuf + nb);
+    }
+
+    std::vector<uint8_t> packed_store, rle_store;
+    const uint8_t* cur = in;
+    uint32_t cur_size = in_size;
+
+    if (do_pack && in_size) {
+        std::vector<uint8_t> pmeta;
+        if (!pack_bytes(cur, cur_size, pmeta, packed_store)) {
+            order_byte &= ~kPack;
+            do_pack = 0;
+        } else {
+            meta.insert(meta.end(), pmeta.begin(), pmeta.end());
+            cur = packed_store.data();
+            cur_size = uint32_t(packed_store.size());
+            nb = put_uv(vbuf, cur_size);
+            meta.insert(meta.end(), vbuf, vbuf + nb);
+            if (do_simd && cur_size < 32) {
+                do_simd = 0;
+                order_byte &= ~kX32;
+            }
+        }
+    } else if (do_pack) {
+        order_byte &= ~kPack;
+        do_pack = 0;
+    }
+
+    if (do_rle && cur_size) {
+        uint8_t rle_syms[256];
+        int rle_nsyms = 0;
+        std::vector<uint8_t> runs, lits;
+        rle_encode(cur, cur_size, runs, lits, rle_syms, &rle_nsyms);
+        // meta stream = [nsyms][syms][runs]
+        std::vector<uint8_t> rmeta;
+        rmeta.push_back(uint8_t(rle_nsyms));
+        rmeta.insert(rmeta.end(), rle_syms, rle_syms + rle_nsyms);
+        rmeta.insert(rmeta.end(), runs.begin(), runs.end());
+        uint32_t rmeta_len = uint32_t(rmeta.size());
+        uint64_t rle_len = lits.size();
+
+        if (rle_len + rmeta_len >= 0.99 * cur_size) {
+            order_byte &= ~kRle;
+            do_rle = 0;
+        } else {
+            if (do_simd && (rmeta_len < 32 || rle_len < 32)) {
+                do_simd = 0;
+                order_byte &= ~kX32;
+            }
+            std::vector<uint8_t> cmeta;
+            if (!core_encode(rmeta.data(), rmeta_len, do_simd, 0, cmeta))
+                return {};
+            if (cmeta.size() < rmeta_len) {
+                nb = put_uv(vbuf, rmeta_len * 2);
+                meta.insert(meta.end(), vbuf, vbuf + nb);
+                nb = put_uv(vbuf, uint32_t(rle_len));
+                meta.insert(meta.end(), vbuf, vbuf + nb);
+                nb = put_uv(vbuf, uint32_t(cmeta.size()));
+                meta.insert(meta.end(), vbuf, vbuf + nb);
+                meta.insert(meta.end(), cmeta.begin(), cmeta.end());
+            } else {
+                nb = put_uv(vbuf, rmeta_len * 2 + 1);  // odd => raw meta
+                meta.insert(meta.end(), vbuf, vbuf + nb);
+                nb = put_uv(vbuf, uint32_t(rle_len));
+                meta.insert(meta.end(), vbuf, vbuf + nb);
+                meta.insert(meta.end(), rmeta.begin(), rmeta.end());
+            }
+            rle_store = std::move(lits);
+            cur = rle_store.data();
+            cur_size = uint32_t(rle_store.size());
+        }
+    } else if (do_rle) {
+        order_byte &= ~kRle;
+        do_rle = 0;
+    }
+
+    int order01 = order & 3 & 1;
+    if (order01 && cur_size < 8) {
+        order_byte &= ~1;
+        order01 = 0;
+    }
+
+    std::vector<uint8_t> payload;
+    if (!core_encode(cur, cur_size, do_simd, order01, payload)) return {};
+
+    if (payload.size() >= cur_size) {
+        // rANS didn't help: CAT the (transformed) data
+        order_byte &= ~3;
+        order_byte |= kCat | no_size;
+        payload.assign(cur, cur + cur_size);
+    }
+
+    out.push_back(order_byte);
+    out.insert(out.end(), meta.begin(), meta.end());
+    out.insert(out.end(), payload.begin(), payload.end());
+    return out;
+}
+
+bool rans_uncompress(const uint8_t* in, uint32_t in_size,
+                     std::vector<uint8_t>& out, uint32_t out_hint,
+                     bool know_size) {
+    if (in_size == 0) return false;
+    const uint8_t* in_end = in + in_size;
+
+    if (*in & kStripe) {
+        uint32_t c_meta_len = 1, ulen;
+        int n = get_uv(in + c_meta_len, in_end, &ulen);
+        if (!n) return false;
+        c_meta_len += n;
+        if (c_meta_len >= in_size) return false;
+        unsigned int N = in[c_meta_len++];
+        if (N < 1) return false;
+        if (know_size && ulen != out_hint) return false;
+
+        uint32_t clenN[256], ulenN[256], idxN[256];
+        uint64_t clen_tot = 0;
+        for (unsigned int i = 0; i < N; i++) {
+            ulenN[i] = ulen / N + ((ulen % N) > i);
+            idxN[i] = i ? idxN[i - 1] + ulenN[i - 1] : 0;
+            n = get_uv(in + c_meta_len, in_end, &clenN[i]);
+            if (!n) return false;
+            c_meta_len += n;
+            clen_tot += clenN[i];
+            if (c_meta_len > in_size || clenN[i] > in_size || clenN[i] < 1)
+                return false;
+        }
+        if (c_meta_len + clen_tot > in_size) return false;
+
+        std::vector<uint8_t> outN(ulen);
+        for (unsigned int i = 0; i < N; i++) {
+            std::vector<uint8_t> sub;
+            if (!rans_uncompress(in + c_meta_len, in_size - c_meta_len, sub,
+                                 ulenN[i], true) ||
+                sub.size() != ulenN[i])
+                return false;
+            memcpy(outN.data() + idxN[i], sub.data(), ulenN[i]);
+            c_meta_len += clenN[i];
+        }
+        // un-transpose
+        out.resize(ulen);
+        uint32_t j = 0;
+        uint32_t pos[256];
+        memcpy(pos, idxN, sizeof(pos));
+        while (j + N <= ulen)
+            for (unsigned int k = 0; k < N; k++) out[j++] = outN[pos[k]++];
+        for (unsigned int k = 0; j < ulen; k++) out[j++] = outN[pos[k]++];
+        return true;
+    }
+
+    int order = *in++;
+    in_size--;
+    int do_pack = order & kPack;
+    int do_rle = order & kRle;
+    int do_cat = order & kCat;
+    int no_size = order & kNosz;
+    int do_simd = order & kX32;
+    order &= 1;
+
+    uint32_t osz;
+    if (!no_size) {
+        int n = get_uv(in, in_end, &osz);
+        if (!n) return false;
+        in += n;
+        in_size -= n;
+    } else {
+        if (!know_size) return false;
+        osz = out_hint;
+    }
+
+    uint32_t tmp1_size = osz;
+
+    // PACK meta
+    uint8_t map[16] = {0};
+    int npacked_sym = 0;
+    uint64_t unpacked_sz = 0;
+    if (do_pack) {
+        int used = unpack_meta(in, in_size, map, &npacked_sym);
+        if (used == 0) return false;
+        unpacked_sz = osz;
+        in += used;
+        in_size -= used;
+        uint32_t psz;
+        int n = get_uv(in, in_end, &psz);
+        if (!n) return false;
+        in += n;
+        in_size -= n;
+        if (psz > tmp1_size) return false;
+        tmp1_size = psz;
+    }
+
+    // RLE meta
+    std::vector<uint8_t> rle_meta_store;
+    const uint8_t* rmeta = nullptr;
+    uint32_t u_meta_size = 0;
+    if (do_rle) {
+        uint32_t rle_len, c_meta_size;
+        int sz = get_uv(in, in_end, &u_meta_size);
+        if (!sz) return false;
+        int sz2 = get_uv(in + sz, in_end, &rle_len);
+        if (!sz2) return false;
+        sz += sz2;
+        if (rle_len > tmp1_size) return false;
+        if (u_meta_size & 1) {
+            rmeta = in + sz;
+            u_meta_size = u_meta_size / 2 > uint32_t(in_end - rmeta)
+                              ? uint32_t(in_end - rmeta)
+                              : u_meta_size / 2;
+            c_meta_size = u_meta_size;
+        } else {
+            int n = get_uv(in + sz, in_end, &c_meta_size);
+            if (!n) return false;
+            sz += n;
+            u_meta_size /= 2;
+            rle_meta_store.resize(u_meta_size);
+            if (!core_decode(in + sz, in_size - sz, do_simd, 0,
+                             rle_meta_store.data(), u_meta_size))
+                return false;
+            rmeta = rle_meta_store.data();
+        }
+        if (c_meta_size + sz > in_size) return false;
+        in += c_meta_size + sz;
+        in_size -= c_meta_size + sz;
+        tmp1_size = rle_len;
+    }
+
+    // entropy payload -> tmp1
+    std::vector<uint8_t> tmp1(tmp1_size);
+    if (in_size) {
+        if (do_cat) {
+            if (tmp1_size > in_size) return false;
+            memcpy(tmp1.data(), in, tmp1_size);
+        } else {
+            if (!core_decode(in, in_size, do_simd, order, tmp1.data(),
+                             tmp1_size))
+                return false;
+        }
+    } else {
+        tmp1_size = 0;
+        tmp1.clear();
+    }
+
+    // un-RLE
+    std::vector<uint8_t> tmp2;
+    const uint8_t* stage = tmp1.data();
+    uint64_t stage_size = tmp1_size;
+    if (do_rle) {
+        if (u_meta_size == 0) return false;
+        int rle_nsyms = rmeta[0] ? rmeta[0] : 256;
+        if (u_meta_size < uint32_t(1 + rle_nsyms)) return false;
+        uint64_t unrle_size = osz;
+        tmp2.resize(osz);
+        if (!rle_decode(stage, stage_size, rmeta + 1 + rle_nsyms,
+                        u_meta_size - (1 + rle_nsyms), rmeta + 1, rle_nsyms,
+                        tmp2.data(), &unrle_size))
+            return false;
+        tmp2.resize(unrle_size);
+        stage = tmp2.data();
+        stage_size = unrle_size;
+    }
+
+    // un-PACK
+    if (do_pack) {
+        if (npacked_sym == 1) unpacked_sz = stage_size;
+        out.resize(unpacked_sz);
+        if (!unpack_bytes(stage, uint32_t(stage_size), out.data(), unpacked_sz,
+                          npacked_sym, map))
+            return false;
+        return true;
+    }
+
+    out.assign(stage, stage + stage_size);
+    return true;
+}
+
+}  // namespace fqz5

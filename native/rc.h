@@ -1,0 +1,241 @@
+// Range coder and adaptive frequency models for fqzcomp5-tpu.
+//
+// Bit-exact with the reference coders (htscodecs/c_range_coder.h,
+// c_simple_model.h, c_small_model.h): a 32-bit carry-counting range
+// coder (Subbotin/Shelwien lineage) plus two adaptive model shapes --
+// a u16-frequency model with approximate sort-by-frequency, and a tiny
+// u8-frequency direct-indexed model.  The byte streams these produce
+// are part of the FQZ5 file format, so every detail (carry handling,
+// renormalisation threshold, bubble reordering, normalisation timing)
+// is load-bearing.
+#ifndef FQZ5_RC_H
+#define FQZ5_RC_H
+
+#include <cstdint>
+#include <cstring>
+
+namespace fqz5 {
+
+class RangeCoder {
+  public:
+    static constexpr uint32_t kTop = 1u << 24;
+    static constexpr uint32_t kThresh = 255u * kTop;
+
+    // ---- encoding ----
+    void start_encode(uint8_t* out) {
+        out_start_ = out_ = out;
+        range_ = 0xFFFFFFFFu;
+        low_ = 0;
+        ff_num_ = 0;
+        carry_ = 0;
+        cache_ = 0;
+    }
+
+    void encode(uint32_t cum, uint32_t freq, uint32_t tot) {
+        uint32_t old_low = low_;
+        range_ /= tot;
+        low_ += cum * range_;
+        range_ *= freq;
+        carry_ += low_ < old_low;
+        while (range_ < kTop) {
+            range_ <<= 8;
+            shift_low();
+        }
+    }
+
+    void finish_encode() {
+        for (int i = 0; i < 5; i++) shift_low();
+    }
+
+    size_t out_size() const { return size_t(out_ - out_start_); }
+
+    // ---- decoding ----
+    void start_decode(const uint8_t* in, const uint8_t* in_end) {
+        in_ = in;
+        in_end_ = in_end;
+        range_ = 0xFFFFFFFFu;
+        code_ = 0;
+        err_ = false;
+        if (in_ + 5 > in_end_) {
+            in_ = in_end_;
+            err_ = true;
+            return;
+        }
+        for (int i = 0; i < 5; i++) code_ = (code_ << 8) | *in_++;
+    }
+
+    uint32_t get_freq(uint32_t tot) {
+        if (!tot || range_ < tot) return 0;
+        range_ /= tot;
+        return code_ / range_;
+    }
+
+    void decode(uint32_t cum, uint32_t freq, uint32_t /*tot*/) {
+        code_ -= cum * range_;
+        range_ *= freq;
+        while (range_ < kTop) {
+            if (in_ >= in_end_) {
+                err_ = true;
+                return;
+            }
+            code_ = (code_ << 8) | *in_++;
+            range_ <<= 8;
+        }
+    }
+
+    size_t in_consumed(const uint8_t* in_begin) const {
+        return size_t(in_ - in_begin);
+    }
+    bool error() const { return err_; }
+
+  private:
+    void shift_low() {
+        if (low_ < kThresh || carry_) {
+            *out_++ = uint8_t(cache_ + carry_);
+            while (ff_num_) {
+                *out_++ = uint8_t(carry_ - 1);
+                ff_num_--;
+            }
+            cache_ = low_ >> 24;
+            carry_ = 0;
+        } else {
+            ff_num_++;
+        }
+        low_ <<= 8;
+    }
+
+    uint32_t low_ = 0, code_ = 0, range_ = 0;
+    uint32_t ff_num_ = 0, cache_ = 0, carry_ = 0;
+    uint8_t* out_ = nullptr;
+    uint8_t* out_start_ = nullptr;
+    const uint8_t* in_ = nullptr;
+    const uint8_t* in_end_ = nullptr;
+    bool err_ = false;
+};
+
+// Adaptive model with u16 frequencies kept approximately sorted.
+// Template params: NSYM = alphabet capacity, STEP = adaption increment
+// (reference uses STEP 16 generally, 8 for the seq literal models).
+template <int NSYM, int STEP = 16>
+class AdaptiveModel {
+  public:
+    static constexpr uint32_t kMaxFreq = (1u << 16) - 17;
+
+    void init(int max_sym) {
+        tot_ = max_sym;
+        for (int i = 0; i < max_sym; i++) {
+            sym_[i] = uint16_t(i);
+            freq_[i] = 1;
+        }
+        for (int i = max_sym; i < NSYM; i++) {
+            sym_[i] = uint16_t(i);
+            freq_[i] = 0;
+        }
+    }
+
+    void encode(RangeCoder& rc, uint16_t s) {
+        int i = 0;
+        uint32_t acc = 0;
+        while (sym_[i] != s) acc += freq_[i++];
+        rc.encode(acc, freq_[i], tot_);
+        bump(i);
+    }
+
+    uint16_t decode(RangeCoder& rc) {
+        uint32_t f = rc.get_freq(tot_);
+        if (f > kMaxFreq) return 0;
+        int i = 0;
+        uint32_t acc = 0;
+        while ((acc += freq_[i]) <= f) {
+            i++;
+            if (i > NSYM) return 0;
+        }
+        acc -= freq_[i];
+        rc.decode(acc, freq_[i], tot_);
+        return bump(i);
+    }
+
+  private:
+    // Adapt and keep the array approximately frequency-sorted by one
+    // bubble step; the reordering is observable coded state.
+    uint16_t bump(int i) {
+        freq_[i] += STEP;
+        tot_ += STEP;
+        if (tot_ > kMaxFreq) normalize();
+        if (i > 0 && freq_[i] > freq_[i - 1]) {
+            uint16_t tf = freq_[i], ts = sym_[i];
+            freq_[i] = freq_[i - 1];
+            sym_[i] = sym_[i - 1];
+            freq_[i - 1] = tf;
+            sym_[i - 1] = ts;
+            return ts;
+        }
+        return sym_[i];
+    }
+
+    void normalize() {
+        tot_ = 0;
+        for (int i = 0; i < NSYM && freq_[i]; i++) {
+            freq_[i] -= freq_[i] >> 1;
+            tot_ += freq_[i];
+        }
+    }
+
+    uint32_t tot_ = 0;
+    uint16_t freq_[NSYM + 1] = {0};  // +1: zero terminator for normalize
+    uint16_t sym_[NSYM + 1] = {0};
+};
+
+// Tiny direct-indexed model with u8 frequencies (reference
+// c_small_model.h).  STEP is 1; MAX_FREQ 256-STEP.
+template <int NSYM>
+class TinyModel {
+  public:
+    static constexpr int kStep = 1;
+    static constexpr int kMaxFreq = 256 - kStep;
+
+    void init() {
+        for (int i = 0; i < NSYM; i++) freq_[i] = 1;
+    }
+
+    void encode(RangeCoder& rc, int s) {
+        uint32_t tot = 0, acc = 0;
+        for (int i = 0; i < NSYM; i++) tot += freq_[i];
+        for (int i = 0; i < s; i++) acc += freq_[i];
+        rc.encode(acc, freq_[s], tot);
+        freq_[s] += kStep;
+        if (tot >= kMaxFreq) normalize();
+    }
+
+    // Adapt without coding (the both-strands sequence trick).
+    void update(int s) {
+        uint32_t tot = 0;
+        for (int i = 0; i < NSYM; i++) tot += freq_[i];
+        freq_[s] += kStep;
+        if (tot >= kMaxFreq) normalize();
+    }
+
+    int decode(RangeCoder& rc) {
+        uint32_t tot = 0;
+        for (int i = 0; i < NSYM; i++) tot += freq_[i];
+        uint32_t f = rc.get_freq(tot);
+        int s = 0;
+        uint32_t acc = 0;
+        while ((acc += freq_[s]) <= f) s++;
+        acc -= freq_[s];
+        rc.decode(acc, freq_[s], tot);
+        freq_[s] += kStep;
+        if (tot >= kMaxFreq) normalize();
+        return s;
+    }
+
+  private:
+    void normalize() {
+        for (int i = 0; i < NSYM; i++) freq_[i] -= freq_[i] >> 1;
+    }
+    uint8_t freq_[NSYM];
+};
+
+}  // namespace fqz5
+
+#endif  // FQZ5_RC_H
