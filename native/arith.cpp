@@ -390,6 +390,10 @@ std::vector<uint8_t> compress_core(const uint8_t* in, uint32_t in_size,
         return out;
     }
 
+    // No external (bzip2) codec in this build: code such requests with
+    // the plain arith coder instead and clear the flag so decode agrees.
+    order &= ~kExt;
+
     int do_pack = order & kPack;
     int do_rle = order & kRle;
     int no_size = order & kNosz;
