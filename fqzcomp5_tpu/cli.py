@@ -1,0 +1,239 @@
+"""fqzcomp5-compatible command line interface.
+
+Same flag surface as the reference binary (fqzcomp5.c:4697-5302):
+  fqz5 [options]    [input.fastq [output.fqz5]]
+  fqz5 [options]    [in_R1.fastq in_R2.fastq output.fqz5]
+  fqz5 [options] -d [input.fqz5 [output.fastq]]
+  fqz5 [options] -d [input.fqz5 [out_R1.fastq out_R2.fastq]]
+  fqz5 --check   input.fqz5
+  fqz5 --inspect input.fqz5
+"""
+
+from __future__ import annotations
+
+import gzip
+import sys
+
+from fqzcomp5_tpu import inspect_tool
+from fqzcomp5_tpu.constants import Method, bit
+from fqzcomp5_tpu.drivers import (Timings, decode_file, encode_file,
+                                  encode_paired, make_deinterleave_writer,
+                                  make_fastq_writer)
+from fqzcomp5_tpu.options import Options
+
+USAGE = """Usage: fqz5 [options]    [input.fastq [output.fqz5]]
+Usage: fqz5 [options]    [input_R1.fastq input_R2.fastq output.fqz5]
+Usage: fqz5 [options] -d [input.fqz5  [output.fastq]]
+Usage: fqz5 [options] -d [input.fqz5  [output_R1.fastq output_R2.fastq]]
+Usage: fqz5 --check      [input.fqz5]
+Usage: fqz5 --inspect    [input.fqz5]
+
+Options:
+    -d            Decompress
+    --check       Verify file integrity (CRC checksums) without decompressing
+    --inspect     Display comprehensive file information
+    -p            Output name on third line (+name instead of +)
+    -t INT        Number of threads.  Defaults to 4
+    -b SIZE       Specify block size. May use K, M and G suffixes
+    -v            Increase verbosity
+    -V            Silent mode
+
+    -n INT        Name encoding method (0=rANS, 1=tok3, 2=tok3+LZP)
+    -N INT        Name encoding strategy.
+    -s INT        Sequence encoding method (0=rANS, 1=fqz)
+    -S INT        Sequence encoding strategy (context size)
+    -B            Update sequence context on both strands
+    -q INT        Quality encoding method (0=rANS, 1=fqz)
+    -Q INT        Quality encoding strategy (0 to 3)
+
+Compression levels:
+    -1            Light compression; 10MB block and rANS only
+    -3            100MB block and rANS/TOK3
+    -5            100MB block and basic seq / qual FQZ modes (default)
+    -7            500MB block and higher level FQZ modes
+    -9            Maximum compression, with 1GB blocks
+"""
+
+
+def parse_size(s: str) -> int:
+    mult = 1
+    if s and s[-1] in "kK":
+        mult, s = 1000, s[:-1]
+    elif s and s[-1] in "mM":
+        mult, s = 1_000_000, s[:-1]
+    elif s and s[-1] in "gG":
+        mult, s = 1_000_000_000, s[:-1]
+    return int(s, 0) * mult
+
+
+def parse_args(argv: list[str]) -> tuple[Options, bool, list[str]]:
+    arg = Options()
+    decomp = False
+    files: list[str] = []
+    i = 0
+    args = list(argv)
+    # pre-strip --check/--inspect (fqzcomp5.c:4778-4796)
+    if "--check" in args:
+        arg.check_only = 1
+        args.remove("--check")
+    if "--inspect" in args:
+        arg.inspect_only = 1
+        args.remove("--inspect")
+
+    def need_val(flag, cur, args, i):
+        if cur:
+            return cur, i
+        i += 1
+        if i >= len(args):
+            raise SystemExit(f"option {flag} requires a value")
+        return args[i], i
+
+    while i < len(args):
+        a = args[i]
+        if not a.startswith("-") or a == "-":
+            files.append(a)
+            i += 1
+            continue
+        body = a[1:]
+        while body:
+            c, body = body[0], body[1:]
+            if c == "d":
+                decomp = True
+            elif c == "p":
+                arg.plus_name = 1
+            elif c == "v":
+                arg.verbose += 1
+            elif c == "V":
+                arg.verbose = -1
+            elif c == "B":
+                arg.both_strands = 1
+            elif c == "h":
+                print(USAGE)
+                raise SystemExit(0)
+            elif c in "13579":
+                arg.apply_preset(int(c))
+            elif c == "t":
+                v, i = need_val("-t", body, args, i)
+                body = ""
+                arg.nthread = max(1, int(v))
+            elif c == "b":
+                v, i = need_val("-b", body, args, i)
+                body = ""
+                arg.blk_size = parse_size(v)
+                arg.clamp_block_size()
+            elif c == "n":
+                v, i = need_val("-n", body, args, i)
+                body = ""
+                arg.nstrat = int(v)
+                arg.nauto = 0
+            elif c == "N":
+                v, i = need_val("-N", body, args, i)
+                body = ""
+                arg.nlevel = min(19, max(0, int(v)))
+            elif c == "s":
+                v, i = need_val("-s", body, args, i)
+                body = ""
+                arg.sstrat = int(v)
+                if not arg.sstrat:
+                    arg.sauto = 0
+            elif c == "S":
+                v, i = need_val("-S", body, args, i)
+                body = ""
+                arg.slevel = min(16, max(0, int(v)))
+                arg.sstrat = 1
+                arg.scustom = 1
+            elif c == "q":
+                v, i = need_val("-q", body, args, i)
+                body = ""
+                arg.qstrat = int(v)
+                if arg.qstrat and not arg.qauto:
+                    arg.qauto = bit(Method.FQZ0)
+                elif not arg.qstrat:
+                    arg.qauto = 0
+            elif c == "Q":
+                v, i = need_val("-Q", body, args, i)
+                body = ""
+                arg.qlevel = int(v)
+                arg.qstrat = 1
+                arg.qauto = 1 << (int(Method.FQZ0) + arg.qlevel)
+            elif c == "-":
+                # long option not recognised
+                raise SystemExit(f"unknown option {a}")
+            else:
+                print(USAGE, file=sys.stderr)
+                raise SystemExit(1)
+        i += 1
+    return arg, decomp, files
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    arg, decomp, files = parse_args(argv)
+
+    if arg.check_only or arg.inspect_only:
+        if len(files) != 1:
+            print("Error: --check/--inspect require exactly one input file",
+                  file=sys.stderr)
+            return 1
+        with open(files[0], "rb") as fp:
+            if arg.check_only:
+                return 0 if inspect_tool.check_integrity(fp, arg) == 0 else 1
+            return 0 if inspect_tool.inspect_file(fp, arg) == 0 else 1
+
+    if not files and sys.stdin.isatty():
+        print(USAGE)
+        return 0
+
+    t = Timings()
+    is_gz = lambda p: p is not None and p.endswith(".gz")  # noqa: E731
+
+    if decomp:
+        in_name = files[0] if len(files) >= 1 else None
+        in_fp = open(in_name, "rb") if in_name else sys.stdin.buffer
+        if len(files) == 3:
+            arg.paired_mode = 1
+            o1 = gzip.open(files[1], "wb") if is_gz(files[1]) \
+                else open(files[1], "wb")
+            o2 = gzip.open(files[2], "wb") if is_gz(files[2]) \
+                else open(files[2], "wb")
+            try:
+                decode_file(in_fp, make_deinterleave_writer(o1, o2, arg),
+                            arg, t)
+            finally:
+                o1.close()
+                o2.close()
+        else:
+            out_name = files[1] if len(files) >= 2 else None
+            if out_name:
+                out = gzip.open(out_name, "wb") if is_gz(out_name) \
+                    else open(out_name, "wb")
+            else:
+                out = sys.stdout.buffer
+            try:
+                decode_file(in_fp, make_fastq_writer(out, arg), arg, t)
+            finally:
+                if out_name:
+                    out.close()
+        if in_name:
+            in_fp.close()
+    else:
+        if len(files) == 3:
+            arg.paired_mode = 1
+            with open(files[2], "wb") as out:
+                encode_paired(files[0], files[1], out, arg, t)
+        else:
+            in_name = files[0] if len(files) >= 1 else None
+            out_name = files[1] if len(files) >= 2 else None
+            if out_name:
+                with open(out_name, "wb") as out:
+                    encode_file(in_name, out, arg, t)
+            else:
+                encode_file(in_name, sys.stdout.buffer, arg, t)
+
+    if arg.verbose >= 0:
+        t.report()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,180 @@
+"""File-level encode/decode pipelines.
+
+Equivalent to the reference stream drivers (encode_gzip
+fqzcomp5.c:2980-3208, encode_interleaved :3211-3439, decode :3753-3908
+and the (de)interleaved/gzip variants).  The reference's thread pool
+with serial-ordered results (thread_pool.c) is replaced by a
+ThreadPoolExecutor whose futures are drained in submission order —
+block payloads are independent, so output is byte-identical regardless
+of worker count.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import dataclasses
+import sys
+import time
+from typing import BinaryIO, Optional
+
+from fqzcomp5_tpu import container, fastq
+from fqzcomp5_tpu.blocks import decode_block, encode_block
+from fqzcomp5_tpu.constants import Section, VERS_V10, VERS_V11
+from fqzcomp5_tpu.learning import MethodLearner
+from fqzcomp5_tpu.options import Options, method_avail_for
+
+
+@dataclasses.dataclass
+class Timings:
+    """Per-section size/time accounting (fqzcomp5.c:1815-1884)."""
+
+    nblock: int = 0
+    nusize: int = 0
+    ncsize: int = 0
+    ntime: float = 0.0
+    lusize: int = 0
+    lcsize: int = 0
+    susize: int = 0
+    scsize: int = 0
+    stime: float = 0.0
+    qusize: int = 0
+    qcsize: int = 0
+    qtime: float = 0.0
+    nmeth: int = 0
+    smeth: int = 0
+    qmeth: int = 0
+
+    def note_methods(self, n, s, q):
+        self.nmeth, self.smeth, self.qmeth = n, s, q
+
+    def report(self, fp=sys.stderr):
+        print(f"All {self.nblock} blocks combined:", file=fp)
+        print(f"Names    {self.nusize:10d} to {self.ncsize:10d} "
+              f"in {self.ntime:.2f} sec", file=fp)
+        print(f"Lengths  {self.lusize:10d} to {self.lcsize:10d}", file=fp)
+        print(f"Seqs     {self.susize:10d} to {self.scsize:10d} "
+              f"in {self.stime:.2f} sec", file=fp)
+        print(f"Qual     {self.qusize:10d} to {self.qcsize:10d} "
+              f"in {self.qtime:.2f} sec", file=fp)
+
+
+def _make_learner(arg: Options) -> MethodLearner:
+    learner = MethodLearner()
+    learner.method_avail = method_avail_for(arg)
+    return learner
+
+
+def _encode_stream(batches, out_fp: BinaryIO, arg: Options,
+                   t: Timings) -> None:
+    container.write_header(out_fp)
+    learner = _make_learner(arg)
+    idx = container.FileIndex()
+
+    nthread = max(1, arg.nthread)
+
+    def job(fq):
+        t0 = time.monotonic()
+        blk = encode_block(learner, arg, fq, t)
+        return blk, fq, time.monotonic() - t0
+
+    with cf.ThreadPoolExecutor(max_workers=nthread) as pool:
+        pending = []
+        max_inflight = nthread * 2
+
+        def drain_one():
+            blk, fq, dt = pending.pop(0).result()
+            idx.add(out_fp.tell(), len(fq.seq_buf), fq.num_records)
+            out_fp.write(blk)
+            t.nblock += 1
+            t.nusize += len(fq.name_buf)
+            t.susize += len(fq.seq_buf)
+            t.qusize += len(fq.qual_buf)
+            t.scsize += len(blk)
+
+        for fq in batches:
+            if fq is None or fq.num_records == 0:
+                break
+            pending.append(pool.submit(job, fq))
+            while len(pending) >= max_inflight:
+                drain_one()
+        while pending:
+            drain_one()
+
+    index_offset = out_fp.tell()
+    container.write_index(out_fp, idx)
+    container.patch_index_offset(out_fp, index_offset)
+
+
+def encode_file(in_path: Optional[str], out_fp: BinaryIO, arg: Options,
+                t: Timings) -> None:
+    parser = fastq.Parser(fastq.open_input(in_path))
+
+    def batches():
+        while True:
+            b = parser.next_batch(arg.blk_size)
+            if b is None:
+                return
+            yield b
+
+    _encode_stream(batches(), out_fp, arg, t)
+
+
+def encode_paired(in1: str, in2: str, out_fp: BinaryIO, arg: Options,
+                  t: Timings) -> None:
+    parser = fastq.InterleavedParser(
+        fastq.open_input(in1), fastq.open_input(in2))
+
+    def batches():
+        while True:
+            b = parser.next_batch(arg.blk_size)
+            if b is None:
+                return
+            yield b
+
+    _encode_stream(batches(), out_fp, arg, t)
+
+
+def decode_file(in_fp: BinaryIO, writer, arg: Options, t: Timings) -> None:
+    """Decode all blocks; `writer(batch)` emits output in order."""
+    file_version, index_offset = container.read_header(in_fp)
+    if file_version not in (VERS_V11, VERS_V10):
+        # headerless legacy: VERS_HEADERLESS rewinds; still block stream
+        pass
+
+    nthread = max(1, arg.nthread)
+    with cf.ThreadPoolExecutor(max_workers=nthread) as pool:
+        pending = []
+        max_inflight = nthread * 2
+
+        def drain_one():
+            fq = pending.pop(0).result()
+            t.nblock += 1
+            writer(fq)
+
+        for raw in container.iter_raw_blocks(in_fp, index_offset):
+            pending.append(pool.submit(decode_block, raw, file_version))
+            while len(pending) >= max_inflight:
+                drain_one()
+        while pending:
+            drain_one()
+
+
+def make_fastq_writer(out_fp: BinaryIO, arg: Options):
+    def write(batch):
+        if batch.is_fasta:
+            out_fp.write(fastq.format_fasta(batch))
+        else:
+            out_fp.write(fastq.format_fastq(batch, arg.plus_name))
+    return write
+
+
+def make_deinterleave_writer(out1: BinaryIO, out2: BinaryIO, arg: Options):
+    def write(batch):
+        r1, r2 = fastq.split_batch(batch)
+        if batch.is_fasta:
+            out1.write(fastq.format_fasta(r1))
+            out2.write(fastq.format_fasta(r2))
+        else:
+            out1.write(fastq.format_fastq(r1, arg.plus_name))
+            out2.write(fastq.format_fastq(r2, arg.plus_name))
+    return write

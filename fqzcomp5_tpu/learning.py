@@ -1,0 +1,67 @@
+"""Per-section codec-selection ("method learning") state machine.
+
+Mirrors metrics_method / metrics_update / compress_with_methods
+(fqzcomp5.c:1899-2144): for the first METRICS_TRIAL blocks every allowed
+method is tried and accumulated; then the best compressed/uncompressed
+ratio is locked in; every METRICS_REVIEW blocks the trial re-opens.
+
+Thread-safe: a single lock guards the shared tables, like the
+reference's metric_m mutex.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from fqzcomp5_tpu.constants import M_LAST, METRICS_REVIEW, METRICS_TRIAL, SEC_LAST
+
+
+class MethodLearner:
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._usize = [[0] * M_LAST for _ in range(SEC_LAST)]
+        self._csize = [[0] * M_LAST for _ in range(SEC_LAST)]
+        self._review = [0] * SEC_LAST
+        self._trial = [0] * SEC_LAST
+        self._used = [0] * SEC_LAST
+        self.method_avail = [0] * SEC_LAST
+
+    def methods_for(self, sec: int) -> int:
+        """Bitmask of methods to try for the next block of `sec`."""
+        with self._lock:
+            if self._review[sec] <= 0:
+                self._review[sec] = METRICS_REVIEW
+                self._trial[sec] = METRICS_TRIAL
+                self._usize[sec] = [0] * M_LAST
+                self._csize[sec] = [0] * M_LAST
+
+            if self._trial[sec] > 0:
+                return self.method_avail[sec]
+            if self._trial[sec] > -99999:
+                best_m = 0
+                best_ratio = 1e30
+                for m in range(M_LAST):
+                    if self._usize[sec][m]:
+                        r = (self._csize[sec][m] + 1.0) / self._usize[sec][m]
+                        if best_ratio > r:
+                            best_ratio = r
+                            best_m = m
+                self._used[sec] = best_m
+                self._trial[sec] = -99999
+                return 1 << best_m
+            self._review[sec] -= 1
+            return 1 << self._used[sec]
+
+    def in_trial(self, sec: int) -> bool:
+        with self._lock:
+            return self._trial[sec] > 0
+
+    def record_trial(self, sec: int, sizes: dict[int, tuple[int, int]]) -> None:
+        """Accumulate per-method (usize, csize) of one trial block."""
+        with self._lock:
+            if self._trial[sec] <= 0:
+                return
+            for m, (u, c) in sizes.items():
+                self._usize[sec][m] += u
+                self._csize[sec][m] += c
+            self._trial[sec] -= 1

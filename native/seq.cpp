@@ -9,6 +9,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 #include "rc.h"
@@ -43,8 +44,23 @@ int64_t seq_encode(const uint8_t* in, uint32_t in_size, const uint32_t* lens,
     const uint32_t mask = msize - 1;
     const int* L = kLut.L;
 
-    std::vector<TinyModel<4>> seq_model(msize);
-    for (uint32_t i = 0; i < msize; i++) seq_model[i].init();
+    // One memset pass over a thread-cached arena: TinyModel<4> is 4
+    // bytes of freq, all init to 1.  (Fresh allocation would cost a
+    // kernel zeroing pass per call; the arena is reused across blocks.)
+    static_assert(sizeof(TinyModel<4>) == 4, "model layout");
+    static thread_local std::unique_ptr<uint8_t[]> model_mem;
+    static thread_local size_t model_cap = 0;
+    if (model_cap < size_t(msize) * 4) {
+        // Reserve the largest context size up front: allocation is
+        // virtual (pages fault in lazily, only for the prefix each
+        // context order actually touches), and never reallocating
+        // avoids re-faulting pages on every growth step.
+        model_cap = size_t(1) << 30;  // 4^14 contexts * 4 bytes
+        if (model_cap < size_t(msize) * 4) model_cap = size_t(msize) * 4;
+        model_mem.reset(new uint8_t[model_cap]);
+    }
+    memset(model_mem.get(), 1, size_t(msize) * 4);
+    TinyModel<4>* seq_model = reinterpret_cast<TinyModel<4>*>(model_mem.get());
     TinyModel<2> state_model[3];
     AdaptiveModel<256, 16> run_len[3];
     AdaptiveModel<256, 16> literal;
@@ -143,8 +159,23 @@ int64_t seq_decode(const uint8_t* in, uint32_t in_size, const uint32_t* lens,
     const uint32_t msize = 1u << (2 * ctx_size);
     const uint32_t mask = msize - 1;
 
-    std::vector<TinyModel<4>> seq_model(msize);
-    for (uint32_t i = 0; i < msize; i++) seq_model[i].init();
+    // One memset pass over a thread-cached arena: TinyModel<4> is 4
+    // bytes of freq, all init to 1.  (Fresh allocation would cost a
+    // kernel zeroing pass per call; the arena is reused across blocks.)
+    static_assert(sizeof(TinyModel<4>) == 4, "model layout");
+    static thread_local std::unique_ptr<uint8_t[]> model_mem;
+    static thread_local size_t model_cap = 0;
+    if (model_cap < size_t(msize) * 4) {
+        // Reserve the largest context size up front: allocation is
+        // virtual (pages fault in lazily, only for the prefix each
+        // context order actually touches), and never reallocating
+        // avoids re-faulting pages on every growth step.
+        model_cap = size_t(1) << 30;  // 4^14 contexts * 4 bytes
+        if (model_cap < size_t(msize) * 4) model_cap = size_t(msize) * 4;
+        model_mem.reset(new uint8_t[model_cap]);
+    }
+    memset(model_mem.get(), 1, size_t(msize) * 4);
+    TinyModel<4>* seq_model = reinterpret_cast<TinyModel<4>*>(model_mem.get());
     TinyModel<2> state_model[3];
     AdaptiveModel<256, 16> run_len[3];
     AdaptiveModel<256, 16> literal;
