@@ -1273,3 +1273,179 @@ bool rans_uncompress(const uint8_t* in, uint32_t in_size,
 }
 
 }  // namespace fqz5
+
+// ---------------------------------------------------------------------
+// Table-preparation helpers for the device (JAX/Pallas) engine: the
+// host builds/parses frequency tables with the exact reference logic;
+// the O(n) state walk runs on the TPU.
+
+namespace fqz5 {
+extern "C" {
+
+// Order-0 encode prep: histogram + two-stage normalisation + table
+// serialization.  Writes the serialized table to tab (returns its
+// length) and the final freqs (normalised to 1<<12) to freqs[256].
+int64_t fqz5_rans_o0_prep(const uint8_t* in, uint32_t in_size, uint8_t* tab,
+                          uint32_t tab_cap, uint32_t* freqs) {
+    uint32_t F[256 + 8] = {0};
+    for (uint32_t i = 0; i < in_size; i++) F[in[i]]++;
+    uint32_t fsum = in_size;
+    uint32_t max_val = round2(fsum);
+    if (max_val > kTot) max_val = kTot;
+    if (normalise_freq(F, fsum, max_val) < 0) return -1;
+    fsum = max_val;
+    if (tab_cap < 1024) return -1;
+    int tab_size = encode_freq(tab, F);
+    if (normalise_freq(F, fsum, kTot) < 0) return -1;
+    memcpy(freqs, F, 256 * sizeof(uint32_t));
+    return tab_size;
+}
+
+// Order-0 decode prep: parse the table and expand the s3 LUT.
+// Returns bytes consumed.
+int64_t fqz5_rans_o0_dec_prep(const uint8_t* in, uint32_t in_size,
+                              uint32_t* s3) {
+    const uint8_t* cp = in;
+    const uint8_t* cp_end = in + in_size - 8;
+    uint32_t F[256] = {0}, fsum = 0;
+    int fsz = decode_freq(cp, cp_end, F, &fsum);
+    if (!fsz) return -1;
+    normalise_freq_shift(F, fsum, kTot);
+    uint32_t x = 0;
+    for (int j = 0; j < 256; j++) {
+        if (!F[j]) continue;
+        if (F[j] > kTot - x) return -1;
+        uint32_t base = (F[j] << (kShift + 8)) | uint32_t(j);
+        for (uint32_t y = 0; y < F[j]; y++, x++) s3[x] = base + (y << 8);
+    }
+    if (x != kTot) return -1;
+    return fsz;
+}
+
+// Order-1 encode prep: order-1 stats, shift estimation, per-context
+// normalisation, serialized (possibly recompressed) table.  freqs is
+// 256*256 u32 normalised to 1<<shift.  Returns table length; *shift_out
+// receives 10 or 12.
+int64_t fqz5_rans_o1_prep(const uint8_t* in, uint32_t in_size, int nway,
+                          uint8_t* tab, uint32_t tab_cap, uint32_t* freqs,
+                          int* shift_out) {
+    if (in_size < uint32_t(nway)) return -1;
+    std::vector<uint32_t> Fbuf(256 * 256, 0);
+    uint32_t (*F)[256] = reinterpret_cast<uint32_t(*)[256]>(Fbuf.data());
+    uint32_t T[256] = {0};
+    {
+        uint8_t l = 0;
+        for (uint32_t i = 0; i < in_size; i++) {
+            F[l][in[i]]++;
+            l = in[i];
+        }
+        T[l]++;
+        for (int i = 0; i < 256; i++) {
+            uint32_t tt = 0;
+            for (int j = 0; j < 256; j++) tt += F[i][j];
+            T[i] += tt;
+        }
+    }
+    uint32_t isz = in_size / nway;
+    for (int z = 1; z < nway; z++) F[0][in[z * isz]]++;
+    T[0] += nway - 1;
+
+    if (tab_cap < 257 * 257 * 3 + 64) return -1;
+    uint8_t* op = tab;
+    uint8_t* cp = op;
+    uint32_t tmp_T0 = T[0];
+    T[0] = 1;
+    *cp++ = 0;
+    cp += encode_alphabet(cp, T);
+    T[0] = tmp_T0;
+
+    uint32_t S[256] = {0};
+    int shift = compute_shift(T, F, T, S);
+    for (int i = 0; i < 256; i++) {
+        if (T[i] == 0) continue;
+        uint32_t max_val = S[i];
+        if (shift == kShiftO1Fast && max_val > (1u << kShiftO1Fast))
+            max_val = 1u << kShiftO1Fast;
+        if (normalise_freq(F[i], T[i], max_val) < 0) return -1;
+        T[i] = max_val;
+        cp += encode_freq_row(cp, T, F[i]);
+        normalise_freq_shift(F[i], T[i], 1u << shift);
+        T[i] = 1u << shift;
+    }
+    *op = uint8_t(shift << 4);
+    if (cp - op > 1000) {
+        uint32_t u_sz = uint32_t(cp - (op + 1));
+        std::vector<uint8_t> ctab;
+        if (rans_enc_o0<4>(op + 1, u_sz, ctab) &&
+            ctab.size() + 6 < size_t(cp - op)) {
+            uint8_t hdr = *op | 1;
+            uint8_t* p = op;
+            *p++ = hdr;
+            p += put_uv(p, u_sz);
+            p += put_uv(p, uint32_t(ctab.size()));
+            memcpy(p, ctab.data(), ctab.size());
+            cp = p + ctab.size();
+        }
+    }
+    memcpy(freqs, Fbuf.data(), 256 * 256 * sizeof(uint32_t));
+    *shift_out = shift;
+    return int64_t(cp - op);
+}
+
+// Order-1 decode prep: parse table into per-context s3 LUTs
+// (256 * (1<<shift) u32).  Returns bytes consumed; *shift_out set.
+int64_t fqz5_rans_o1_dec_prep(const uint8_t* in, uint32_t in_size,
+                              uint32_t* s3, int* shift_out) {
+    const uint8_t* cp = in;
+    const uint8_t* cp_end = in + in_size;
+    std::vector<uint8_t> c_freq;
+    const uint8_t* tab_end = nullptr;
+    const uint8_t* c_freq_end = cp_end;
+    unsigned shift = *cp >> 4;
+    if (*cp++ & 1) {
+        uint32_t u_sz, c_sz;
+        int n = get_uv(cp, cp_end, &u_sz);
+        if (!n) return -1;
+        cp += n;
+        n = get_uv(cp, cp_end, &c_sz);
+        if (!n) return -1;
+        cp += n;
+        if (c_sz > uint32_t(cp_end - cp)) return -1;
+        tab_end = cp + c_sz;
+        c_freq.resize(u_sz);
+        if (!rans_dec_o0<4>(cp, c_sz, c_freq.data(), u_sz)) return -1;
+        cp = c_freq.data();
+        c_freq_end = c_freq.data() + u_sz;
+    }
+    if (shift != kShiftO1 && shift != kShiftO1Fast) return -1;
+    uint32_t F0[256] = {0};
+    int fsz = decode_alphabet(cp, c_freq_end, F0);
+    if (!fsz) return -1;
+    cp += fsz;
+    const uint32_t tot = 1u << shift;
+    memset(s3, 0, 256 * tot * sizeof(uint32_t));
+    for (int i = 0; i < 256; i++) {
+        if (F0[i] == 0) continue;
+        uint32_t F[256] = {0}, T = 0;
+        fsz = decode_freq_row(cp, c_freq_end, F0, F, &T);
+        if (!fsz) return -1;
+        cp += fsz;
+        if (!T) continue;
+        normalise_freq_shift(F, T, tot);
+        uint32_t x = 0;
+        for (int j = 0; j < 256; j++) {
+            if (!F[j]) continue;
+            if (F[j] > tot - x) return -1;
+            uint32_t base = (F[j] << (shift + 8)) | uint32_t(j);
+            for (uint32_t y = 0; y < F[j]; y++, x++)
+                s3[i * tot + x] = base + (y << 8);
+        }
+        if (x != tot) return -1;
+    }
+    *shift_out = int(shift);
+    if (tab_end) return tab_end - in;
+    return cp - in;
+}
+
+}  // extern "C"
+}  // namespace fqz5
