@@ -12,6 +12,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 
+
+def _force_cpu_jax():
+    """The axon TPU plugin force-prepends itself to jax_platforms; tests
+    must run on the virtual 8-device CPU backend."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+_force_cpu_jax()
+
 DATA = pathlib.Path(__file__).parent / "data"
 
 
