@@ -160,11 +160,13 @@ def decode_file(in_fp: BinaryIO, writer, arg: Options, t: Timings) -> None:
 
 
 def make_fastq_writer(out_fp: BinaryIO, arg: Options):
+    from fqzcomp5_tpu.fastq_fast import format_fastq_fast
+
     def write(batch):
         if batch.is_fasta:
             out_fp.write(fastq.format_fasta(batch))
         else:
-            out_fp.write(fastq.format_fastq(batch, arg.plus_name))
+            out_fp.write(format_fastq_fast(batch, bool(arg.plus_name)))
     return write
 
 

@@ -100,7 +100,13 @@ class Parser:
     comment; sequence may span multiple lines until a line starting
     '>', '+' or '@'; for FASTQ, quality lines are read until their
     total length reaches the sequence length.
+
+    Clean single-line 4-line FASTQ takes a vectorised numpy fast path
+    (fastq_fast.py); anything unusual falls back to the generic
+    record-at-a-time tokenizer.
     """
+
+    _CHUNK = 8 << 20
 
     def __init__(self, fp):
         self._fp = fp
@@ -108,6 +114,9 @@ class Parser:
         self._pos = 0
         self._eof = False
         self._pending: Optional[_Record] = None
+        self._fast_ok = True       # until proven otherwise
+        self._fast_seg = None      # current ParsedRecords
+        self._fast_cursor = 0      # consumed records within it
 
     # -- low-level buffered reading -------------------------------------
     def _fill(self) -> bool:
@@ -206,12 +215,94 @@ class Parser:
                 raise ValueError("sequence and quality length mismatch")
         return _Record(name, core_len, seq, qual)
 
+    # -- fast path ---------------------------------------------------------
+    def _fast_fill(self) -> bool:
+        """Refill self._fast_seg from buffered bytes; False when the
+        fast path can't continue (EOF of clean data or odd input)."""
+        from fqzcomp5_tpu import fastq_fast
+
+        while True:
+            if not self._eof and len(self._buf) - self._pos < self._CHUNK:
+                chunk = self._fp.read(self._CHUNK)
+                if chunk:
+                    self._buf = self._buf[self._pos:] + chunk
+                    self._pos = 0
+                else:
+                    self._eof = True
+            avail = memoryview(self._buf)[self._pos:]
+            if len(avail) == 0:
+                return False
+            data = np.frombuffer(avail, np.uint8)
+            if self._eof and data[-1] != 10:
+                # clean tail without trailing newline: virtually add one
+                data = np.concatenate([data, np.array([10], np.uint8)])
+            r = fastq_fast.parse_chunk(data)
+            if r is None:
+                self._fast_ok = False
+                return False
+            recs, tail = r
+            if recs.n == 0:
+                if self._eof:
+                    # trailing partial record: generic path handles it
+                    self._fast_ok = False
+                    return False
+                continue  # need more bytes for even one record
+            self._fast_seg = recs
+            self._fast_cursor = 0
+            if tail >= len(avail):
+                self._pos = len(self._buf)
+            else:
+                self._pos += tail
+            return True
+
+    def _next_fast_records(self, budget: int, force_one: bool):
+        """Take records from the fast segment within the size budget.
+
+        force_one: accept the first record even when oversized (the
+        reference always takes at least one record per block).
+        Returns (ParsedRecords slice or None, remaining_budget)."""
+        if self._fast_seg is None or self._fast_cursor >= self._fast_seg.n:
+            if not self._fast_fill():
+                return None, budget
+        seg = self._fast_seg
+        cur = self._fast_cursor
+        acc = np.cumsum(seg.acc_size[cur:])
+        k = int(np.searchsorted(acc, budget, side="right"))
+        if k == 0:
+            if not force_one:
+                return None, budget
+            k = 1
+        taken = seg.slice(cur, cur + k)
+        self._fast_cursor = cur + k
+        return taken, budget - int(acc[k - 1])
+
     # -- block packing -----------------------------------------------------
     def next_batch(self, blk_size: int) -> Optional[FastqBatch]:
         """Read one block of records, or None at EOF.
 
         Uses the reference accounting rule (fqzcomp5.c:470-478).
         """
+        from fqzcomp5_tpu import fastq_fast
+
+        if self._fast_ok and self._pending is None:
+            segs = []
+            budget = blk_size
+            while True:
+                taken, budget = self._next_fast_records(
+                    budget, force_one=not segs)
+                if taken is None:
+                    break
+                segs.append(taken)
+                if budget <= 0:
+                    break
+            if segs:
+                return _merge_batches(
+                    [fastq_fast.build_batch(s) for s in segs])
+            # no clean records: EOF, or unusual input -> generic path
+            if self._eof and self._pos >= len(self._buf):
+                return None
+            self._fast_ok = False
+
         names: list[bytes] = []
         seqs: list[bytes] = []
         quals: list[bytes] = []
@@ -245,6 +336,31 @@ class Parser:
             is_fasta=not quals[0],
         )
         return batch
+
+
+def _merge_batches(parts: list[FastqBatch]) -> FastqBatch:
+    if len(parts) == 1:
+        return parts[0]
+    flags = [p.flags.copy() for p in parts]
+    # boundary duplicate-name rule: first record of each part vs the
+    # previous part's final name
+    for i in range(1, len(parts)):
+        prev_names = parts[i - 1].names()
+        cur_names = parts[i].names()
+        if (prev_names and cur_names and not flags[i][0]
+                and prev_names[-1] == cur_names[0]):
+            flags[i][0] = FQZ_FREAD2
+    lens = np.concatenate([p.lens for p in parts])
+    first = int(lens[0]) if lens.size else 0
+    return FastqBatch(
+        name_buf=b"".join(p.name_buf for p in parts),
+        seq_buf=b"".join(p.seq_buf for p in parts),
+        qual_buf=b"".join(p.qual_buf for p in parts),
+        lens=lens,
+        flags=np.concatenate(flags),
+        fixed_len=first if lens.size and bool((lens == first).all()) else 0,
+        is_fasta=parts[0].is_fasta,
+    )
 
 
 class InterleavedParser:
