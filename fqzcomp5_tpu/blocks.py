@@ -160,7 +160,10 @@ def encode_block(learner: MethodLearner, arg: Options, fq: FastqBatch,
     return bytes(out)
 
 
-def decode_block(raw: bytes, file_version: int) -> FastqBatch:
+def decode_block(raw: bytes, file_version: int,
+                 predecoded: dict | None = None) -> FastqBatch:
+    """predecoded: optional {'seq': bytes, 'qual': bytes} payloads that
+    were already expanded (e.g. by the batched device decoder)."""
     off = 0
     (block_size,) = struct.unpack_from("<I", raw, off)
     off += 4
@@ -222,7 +225,9 @@ def decode_block(raw: bytes, file_version: int) -> FastqBatch:
     off += 8
     spay = raw[off:off + s_clen]
     off += s_clen
-    if (sstrat & 7) == 1:
+    if predecoded and "seq" in predecoded:
+        seq_buf = predecoded["seq"]
+    elif (sstrat & 7) == 1:
         slevel = sstrat >> 4
         both = (sstrat >> 3) & 1
         seq_buf = host.seq_decode(spay, lens, both, slevel, s_ulen)
@@ -246,7 +251,9 @@ def decode_block(raw: bytes, file_version: int) -> FastqBatch:
         qpay = raw[off:off + q_clen]
         off += q_clen
         is_fasta = False
-        if qstrat == 0:
+        if predecoded and "qual" in predecoded:
+            qual_buf = predecoded["qual"]
+        elif qstrat == 0:
             qual_buf = host.rans_uncompress(qpay)
         else:
             qual_buf = host.fqz_decompress(qpay, q_ulen, seq_buf)

@@ -37,6 +37,8 @@ Options:
     -b SIZE       Specify block size. May use K, M and G suffixes
     -v            Increase verbosity
     -V            Silent mode
+    -e ENGINE     Compute engine: host (native C++), tpu (batched
+                  JAX/device rANS for seq+qual sections), auto
 
     -n INT        Name encoding method (0=rANS, 1=tok3, 2=tok3+LZP)
     -N INT        Name encoding strategy.
@@ -112,6 +114,12 @@ def parse_args(argv: list[str]) -> tuple[Options, bool, list[str]]:
                 raise SystemExit(0)
             elif c in "13579":
                 arg.apply_preset(int(c))
+            elif c == "e":
+                v, i = need_val("-e", body, args, i)
+                body = ""
+                if v not in ("auto", "host", "tpu"):
+                    raise SystemExit(f"unknown engine '{v}'")
+                arg.engine = v
             elif c == "t":
                 v, i = need_val("-t", body, args, i)
                 body = ""
@@ -210,7 +218,12 @@ def main(argv=None) -> int:
             else:
                 out = sys.stdout.buffer
             try:
-                decode_file(in_fp, make_fastq_writer(out, arg), arg, t)
+                if arg.engine == "tpu":
+                    from fqzcomp5_tpu.tpu_driver import decode_file_tpu
+                    decode_file_tpu(in_fp, make_fastq_writer(out, arg),
+                                    arg, t)
+                else:
+                    decode_file(in_fp, make_fastq_writer(out, arg), arg, t)
             finally:
                 if out_name:
                     out.close()
@@ -224,11 +237,15 @@ def main(argv=None) -> int:
         else:
             in_name = files[0] if len(files) >= 1 else None
             out_name = files[1] if len(files) >= 2 else None
+            if arg.engine == "tpu":
+                from fqzcomp5_tpu.tpu_driver import encode_file_tpu as enc
+            else:
+                enc = encode_file
             if out_name:
                 with open(out_name, "wb") as out:
-                    encode_file(in_name, out, arg, t)
+                    enc(in_name, out, arg, t)
             else:
-                encode_file(in_name, sys.stdout.buffer, arg, t)
+                enc(in_name, sys.stdout.buffer, arg, t)
 
     if arg.verbose >= 0:
         t.report()

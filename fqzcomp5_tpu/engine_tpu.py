@@ -259,3 +259,259 @@ def decode_o1_core(payload: bytes, out_sz: int) -> bytes:
             last = c
         out = np.concatenate([out, tail])
     return out[:out_sz].tobytes()
+
+
+# ---------------------------------------------------------------------
+# Batched multi-stream APIs: the production path.  Many independent
+# sections (blocks x {seq,qual}, stripes) walk the device together; a
+# no-op sentinel row pads ragged lengths on encode, and per-stream
+# active-step masks handle them on decode.
+
+_NOP_O0 = 256          # sentinel symbol id (order-0 tables get 257 rows)
+_NOP_O1 = 256 * 256    # sentinel flat index (order-1 tables: 65537 rows)
+
+
+def _with_nop_row(tables):
+    x_max, rcp, rcp_shift, bias, cmpl = tables
+    app = lambda a, v: np.concatenate(  # noqa: E731
+        [a.reshape(-1), np.array([v], a.dtype)])
+    return (app(x_max, 0xFFFFFFFF), app(rcp, 0), app(rcp_shift, 0),
+            app(bias, 0), app(cmpl, 0))
+
+
+def encode_o0_batch(datas: list[bytes]) -> list[bytes]:
+    """rans_compress_O0_32x16 for many streams in one device walk."""
+    B = len(datas)
+    if B == 0:
+        return []
+    tabs = []
+    tables = [[] for _ in range(5)]
+    plans = []
+    Tmax = 1
+    for d in datas:
+        tab, freqs = o0_prep(d)
+        tabs.append(tab)
+        tt = _with_nop_row(rans_jax.build_enc_tables(
+            freqs, rans_jax.TF_SHIFT))
+        for k in range(5):
+            tables[k].append(tt[k])
+        n = len(d)
+        T = n // 32 + (1 if n % 32 else 0)
+        plans.append(T)
+        Tmax = max(Tmax, T)
+
+    flat = np.full((B, Tmax, 32), _NOP_O0, np.int32)
+    for b, d in enumerate(datas):
+        arr = np.frombuffer(d, np.uint8)
+        n = len(arr)
+        Tfull = n // 32
+        flat[b, :Tfull] = arr[:Tfull * 32].reshape(Tfull, 32)
+        rem = n - Tfull * 32
+        if rem:
+            flat[b, Tfull, :rem] = arr[Tfull * 32:]
+
+    tb = [np.stack(t) for t in tables]
+    Rf, words, mask = rans_jax.encode_scan_flat(
+        flat, tb[0], tb[1], tb[2], tb[3], tb[4])
+    Rf = np.asarray(Rf)
+    words = np.asarray(words)
+    mask = np.asarray(mask)
+    out = []
+    for b in range(B):
+        w = words[b].reshape(-1)[mask[b].reshape(-1)]
+        out.append(tabs[b] + Rf[b].astype("<u4").tobytes()
+                   + w.astype("<u2").tobytes())
+    return out
+
+
+def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
+    L = _lib()
+    B = len(payloads)
+    if B == 0:
+        return []
+    s3s = np.empty((B, 1 << 12), np.uint32)
+    bodies = []
+    for b, p in enumerate(payloads):
+        arr = np.frombuffer(p, np.uint8)
+        used = L.fqz5_rans_o0_dec_prep(_ptr(arr), len(arr),
+                                       s3s[b].ctypes.data_as(_u32p))
+        if used < 0:
+            raise ValueError("o0 dec prep failed")
+        bodies.append(arr[used:])
+
+    Wmax = max(max((len(x) - 128 + 1) // 2 for x in bodies), 1)
+    words = np.zeros((B, Wmax), np.uint32)
+    R0 = np.empty((B, 32), np.uint32)
+    for b, body in enumerate(bodies):
+        R0[b] = body[:128].copy().view("<u4")
+        wb = body[128:]
+        if len(wb) & 1:
+            wb = np.concatenate([wb, np.zeros(1, np.uint8)])
+        w16 = wb.copy().view("<u2")
+        words[b, :len(w16)] = w16
+
+    t_real = np.array([sz // 32 for sz in out_szs], np.int32)
+    Tmax = max(int(t_real.max()), 1)
+    syms, Rf, _ = rans_jax.decode_scan(words, R0, s3s, Tmax,
+                                       rans_jax.TF_SHIFT,
+                                       t_real=t_real)
+    syms = np.asarray(syms)
+    Rf = np.asarray(Rf)
+    out = []
+    for b, sz in enumerate(out_szs):
+        full = syms[b, :sz // 32].reshape(-1).astype(np.uint8)
+        rem = sz - (sz // 32) * 32
+        if rem:
+            tail = (s3s[b][Rf[b, :rem] & rans_jax.MASK12] & 0xFF
+                    ).astype(np.uint8)
+            full = np.concatenate([full, tail])
+        out.append(full[:sz].tobytes())
+    return out
+
+
+def encode_o1_batch(datas: list[bytes]) -> list[bytes]:
+    """rans_compress_O1_32x16 for many streams in one device walk.
+
+    Streams are grouped by frequency shift (10 vs 12) internally."""
+    B = len(datas)
+    if B == 0:
+        return []
+    preps = [o1_prep(d) for d in datas]  # (tab, freqs, shift)
+
+    out = [b""] * B
+    flats_all = {}
+    for group_shift in (10, 12):
+        idxs = [i for i, p in enumerate(preps) if p[2] == group_shift]
+        if not idxs:
+            continue
+        tables = [[] for _ in range(5)]
+        R0s = []
+        tails = []
+        Tmax = 1
+        plans = []
+        for i in idxs:
+            d = datas[i]
+            arr = np.frombuffer(d, np.uint8)
+            n = len(arr)
+            tt = rans_jax.build_enc_tables(preps[i][1], group_shift)
+            flat5 = _with_nop_row(tt)
+            for k in range(5):
+                tables[k].append(flat5[k])
+            isz = n // 32
+            # host-walk lane 31's tail
+            R31 = rans_jax.RANS_L
+            tail_words: list[int] = []
+            lsym = int(arr[n - 1])
+            for j in range(n - 2, 32 * isz - 2, -1):
+                fl = (int(arr[j]) * 256 + lsym)
+                if R31 > int(flat5[0][fl]):
+                    tail_words.append(R31 & 0xFFFF)
+                    R31 >>= 16
+                q = (R31 * int(flat5[1][fl])) >> (32 + int(flat5[2][fl]))
+                R31 = (R31 + int(flat5[3][fl])
+                       + q * int(flat5[4][fl])) & 0xFFFFFFFF
+                lsym = int(arr[j])
+            R0 = np.full(32, rans_jax.RANS_L, np.uint32)
+            R0[31] = R31
+            R0s.append(R0)
+            tails.append(tail_words)
+            plans.append(isz)
+            Tmax = max(Tmax, isz)
+
+        G = len(idxs)
+        flat = np.full((G, Tmax, 32), _NOP_O1, np.int32)
+        for g, i in enumerate(idxs):
+            arr = np.frombuffer(datas[i], np.uint8)
+            isz = plans[g]
+            chunks = arr[:32 * isz].reshape(32, isz).astype(np.int32)
+            f = np.empty((isz, 32), np.int32)
+            f[1:] = chunks.T[:-1] * 256 + chunks.T[1:]
+            f[0] = chunks.T[0]  # ctx 0
+            flat[g, :isz] = f
+
+        tb = [np.stack(t) for t in tables]
+        Rf, words, mask = rans_jax.encode_scan_flat(
+            flat, tb[0], tb[1], tb[2], tb[3], tb[4], np.stack(R0s))
+        Rf = np.asarray(Rf)
+        words = np.asarray(words)
+        mask = np.asarray(mask)
+        for g, i in enumerate(idxs):
+            w = words[g].reshape(-1)[mask[g].reshape(-1)]
+            out[i] = (preps[i][0] + Rf[g].astype("<u4").tobytes()
+                      + w.astype("<u2").tobytes()
+                      + np.array(tails[g][::-1], "<u2").tobytes())
+    del flats_all
+    return out
+
+
+def decode_o1_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
+    L = _lib()
+    B = len(payloads)
+    if B == 0:
+        return []
+    out = [b""] * B
+    parsed = []
+    for b, p in enumerate(payloads):
+        arr = np.frombuffer(p, np.uint8)
+        shift_c = ctypes.c_int(0)
+        s3 = np.empty(256 << 12, np.uint32)
+        used = L.fqz5_rans_o1_dec_prep(_ptr(arr), len(arr),
+                                       s3.ctypes.data_as(_u32p),
+                                       ctypes.byref(shift_c))
+        if used < 0:
+            raise ValueError("o1 dec prep failed")
+        parsed.append((shift_c.value, s3[:256 << shift_c.value],
+                       arr[used:]))
+
+    for group_shift in (10, 12):
+        idxs = [i for i, p in enumerate(parsed) if p[0] == group_shift]
+        if not idxs:
+            continue
+        G = len(idxs)
+        tot = 1 << group_shift
+        s3s = np.stack([parsed[i][1] for i in idxs])
+        Wmax = max(max((len(parsed[i][2]) - 128 + 1) // 2
+                       for i in idxs), 1)
+        words = np.zeros((G, Wmax), np.uint32)
+        R0 = np.empty((G, 32), np.uint32)
+        for g, i in enumerate(idxs):
+            body = parsed[i][2]
+            R0[g] = body[:128].copy().view("<u4")
+            wb = body[128:]
+            if len(wb) & 1:
+                wb = np.concatenate([wb, np.zeros(1, np.uint8)])
+            w16 = wb.copy().view("<u2")
+            words[g, :len(w16)] = w16
+        t_real = np.array([out_szs[i] // 32 for i in idxs], np.int32)
+        Tmax = max(int(t_real.max()), 1)
+        syms, Rf, ptrf = rans_jax.decode_scan_o1(
+            words, R0, s3s, Tmax, group_shift, t_real=t_real)
+        syms = np.asarray(syms)
+        Rf = np.asarray(Rf)
+        ptrf = np.asarray(ptrf)
+        for g, i in enumerate(idxs):
+            sz = out_szs[i]
+            isz = sz // 32
+            res = syms[g, :isz].T.reshape(-1).astype(np.uint8)
+            rem = sz - 32 * isz
+            if rem:
+                R = int(Rf[g, 31])
+                ptr = int(ptrf[g])
+                mask = tot - 1
+                last = int(res[-1]) if isz else 0
+                tail = np.empty(rem, np.uint8)
+                wrow = words[g]
+                for k in range(rem):
+                    m = R & mask
+                    S = int(s3s[g][last * tot + m])
+                    c = S & 0xFF
+                    R = ((S >> (group_shift + 8)) * (R >> group_shift)
+                         + ((S >> 8) & mask))
+                    if R < rans_jax.RANS_L and ptr < len(wrow):
+                        R = ((R << 16) | int(wrow[ptr])) & 0xFFFFFFFF
+                        ptr += 1
+                    tail[k] = c
+                    last = c
+                res = np.concatenate([res, tail])
+            out[i] = res[:sz].tobytes()
+    return out

@@ -155,32 +155,42 @@ def assemble_o0_stream(final_states: np.ndarray, words: np.ndarray,
 # Order-0 decode core
 
 @functools.partial(jax.jit, static_argnames=("shift", "T"))
-def decode_scan(words, R0, s3, T: int = None, shift: int = TF_SHIFT):
+def decode_scan(words, R0, s3, T: int = None, shift: int = TF_SHIFT,
+                t_real=None):
     """Decode (B,*,N)-interleaved symbols.
 
     words: (B, W) uint32 (u16 values), R0: (B, N) initial states,
-    s3: (B, 1<<shift) LUT.  Returns (syms (B, T, N), final states,
-    final cursors)."""
+    s3: (B, 1<<shift) LUT.  t_real: optional (B,) per-stream active
+    step counts (for batches of different lengths; inactive steps
+    neither mutate state nor consume words).  Returns (syms (B, T, N),
+    final states, final cursors)."""
     B = words.shape[0]
     mask = (1 << shift) - 1
 
     def step(carry, _):
-        R, ptr = carry
+        R, ptr, t = carry
+        active = (t < t_real) if t_real is not None else None
         m = R & mask
         S = jnp.take_along_axis(s3, m.astype(jnp.int32), axis=1)
         sym = (S & 0xFF).astype(jnp.uint8)
-        R = (S >> (shift + 8)) * (R >> shift) + ((S >> 8) & mask)
-        need = R < RANS_L
+        Rn = (S >> (shift + 8)) * (R >> shift) + ((S >> 8) & mask)
+        need = Rn < RANS_L
+        if active is not None:
+            need = need & active[:, None]
         offs = jnp.cumsum(need.astype(jnp.int32), axis=1)
         idx = ptr[:, None] + offs - 1
         idx = jnp.clip(idx, 0, words.shape[1] - 1)
         w = jnp.take_along_axis(words, idx, axis=1)
-        R = jnp.where(need, (R << 16) | w, R)
+        Rn = jnp.where(need, (Rn << 16) | w, Rn)
+        if active is not None:
+            Rn = jnp.where(active[:, None], Rn, R)
+        R = Rn
         ptr = ptr + offs[:, -1]
-        return (R, ptr), sym
+        return (R, ptr, t + 1), sym
 
     ptr0 = jnp.zeros((B,), jnp.int32)
-    (Rf, ptrf), syms = jax.lax.scan(step, (R0, ptr0), None, length=T)
+    t0 = jnp.zeros((B,), jnp.int32)
+    (Rf, ptrf, _), syms = jax.lax.scan(step, (R0, ptr0, t0), None, length=T)
     return jnp.swapaxes(syms, 0, 1), Rf, ptrf
 
 
@@ -192,56 +202,76 @@ def decode_scan(words, R0, s3, T: int = None, shift: int = TF_SHIFT):
 @functools.partial(jax.jit, static_argnames=("shift",))
 def encode_scan_o1(syms, prev, x_max, rcp, rcp_shift, bias, cmpl,
                    shift: int, R0=None):
-    """O1 encode walk.  syms/prev: (B, T, N) symbol and context ids.
+    """O1 encode walk.  syms/prev: (B, T, N) symbol and context ids
+    (context 256 with any sym, or flat NOP handling via encode_scan_flat,
+    marks inactive lanes).
 
     R0 (B, N) seeds the states (lane 31 may carry a host-walked tail)."""
-    B = syms.shape[0]
+    flat = prev.astype(jnp.int32) * 256 + syms.astype(jnp.int32)
+    return encode_scan_flat(flat, x_max, rcp, rcp_shift, bias, cmpl, R0)
 
-    def step(R, st):
-        sym_t, ctx_t = st
-        flat = ctx_t * 256 + sym_t
-        xm = jnp.take_along_axis(x_max, flat, axis=1)
+
+@jax.jit
+def encode_scan_flat(flat, x_max, rcp, rcp_shift, bias, cmpl, R0=None):
+    """Encode walk over precomputed flat table indices (B, T, N).
+
+    Works for any context structure; a "nop" table row (x_max=2^32-1,
+    rcp=bias=cmpl=0) makes a lane step inert, which implements both the
+    order-0 remainder and variable-length batch padding."""
+    B = flat.shape[0]
+
+    def step(R, flat_t):
+        xm = jnp.take_along_axis(x_max, flat_t, axis=1)
         emit = R > xm
         word = R & 0xFFFF
         R = jnp.where(emit, R >> 16, R)
-        q = _mulhi32(R, jnp.take_along_axis(rcp, flat, axis=1))
-        q = q >> jnp.take_along_axis(rcp_shift, flat, axis=1)
-        R = (R + jnp.take_along_axis(bias, flat, axis=1)
-             + q * jnp.take_along_axis(cmpl, flat, axis=1))
+        q = _mulhi32(R, jnp.take_along_axis(rcp, flat_t, axis=1))
+        q = q >> jnp.take_along_axis(rcp_shift, flat_t, axis=1)
+        R = (R + jnp.take_along_axis(bias, flat_t, axis=1)
+             + q * jnp.take_along_axis(cmpl, flat_t, axis=1))
         return R, (word, emit)
 
     if R0 is None:
         R0 = jnp.full((B, N), RANS_L, jnp.uint32)
-    st = (jnp.swapaxes(syms.astype(jnp.int32), 0, 1),
-          jnp.swapaxes(prev.astype(jnp.int32), 0, 1))
-    Rf, (words, mask) = jax.lax.scan(step, R0.astype(jnp.uint32), st,
-                                     reverse=True)
+    Rf, (words, mask) = jax.lax.scan(
+        step, R0.astype(jnp.uint32),
+        jnp.swapaxes(flat.astype(jnp.int32), 0, 1), reverse=True)
     return Rf, jnp.swapaxes(words, 0, 1), jnp.swapaxes(mask, 0, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("shift", "T"))
-def decode_scan_o1(words, R0, s3, T: int, shift: int):
-    """O1 decode: carries last-symbol per lane; s3 is (B, 256<<shift)."""
+def decode_scan_o1(words, R0, s3, T: int, shift: int, t_real=None):
+    """O1 decode: carries last-symbol per lane; s3 is (B, 256<<shift).
+    t_real: optional (B,) active step counts for ragged batches."""
     B = words.shape[0]
     mask = (1 << shift) - 1
 
     def step(carry, _):
-        R, ptr, last = carry
+        R, ptr, last, t = carry
+        active = (t < t_real) if t_real is not None else None
         m = R & mask
         flat = last * (mask + 1) + m.astype(jnp.int32)
         S = jnp.take_along_axis(s3, flat, axis=1)
         sym = (S & 0xFF).astype(jnp.int32)
-        R = (S >> (shift + 8)) * (R >> shift) + ((S >> 8) & mask)
-        need = R < RANS_L
+        Rn = (S >> (shift + 8)) * (R >> shift) + ((S >> 8) & mask)
+        need = Rn < RANS_L
+        if active is not None:
+            need = need & active[:, None]
         offs = jnp.cumsum(need.astype(jnp.int32), axis=1)
         idx = jnp.clip(ptr[:, None] + offs - 1, 0, words.shape[1] - 1)
         w = jnp.take_along_axis(words, idx, axis=1)
-        R = jnp.where(need, (R << 16) | w, R)
+        Rn = jnp.where(need, (Rn << 16) | w, Rn)
+        if active is not None:
+            Rn = jnp.where(active[:, None], Rn, R)
+            sym = jnp.where(active[:, None], sym, last)
+        R = Rn
+        last = sym
         ptr = ptr + offs[:, -1]
-        return (R, ptr, sym), sym.astype(jnp.uint8)
+        return (R, ptr, last, t + 1), sym.astype(jnp.uint8)
 
     ptr0 = jnp.zeros((B,), jnp.int32)
     last0 = jnp.zeros((B, N), jnp.int32)
-    (Rf, ptrf, _), syms = jax.lax.scan(step, (R0, ptr0, last0), None,
-                                       length=T)
+    t0 = jnp.zeros((B,), jnp.int32)
+    (Rf, ptrf, _, _), syms = jax.lax.scan(step, (R0, ptr0, last0, t0),
+                                          None, length=T)
     return jnp.swapaxes(syms, 0, 1), Rf, ptrf
