@@ -338,13 +338,15 @@ class Parser:
         return batch
 
 
-def _merge_batches(parts: list[FastqBatch]) -> FastqBatch:
+def _merge_batches(parts: list[FastqBatch],
+                   dup_rule: bool = True) -> FastqBatch:
     if len(parts) == 1:
         return parts[0]
     flags = [p.flags.copy() for p in parts]
     # boundary duplicate-name rule: first record of each part vs the
-    # previous part's final name
-    for i in range(1, len(parts)):
+    # previous part's final name (not applicable to interleaved parts,
+    # whose flags are positional)
+    for i in range(1, len(parts) if dup_rule else 0):
         prev_names = parts[i - 1].names()
         cur_names = parts[i].names()
         if (prev_names and cur_names and not flags[i][0]
@@ -368,15 +370,64 @@ class InterleavedParser:
 
     Mirrors load_seqs_interleaved (fqzcomp5.c:627-865): a block closes
     only on pair boundaries, and R2 records get FQZ_FREAD2 regardless
-    of their name.
+    of their name.  Clean 4-line inputs use the vectorised fast path
+    in both files simultaneously.
     """
 
     def __init__(self, fp1, fp2):
         self._p1 = Parser(fp1)
         self._p2 = Parser(fp2)
         self._pending: Optional[tuple[_Record, _Record]] = None
+        self._fast_ok = True
+
+    def _fast_next_batch(self, blk_size: int) -> Optional[FastqBatch]:
+        from fqzcomp5_tpu import fastq_fast
+
+        parts: list[FastqBatch] = []
+        budget = blk_size
+        while True:
+            p1, p2 = self._p1, self._p2
+            for p in (p1, p2):
+                if (p._fast_seg is None
+                        or p._fast_cursor >= p._fast_seg.n):
+                    if not p._fast_fill():
+                        if not p._fast_ok:
+                            self._fast_ok = False
+                        # EOF (or fallback): stop the fast loop
+                        if p is p2 and p1._fast_seg is not None and \
+                                p1._fast_cursor < p1._fast_seg.n and \
+                                p._eof and self._fast_ok:
+                            raise ValueError(
+                                "unpaired read: R2 ended before R1")
+                        return _merge_batches(parts, dup_rule=False) \
+                            if parts else None
+            a1 = p1._fast_seg.acc_size[p1._fast_cursor:]
+            a2 = p2._fast_seg.acc_size[p2._fast_cursor:]
+            m = min(len(a1), len(a2))
+            pair_acc = np.cumsum(a1[:m] + a2[:m])
+            k = int(np.searchsorted(pair_acc, budget, side="right"))
+            if k == 0:
+                if parts:
+                    return _merge_batches(parts, dup_rule=False)
+                k = 1  # always accept the first pair
+            s1 = p1._fast_seg.slice(p1._fast_cursor, p1._fast_cursor + k)
+            s2 = p2._fast_seg.slice(p2._fast_cursor, p2._fast_cursor + k)
+            p1._fast_cursor += k
+            p2._fast_cursor += k
+            budget -= int(pair_acc[k - 1])
+            parts.append(fastq_fast.interleave_batches(
+                fastq_fast.build_batch(s1), fastq_fast.build_batch(s2)))
+            if budget <= 0:
+                return _merge_batches(parts, dup_rule=False)
 
     def next_batch(self, blk_size: int) -> Optional[FastqBatch]:
+        if self._fast_ok and self._pending is None:
+            out = self._fast_next_batch(blk_size)
+            if out is not None:
+                return out
+            if self._fast_ok:
+                return None  # clean EOF
+            # else fall through to the generic pair loop
         names: list[bytes] = []
         seqs: list[bytes] = []
         quals: list[bytes] = []
@@ -493,22 +544,34 @@ def format_fasta(batch: FastqBatch) -> bytes:
 
 
 def split_batch(batch: FastqBatch) -> tuple[FastqBatch, FastqBatch]:
-    """De-interleave: even records -> R1 batch, odd -> R2 batch."""
-    names = batch.names()
-    lens = batch.lens.astype(np.int64)
+    """De-interleave: even records -> R1 batch, odd -> R2 batch.
+
+    Vectorised via the range gather helpers (fastq_fast)."""
+    from fqzcomp5_tpu.fastq_fast import concat_ranges
+
     n = batch.num_records
+    lens = batch.lens.astype(np.int64)
     offs = np.zeros(n + 1, np.int64)
     np.cumsum(lens, out=offs[1:])
+    nb = np.frombuffer(batch.name_buf, np.uint8)
+    nul = np.flatnonzero(nb == 0)
+    nstart = np.empty(n, np.int64)
+    nstart[0] = 0
+    nstart[1:] = nul[:-1] + 1
+    nend = nul + 1  # include the NUL separator
+    sq = np.frombuffer(batch.seq_buf, np.uint8)
+    ql = np.frombuffer(batch.qual_buf, np.uint8)
     halves = []
     for parity in (0, 1):
-        idx = list(range(parity, n, 2))
-        nb = b"\x00".join(names[i] for i in idx) + (b"\x00" if idx else b"")
-        sb = b"".join(batch.seq_buf[offs[i]:offs[i + 1]] for i in idx)
-        qb = b"".join(batch.qual_buf[offs[i]:offs[i + 1]] for i in idx)
-        ls = batch.lens[idx] if idx else np.zeros(0, np.uint32)
+        sel = np.arange(parity, n, 2)
+        ls = batch.lens[sel] if sel.size else np.zeros(0, np.uint32)
         halves.append(FastqBatch(
-            name_buf=nb, seq_buf=sb, qual_buf=qb, lens=ls,
-            flags=batch.flags[idx] if idx else np.zeros(0, np.uint32),
+            name_buf=concat_ranges(nb, nstart[sel], nend[sel]).tobytes(),
+            seq_buf=concat_ranges(sq, offs[sel], offs[sel + 1]).tobytes(),
+            qual_buf=concat_ranges(ql, offs[sel], offs[sel + 1]).tobytes()
+            if len(ql) else b"",
+            lens=ls,
+            flags=batch.flags[sel] if sel.size else np.zeros(0, np.uint32),
             fixed_len=max(_fixed_len(ls), 0), is_fasta=batch.is_fasta,
         ))
     return halves[0], halves[1]

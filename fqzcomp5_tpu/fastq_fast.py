@@ -258,3 +258,67 @@ def format_fastq_fast(batch, plus_name: bool = False) -> bytes:
     scatter_ranges(out, p + 1, qcat, lens)
     out[p + 1 + lens] = ord("\n")
     return out.tobytes()
+
+
+def interleave_batches(b1, b2):
+    """Merge two equal-length batches record-alternating (R1,R2,...).
+
+    Used by the fast paired-end path; R2 records get FQZ_FREAD2
+    unconditionally (fqzcomp5.c:1044-1047)."""
+    from fqzcomp5_tpu.fastq import FastqBatch
+
+    n = b1.num_records
+    assert n == b2.num_records
+
+    def name_bounds(batch):
+        nb = np.frombuffer(batch.name_buf, np.uint8)
+        nul = np.flatnonzero(nb == 0)
+        s = np.empty(len(nul), np.int64)
+        s[0] = 0
+        s[1:] = nul[:-1] + 1
+        return nb, s, nul + 1  # include NUL
+
+    nb1, s1, e1 = name_bounds(b1)
+    nb2, s2, e2 = name_bounds(b2)
+    nl1 = e1 - s1
+    nl2 = e2 - s2
+    out_nlens = np.empty(2 * n, np.int64)
+    out_nlens[0::2] = nl1
+    out_nlens[1::2] = nl2
+    ndst = np.cumsum(out_nlens) - out_nlens
+    name_buf = np.empty(int(out_nlens.sum()), np.uint8)
+    scatter_ranges(name_buf, ndst[0::2], concat_ranges(nb1, s1, e1), nl1)
+    scatter_ranges(name_buf, ndst[1::2], concat_ranges(nb2, s2, e2), nl2)
+
+    def interleave_payload(p1, p2, l1, l2):
+        a1 = np.frombuffer(p1, np.uint8)
+        a2 = np.frombuffer(p2, np.uint8)
+        lens = np.empty(2 * n, np.int64)
+        lens[0::2] = l1
+        lens[1::2] = l2
+        dst = np.cumsum(lens) - lens
+        out = np.empty(int(lens.sum()), np.uint8)
+        o1 = np.cumsum(l1) - l1
+        o2 = np.cumsum(l2) - l2
+        scatter_ranges(out, dst[0::2], concat_ranges(a1, o1, o1 + l1), l1)
+        scatter_ranges(out, dst[1::2], concat_ranges(a2, o2, o2 + l2), l2)
+        return out.tobytes()
+
+    l1 = b1.lens.astype(np.int64)
+    l2 = b2.lens.astype(np.int64)
+    seq_buf = interleave_payload(b1.seq_buf, b2.seq_buf, l1, l2)
+    qual_buf = b""
+    if not b1.is_fasta:
+        qual_buf = interleave_payload(b1.qual_buf, b2.qual_buf, l1, l2)
+
+    lens = np.empty(2 * n, np.uint32)
+    lens[0::2] = b1.lens
+    lens[1::2] = b2.lens
+    flags = np.zeros(2 * n, np.uint32)
+    flags[1::2] = FQZ_FREAD2
+    first = int(lens[0]) if lens.size else 0
+    return FastqBatch(
+        name_buf=name_buf.tobytes(), seq_buf=seq_buf, qual_buf=qual_buf,
+        lens=lens, flags=flags,
+        fixed_len=first if lens.size and bool((lens == first).all()) else 0,
+        is_fasta=b1.is_fasta)
