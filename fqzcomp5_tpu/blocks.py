@@ -118,52 +118,78 @@ def compress_with_methods(learner: MethodLearner, arg: Options,
 
 def encode_block(learner: MethodLearner, arg: Options, fq: FastqBatch,
                  timings=None) -> bytes:
+    import time
+
     out = bytearray()
     out += struct.pack("<I", 0)  # block size placeholder
     out += struct.pack("<I", fq.num_records)
     out += struct.pack("<I", 0)  # crc placeholder
 
     # Names (payload already carries [ulen][strat][clen] framing)
+    tv = time.monotonic()
     methods = learner.methods_for(Section.NAME)
     npay, _, nmeth = compress_with_methods(
         learner, arg, fq, methods, Section.NAME, fq.name_buf)
     out += npay
+    if timings is not None:
+        timings.update(0, len(fq.name_buf), len(npay), time.monotonic() - tv)
+        timings.nmeth = nmeth
 
     # Lengths
     if fq.fixed_len:
         v = varint.put_u32(fq.fixed_len)
         out += bytes([len(v)]) + v
+        if timings is not None:
+            timings.update(3, 4 * fq.num_records, 1 + len(v), 0.0)
+            timings.lmeth = 1
     else:
         lens_blob = varint.put_array_u32(fq.lens)
         out += bytes([0]) + struct.pack("<I", len(lens_blob)) + lens_blob
+        if timings is not None:
+            timings.update(3, 4 * fq.num_records, 5 + len(lens_blob), 0.0)
+            timings.lmeth = 0
 
     # Seq
+    tv = time.monotonic()
     methods = learner.methods_for(Section.SEQ)
     spay, sstrat, smeth = compress_with_methods(
         learner, arg, fq, methods, Section.SEQ, fq.seq_buf)
     out += struct.pack("<BII", sstrat, len(fq.seq_buf), len(spay)) + spay
+    if timings is not None:
+        timings.update(1, len(fq.seq_buf), len(spay) + 9,
+                       time.monotonic() - tv)
+        timings.smeth = smeth
 
     # Qual
     if not fq.is_fasta:
+        tv = time.monotonic()
         methods = learner.methods_for(Section.QUAL)
         qpay, qstrat, qmeth = compress_with_methods(
             learner, arg, fq, methods, Section.QUAL, fq.qual_buf)
         out += struct.pack("<BII", qstrat, len(fq.qual_buf), len(qpay)) + qpay
+        if timings is not None:
+            timings.update(2, len(fq.qual_buf), len(qpay) + 9,
+                           time.monotonic() - tv)
+            timings.qmeth = qmeth
     else:
         out += struct.pack("<BII", 0, 0, 0)
 
     crc = zlib.crc32(bytes(out[12:])) & 0xFFFFFFFF
     struct.pack_into("<I", out, 8, crc)
     struct.pack_into("<I", out, 0, len(out) - 4)
-    if timings is not None:
-        timings.note_methods(nmeth, smeth, 0 if fq.is_fasta else qmeth)
     return bytes(out)
 
 
 def decode_block(raw: bytes, file_version: int,
-                 predecoded: dict | None = None) -> FastqBatch:
+                 predecoded: dict | None = None,
+                 timings=None) -> FastqBatch:
     """predecoded: optional {'seq': bytes, 'qual': bytes} payloads that
-    were already expanded (e.g. by the batched device decoder)."""
+    were already expanded (e.g. by the batched device decoder).
+
+    timings: optional per-block Timings; filled with the decode-side
+    accounting (sizes swapped compressed->uncompressed, framing bytes
+    excluded — fqzcomp5.c decode_block)."""
+    import time
     off = 0
     (block_size,) = struct.unpack_from("<I", raw, off)
     off += 4
@@ -179,6 +205,7 @@ def decode_block(raw: bytes, file_version: int,
                 f"got {crc:#010x}")
 
     # Names
+    tv = time.monotonic()
     (u_len,) = struct.unpack_from("<I", raw, off)
     off += 4
     nstrat = raw[off]
@@ -188,6 +215,8 @@ def decode_block(raw: bytes, file_version: int,
     name_buf, dec_flags = names_mod.decode_names(
         raw[off:off + c_len], c_len, u_len, nstrat)
     off += c_len
+    if timings is not None:
+        timings.update(0, c_len, u_len, time.monotonic() - tv)
 
     # Per-record flags: from the strat-2 stream or re-derived from names
     names = name_buf.split(b"\x00")[:-1] if name_buf else []
@@ -212,13 +241,18 @@ def decode_block(raw: bytes, file_version: int,
         off += n
         lens = np.full(nrec, fixed, np.uint32)
         fixed_len = fixed
+        if timings is not None:
+            timings.update(3, 1 + n, nrec * 4, 0.0)
     else:
         (blen,) = struct.unpack_from("<I", raw, off)
         off += 4
         lens, off = varint.get_array_u32(raw, off, nrec)
         fixed_len = 0
+        if timings is not None:
+            timings.update(3, blen + 5, nrec * 4, 0.0)
 
     # Seq
+    tv = time.monotonic()
     sstrat = raw[off]
     off += 1
     (s_ulen, s_clen) = struct.unpack_from("<II", raw, off)
@@ -238,8 +272,11 @@ def decode_block(raw: bytes, file_version: int,
         seq_buf = host.rans_uncompress(spay)
     else:
         raise ValueError(f"unrecognised sequence strategy {sstrat}")
+    if timings is not None:
+        timings.update(1, s_clen, s_ulen, time.monotonic() - tv)
 
     # Qual
+    tv = time.monotonic()
     qstrat = raw[off]
     off += 1
     (q_ulen, q_clen) = struct.unpack_from("<II", raw, off)
@@ -257,6 +294,8 @@ def decode_block(raw: bytes, file_version: int,
             qual_buf = host.rans_uncompress(qpay)
         else:
             qual_buf = host.fqz_decompress(qpay, q_ulen, seq_buf)
+        if timings is not None:
+            timings.update(2, q_clen, len(qual_buf), time.monotonic() - tv)
 
     return FastqBatch(
         name_buf=name_buf, seq_buf=seq_buf, qual_buf=qual_buf,

@@ -175,6 +175,16 @@ def parse_args(argv: list[str]) -> tuple[Options, bool, list[str]]:
 
 
 def main(argv=None) -> int:
+    """CLI entry; decode/encode failures print ERROR: and exit 1
+    (reference behavior, fqzcomp5.c decode drivers + test_error_handling.sh)."""
+    try:
+        return _main(argv)
+    except (ValueError, OSError) as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     arg, decomp, files = parse_args(argv)
 
@@ -245,7 +255,16 @@ def main(argv=None) -> int:
                 with open(out_name, "wb") as out:
                     enc(in_name, out, arg, t)
             else:
-                enc(in_name, sys.stdout.buffer, arg, t)
+                # stdout pipes aren't seekable; the index-offset header
+                # patch needs a seek, so spool via a temp file (the
+                # reference writes a subtly broken stream here —
+                # fqzcomp5.c:3198's fseek silently fails on pipes)
+                import shutil
+                import tempfile
+                with tempfile.TemporaryFile() as out:
+                    enc(in_name, out, arg, t)
+                    out.seek(0)
+                    shutil.copyfileobj(out, sys.stdout.buffer)
 
     if arg.verbose >= 0:
         t.report()

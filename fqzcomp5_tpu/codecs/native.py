@@ -57,6 +57,7 @@ def _register_optional(L: ctypes.CDLL) -> None:
     """Signatures for codecs added after the first milestone."""
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
     for name, restype, argtypes in [
         ("fqz5_seq_encode", ctypes.c_int64,
          [u8p, ctypes.c_uint32, u32p, ctypes.c_int, ctypes.c_int,
@@ -82,6 +83,10 @@ def _register_optional(L: ctypes.CDLL) -> None:
           ctypes.c_uint32]),
         ("fqz5_tok3_decode", ctypes.c_int64,
          [u8p, ctypes.c_uint32, u8p, ctypes.c_uint32]),
+        ("fqz5_gather_ranges", ctypes.c_int64,
+         [u8p, i64p, i64p, ctypes.c_int64, u8p]),
+        ("fqz5_scatter_ranges", ctypes.c_int64,
+         [u8p, i64p, u8p, i64p, ctypes.c_int64]),
     ]:
         try:
             fn = getattr(L, name)
@@ -142,3 +147,40 @@ def rans_uncompress(data: bytes, out_hint: int | None = None) -> bytes:
     if rc < 0:
         raise ValueError("rans_uncompress failed")
     return out[:rc].tobytes()
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def gather_ranges(data: np.ndarray, starts: np.ndarray,
+                  ends: np.ndarray, total: int) -> np.ndarray:
+    """Concatenate data[starts[i]:ends[i]] via the native memcpy kernel."""
+    L = lib()
+    out = np.empty(total, np.uint8)
+    if total == 0:
+        return out
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    data = np.ascontiguousarray(data)
+    _, dp = _u8(data)
+    rc = L.fqz5_gather_ranges(
+        dp, _i64p(starts), _i64p(ends), len(starts),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    assert rc == total, (rc, total)
+    return out
+
+
+def scatter_ranges(dst: np.ndarray, dst_starts: np.ndarray,
+                   src: np.ndarray, lens: np.ndarray) -> None:
+    """Scatter consecutive src slices to dst at dst_starts."""
+    L = lib()
+    if dst.size == 0 or len(dst_starts) == 0:
+        return
+    dst_starts = np.ascontiguousarray(dst_starts, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    src = np.ascontiguousarray(src)
+    _, sp = _u8(src)
+    L.fqz5_scatter_ranges(
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i64p(dst_starts), sp, _i64p(lens), len(lens))

@@ -26,7 +26,10 @@ from fqzcomp5_tpu.options import Options, method_avail_for
 
 @dataclasses.dataclass
 class Timings:
-    """Per-section size/time accounting (fqzcomp5.c:1815-1884)."""
+    """Per-section size/time accounting (fqzcomp5.c:1815-1884).
+
+    Columns follow update_stats: 0=name 1=seq 2=qual 3=length; times in
+    seconds (the reference stores µs)."""
 
     nblock: int = 0
     nusize: int = 0
@@ -34,6 +37,7 @@ class Timings:
     ntime: float = 0.0
     lusize: int = 0
     lcsize: int = 0
+    ltime: float = 0.0
     susize: int = 0
     scsize: int = 0
     stime: float = 0.0
@@ -43,9 +47,55 @@ class Timings:
     nmeth: int = 0
     smeth: int = 0
     qmeth: int = 0
+    lmeth: int = 0
 
     def note_methods(self, n, s, q):
         self.nmeth, self.smeth, self.qmeth = n, s, q
+
+    def update(self, column: int, usize: int, csize: int, dt: float):
+        """update_stats (fqzcomp5.c:1830-1854)."""
+        if column == 0:
+            self.nusize += usize
+            self.ncsize += csize
+            self.ntime += dt
+        elif column == 1:
+            self.susize += usize
+            self.scsize += csize
+            self.stime += dt
+        elif column == 2:
+            self.qusize += usize
+            self.qcsize += csize
+            self.qtime += dt
+        elif column == 3:
+            self.lusize += usize
+            self.lcsize += csize
+            self.ltime += dt
+
+    def append_block(self, o: "Timings", verbose: int, fp=sys.stderr):
+        """append_timings (fqzcomp5.c:1856-1884): merge a per-block
+        Timings and optionally print the per-block trace."""
+        self.nblock += 1
+        self.nusize += o.nusize
+        self.ncsize += o.ncsize
+        self.ntime += o.ntime
+        self.susize += o.susize
+        self.scsize += o.scsize
+        self.stime += o.stime
+        self.qusize += o.qusize
+        self.qcsize += o.qcsize
+        self.qtime += o.qtime
+        self.lusize += o.lusize
+        self.lcsize += o.lcsize
+        self.ltime += o.ltime
+        if verbose > 0:
+            print(f"Names   {o.nusize:11d} to {o.ncsize:11d} "
+                  f"in {o.ntime:.2f} sec method {o.nmeth}", file=fp)
+            print(f"Lengths {o.lusize:11d} to {o.lcsize:11d} "
+                  f"in {o.ltime:.2f} sec method {o.lmeth}", file=fp)
+            print(f"Seqs    {o.susize:11d} to {o.scsize:11d} "
+                  f"in {o.stime:.2f} sec method {o.smeth}", file=fp)
+            print(f"Quals   {o.qusize:11d} to {o.qcsize:11d} "
+                  f"in {o.qtime:.2f} sec method {o.qmeth}\n", file=fp)
 
     def report(self, fp=sys.stderr):
         print(f"All {self.nblock} blocks combined:", file=fp)
@@ -73,23 +123,19 @@ def _encode_stream(batches, out_fp: BinaryIO, arg: Options,
     nthread = max(1, arg.nthread)
 
     def job(fq):
-        t0 = time.monotonic()
-        blk = encode_block(learner, arg, fq, t)
-        return blk, fq, time.monotonic() - t0
+        bt = Timings()
+        blk = encode_block(learner, arg, fq, bt)
+        return blk, fq, bt
 
     with cf.ThreadPoolExecutor(max_workers=nthread) as pool:
         pending = []
         max_inflight = nthread * 2
 
         def drain_one():
-            blk, fq, dt = pending.pop(0).result()
+            blk, fq, bt = pending.pop(0).result()
             idx.add(out_fp.tell(), len(fq.seq_buf), fq.num_records)
             out_fp.write(blk)
-            t.nblock += 1
-            t.nusize += len(fq.name_buf)
-            t.susize += len(fq.seq_buf)
-            t.qusize += len(fq.qual_buf)
-            t.scsize += len(blk)
+            t.append_block(bt, arg.verbose)
 
         for fq in batches:
             if fq is None or fq.num_records == 0:
@@ -142,17 +188,23 @@ def decode_file(in_fp: BinaryIO, writer, arg: Options, t: Timings) -> None:
         pass
 
     nthread = max(1, arg.nthread)
+
+    def job(raw):
+        bt = Timings()
+        fq = decode_block(raw, file_version, timings=bt)
+        return fq, bt
+
     with cf.ThreadPoolExecutor(max_workers=nthread) as pool:
         pending = []
         max_inflight = nthread * 2
 
         def drain_one():
-            fq = pending.pop(0).result()
-            t.nblock += 1
+            fq, bt = pending.pop(0).result()
+            t.append_block(bt, arg.verbose)
             writer(fq)
 
         for raw in container.iter_raw_blocks(in_fp, index_offset):
-            pending.append(pool.submit(decode_block, raw, file_version))
+            pending.append(pool.submit(job, raw))
             while len(pending) >= max_inflight:
                 drain_one()
         while pending:

@@ -14,6 +14,22 @@ import numpy as np
 from fqzcomp5_tpu.constants import FQZ_FREAD2
 
 
+def _have_native() -> bool:
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from fqzcomp5_tpu.codecs import native
+
+            native.lib().fqz5_gather_ranges
+            _NATIVE = True
+        except Exception:
+            _NATIVE = False
+    return _NATIVE
+
+
+_NATIVE = None
+
+
 def concat_ranges(data: np.ndarray, starts, ends) -> np.ndarray:
     """Gather data[starts[i]:ends[i]] for all i, concatenated. O(total)."""
     starts = np.asarray(starts, np.int64)
@@ -22,9 +38,12 @@ def concat_ranges(data: np.ndarray, starts, ends) -> np.ndarray:
     total = int(lens.sum())
     if total == 0:
         return np.zeros(0, data.dtype)
+    if data.dtype == np.uint8 and _have_native():
+        from fqzcomp5_tpu.codecs import native
+
+        return native.gather_ranges(data, starts, ends, total)
     idx = np.ones(total, np.int64)
     idx[0] = starts[0]
-    pos = np.cumsum(lens)[:-1]
     nz = lens > 0
     # positions where a new range begins (skip empty ranges)
     firsts = np.flatnonzero(nz)
@@ -46,6 +65,12 @@ def scatter_ranges(dst: np.ndarray, dst_starts, src_cat: np.ndarray,
     dst_starts = np.asarray(dst_starts, np.int64)
     total = int(lens.sum())
     if total == 0:
+        return
+    if (dst.dtype == np.uint8 and src_cat.dtype == np.uint8
+            and _have_native()):
+        from fqzcomp5_tpu.codecs import native
+
+        native.scatter_ranges(dst, dst_starts, src_cat, lens)
         return
     idx = np.ones(total, np.int64)
     nz = lens > 0

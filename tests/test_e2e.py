@@ -133,9 +133,10 @@ def test_check_corruption(tmp_path, data_dir, capsys):
     bad = tmp_path / "bad.fqz5"
     bad.write_bytes(bytes(raw))
     assert run_cli(["--check", str(bad)]) == 1
-    # decompression must also fail loudly, not crash
-    with pytest.raises(Exception):
-        cli.main(["-d", "-V", str(bad), str(tmp_path / "x.fastq")])
+    # decompression must also fail loudly (ERROR: + exit 1), not crash
+    assert cli.main(["-d", "-V", str(bad), str(tmp_path / "x.fastq")]) == 1
+    err = capsys.readouterr().err
+    assert "ERROR:" in err
 
 
 def test_check_legacy_no_crc(data_dir, capsys):
