@@ -19,7 +19,7 @@ import numpy as np
 from fqzcomp5_tpu import names as names_mod
 from fqzcomp5_tpu import varint
 from fqzcomp5_tpu.codecs import host
-from fqzcomp5_tpu.constants import FQZ_FREAD2, Method, Section, VERS_V11
+from fqzcomp5_tpu.constants import Method, Section, VERS_V11
 from fqzcomp5_tpu.fastq import FastqBatch
 from fqzcomp5_tpu.learning import MethodLearner
 from fqzcomp5_tpu.options import Options
@@ -219,19 +219,11 @@ def decode_block(raw: bytes, file_version: int,
         timings.update(0, c_len, u_len, time.monotonic() - tv)
 
     # Per-record flags: from the strat-2 stream or re-derived from names
-    names = name_buf.split(b"\x00")[:-1] if name_buf else []
     if dec_flags is not None and len(dec_flags) >= nrec:
         flags = np.asarray(dec_flags[:nrec], np.uint32)
     else:
-        flags = np.zeros(nrec, np.uint32)
-        prev = None
-        for i, nm in enumerate(names[:nrec]):
-            if len(nm) > 1 and nm.endswith(b"/2"):
-                flags[i] = FQZ_FREAD2
-            elif prev is not None and nm == prev:
-                flags[i] = FQZ_FREAD2
-            if not flags[i]:
-                prev = nm
+        from fqzcomp5_tpu.codecs import native
+        flags = native.derive_flags(name_buf, nrec)
 
     # Lengths
     lstrat = raw[off]

@@ -87,6 +87,8 @@ def _register_optional(L: ctypes.CDLL) -> None:
          [u8p, i64p, i64p, ctypes.c_int64, u8p]),
         ("fqz5_scatter_ranges", ctypes.c_int64,
          [u8p, i64p, u8p, i64p, ctypes.c_int64]),
+        ("fqz5_derive_flags", ctypes.c_int64,
+         [u8p, ctypes.c_int64, ctypes.c_int64, u32p]),
     ]:
         try:
             fn = getattr(L, name)
@@ -184,3 +186,18 @@ def scatter_ranges(dst: np.ndarray, dst_starts: np.ndarray,
     L.fqz5_scatter_ranges(
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         _i64p(dst_starts), sp, _i64p(lens), len(lens))
+
+
+def derive_flags(name_buf: bytes, nrec: int) -> np.ndarray:
+    """Decode-side FREAD2 flag rebuild (fqzcomp5.c:2344-2374)."""
+    L = lib()
+    flags = np.zeros(nrec, np.uint32)
+    if nrec == 0:
+        return flags
+    _, np_ = _u8(name_buf)
+    rc = L.fqz5_derive_flags(
+        np_, len(name_buf), nrec,
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if rc != nrec:
+        raise ValueError("name buffer truncated while deriving flags")
+    return flags

@@ -39,4 +39,29 @@ int64_t fqz5_scatter_ranges(uint8_t* dst, const int64_t* dst_starts,
     return p - src;
 }
 
+// Rebuild per-record FREAD2 flags from a NUL-separated name buffer,
+// mirroring the decode-side fallback (fqzcomp5.c:2344-2374): flag when
+// the name ends "/2" or equals the last unflagged name.
+// Returns records processed, or -1 if the buffer ends early.
+int64_t fqz5_derive_flags(const uint8_t* name_buf, int64_t buf_len,
+                          int64_t nrec, uint32_t* flags) {
+    const uint8_t* p = name_buf;
+    const uint8_t* end = name_buf + buf_len;
+    const uint8_t* last_name = nullptr;
+    for (int64_t i = 0; i < nrec; i++) {
+        if (p >= end) return -1;
+        size_t len = strnlen((const char*)p, size_t(end - p));
+        uint32_t flag = 0;
+        if (len > 1 && p[len - 1] == '2' && p[len - 2] == '/')
+            flag = 128;  // FQZ_FREAD2
+        else if (last_name && strcmp((const char*)p,
+                                     (const char*)last_name) == 0)
+            flag = 128;
+        flags[i] = flag;
+        if (!flag) last_name = p;
+        p += len + 1;
+    }
+    return nrec;
+}
+
 }  // extern "C"
