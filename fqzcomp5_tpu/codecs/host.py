@@ -26,8 +26,7 @@ def _ptr(buf):
 
 
 def _out(cap: int):
-    arr = np.empty(max(cap, 1), np.uint8)
-    return arr, arr.ctypes.data_as(_u8p)
+    return native.out_scratch(cap)
 
 
 def seq_encode(seq_buf: bytes, lens, both_strands: int, ctx_size: int) -> bytes:

@@ -89,6 +89,9 @@ def _register_optional(L: ctypes.CDLL) -> None:
          [u8p, i64p, u8p, i64p, ctypes.c_int64]),
         ("fqz5_derive_flags", ctypes.c_int64,
          [u8p, ctypes.c_int64, ctypes.c_int64, u32p]),
+        ("fqz5_parse_fastq_chunk", ctypes.c_int64,
+         [u8p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
+          i64p, i64p, i64p, i64p]),
     ]:
         try:
             fn = getattr(L, name)
@@ -96,6 +99,25 @@ def _register_optional(L: ctypes.CDLL) -> None:
             continue
         fn.restype = restype
         fn.argtypes = argtypes
+
+
+_scratch = threading.local()
+_SCRATCH_MAX = 96 << 20  # reuse buffers up to 96MB; larger are one-shot
+
+
+def out_scratch(cap: int) -> tuple:
+    """Thread-local reusable output buffer (mirrors the reference's TLS
+    arena, utils.c:119-205): avoids a fresh multi-MB allocation per
+    codec call.  Returns (array, u8 pointer)."""
+    cap = max(cap, 1)
+    if cap > _SCRATCH_MAX:
+        arr = np.empty(cap, np.uint8)
+    else:
+        arr = getattr(_scratch, "buf", None)
+        if arr is None or arr.size < cap:
+            arr = np.empty(max(cap + (cap >> 2), 1 << 20), np.uint8)
+            _scratch.buf = arr
+    return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
 def _u8(buf) -> tuple:
@@ -115,11 +137,9 @@ def rans_compress(data: bytes, order: int) -> bytes:
     # generous bound mirroring rans_compress_bound_4x16
     stripe_n = (order >> 8) & 0xFF or 4
     cap = int(1.05 * n) + 257 * 257 * 3 + 1024 + 5 * stripe_n + 128
-    out = np.empty(cap, np.uint8)
+    out, outp = out_scratch(cap)
     src, src_p = _u8(data)
-    rc = L.fqz5_rans_compress(
-        src_p, n, order, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        cap)
+    rc = L.fqz5_rans_compress(src_p, n, order, outp, cap)
     if rc < 0:
         raise ValueError(f"rans_compress failed (order={order:#x})")
     return out[:rc].tobytes()
@@ -141,11 +161,9 @@ def rans_uncompress(data: bytes, out_hint: int | None = None) -> bytes:
         osz = out_hint
         know = 1
     cap = osz + 64
-    out = np.empty(cap, np.uint8)
+    out, outp = out_scratch(cap)
     src, src_p = _u8(data)
-    rc = L.fqz5_rans_uncompress(
-        src_p, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
-        osz, know)
+    rc = L.fqz5_rans_uncompress(src_p, n, outp, cap, osz, know)
     if rc < 0:
         raise ValueError("rans_uncompress failed")
     return out[:rc].tobytes()
@@ -186,6 +204,25 @@ def scatter_ranges(dst: np.ndarray, dst_starts: np.ndarray,
     L.fqz5_scatter_ranges(
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         _i64p(dst_starts), sp, _i64p(lens), len(lens))
+
+
+def parse_fastq_chunk(data: np.ndarray):
+    """Single-pass 4-line FASTQ chunk scan.  Returns
+    (name_s, name_e, core_len, seq_s, seq_e, qual_s, tail) or None when
+    the chunk needs the generic-parser fallback."""
+    L = lib()
+    size = int(data.size)
+    max_rec = size // 6 + 2  # minimal record "@\n\n+\n\n" is 6 bytes
+    arrs = [np.empty(max_rec, np.int64) for _ in range(6)]
+    tail = np.zeros(1, np.int64)
+    data = np.ascontiguousarray(data)
+    _, dp = _u8(data)
+    rc = L.fqz5_parse_fastq_chunk(
+        dp, size, max_rec, *[_i64p(a) for a in arrs], _i64p(tail))
+    if rc < 0:
+        return None
+    n = int(rc)
+    return tuple(a[:n] for a in arrs) + (int(tail[0]),)
 
 
 def derive_flags(name_buf: bytes, nrec: int) -> np.ndarray:

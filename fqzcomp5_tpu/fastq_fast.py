@@ -122,6 +122,15 @@ def parse_chunk(data: np.ndarray):
     """
     if data.size == 0:
         return None
+    if _have_native():
+        from fqzcomp5_tpu.codecs import native
+
+        r = native.parse_fastq_chunk(data)
+        if r is None:
+            return None
+        name_s, name_e, core_len, seq_s, seq_e, qual_s, tail = r
+        return ParsedRecords(data, name_s, name_e, core_len, seq_s,
+                             seq_e, qual_s), tail
     # fallback if exotic whitespace anywhere (kseq treats \r\v\f as
     # separators inside headers; the slow path handles those)
     if (data == 13).any() or (data == 11).any() or (data == 12).any():

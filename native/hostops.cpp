@@ -39,6 +39,71 @@ int64_t fqz5_scatter_ranges(uint8_t* dst, const int64_t* dst_starts,
     return p - src;
 }
 
+// Single-pass clean 4-line FASTQ chunk scan, mirroring the numpy
+// parse_chunk (fqzcomp5_tpu/fastq_fast.py) semantics exactly: returns
+// -1 whenever the chunk needs the generic kseq-equivalent fallback
+// (\r/\v/\f anywhere, malformed structure), else fills per-record
+// line ranges for complete 4-line groups and the tail offset.
+int64_t fqz5_parse_fastq_chunk(const uint8_t* data, int64_t size,
+                               int64_t max_rec,
+                               int64_t* name_s, int64_t* name_e,
+                               int64_t* core_len,
+                               int64_t* seq_s, int64_t* seq_e,
+                               int64_t* qual_s,
+                               int64_t* tail_out) {
+    if (size <= 0) return -1;
+    if (memchr(data, '\r', size_t(size)) ||
+        memchr(data, '\v', size_t(size)) ||
+        memchr(data, '\f', size_t(size)))
+        return -1;
+
+    int64_t nrec = 0;
+    const uint8_t* base = data;
+    const uint8_t* end = data + size;
+    const uint8_t* p = data;
+    while (nrec < max_rec) {
+        const uint8_t* rec = p;
+        // name line
+        const uint8_t* nl1 = (const uint8_t*)memchr(p, '\n', size_t(end - p));
+        if (!nl1) break;
+        const uint8_t* sq = nl1 + 1;
+        const uint8_t* nl2 = (const uint8_t*)memchr(sq, '\n',
+                                                    size_t(end - sq));
+        if (!nl2) break;
+        const uint8_t* pl = nl2 + 1;
+        const uint8_t* nl3 = (const uint8_t*)memchr(pl, '\n',
+                                                    size_t(end - pl));
+        if (!nl3) break;
+        const uint8_t* ql = nl3 + 1;
+        const uint8_t* nl4 = (const uint8_t*)memchr(ql, '\n',
+                                                    size_t(end - ql));
+        if (!nl4) break;
+        // validations apply only to complete 4-line groups (the numpy
+        // reference path checks within nfull only)
+        if (*rec != '@') return -1;
+        if (pl >= nl3 || *pl != '+') return -1;
+        if (nl4 - ql != nl2 - sq) return -1;  // qual len != seq len
+
+        name_s[nrec] = (rec - base) + 1;  // skip '@'
+        name_e[nrec] = nl1 - base;
+        // first space/tab bounds the core name
+        int64_t nlen = nl1 - rec - 1;
+        int64_t cl = nlen;
+        for (const uint8_t* c = rec + 1; c < nl1; c++) {
+            if (*c == ' ' || *c == '\t') { cl = c - rec - 1; break; }
+        }
+        core_len[nrec] = cl;
+        seq_s[nrec] = sq - base;
+        seq_e[nrec] = nl2 - base;
+        qual_s[nrec] = ql - base;
+        nrec++;
+        p = nl4 + 1;
+    }
+    if (nrec == 0) return -1;
+    *tail_out = p - base;
+    return nrec;
+}
+
 // Rebuild per-record FREAD2 flags from a NUL-separated name buffer,
 // mirroring the decode-side fallback (fqzcomp5.c:2344-2374): flag when
 // the name ends "/2" or equals the last unflagged name.
