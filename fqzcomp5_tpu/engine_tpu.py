@@ -281,23 +281,20 @@ def _with_nop_row(tables):
 
 def encode_o0_batch(datas: list[bytes]) -> list[bytes]:
     """rans_compress_O0_32x16 for many streams in one device walk."""
+    from fqzcomp5_tpu.ops import backend
+
     B = len(datas)
     if B == 0:
         return []
     tabs = []
-    tables = [[] for _ in range(5)]
-    plans = []
+    freq_rows = []
     Tmax = 1
     for d in datas:
         tab, freqs = o0_prep(d)
         tabs.append(tab)
-        tt = _with_nop_row(rans_jax.build_enc_tables(
-            freqs, rans_jax.TF_SHIFT))
-        for k in range(5):
-            tables[k].append(tt[k])
+        freq_rows.append(freqs)
         n = len(d)
         T = n // 32 + (1 if n % 32 else 0)
-        plans.append(T)
         Tmax = max(Tmax, T)
 
     flat = np.full((B, Tmax, 32), _NOP_O0, np.int32)
@@ -310,12 +307,8 @@ def encode_o0_batch(datas: list[bytes]) -> list[bytes]:
         if rem:
             flat[b, Tfull, :rem] = arr[Tfull * 32:]
 
-    tb = [np.stack(t) for t in tables]
-    Rf, words, mask = rans_jax.encode_scan_flat(
-        flat, tb[0], tb[1], tb[2], tb[3], tb[4])
-    Rf = np.asarray(Rf)
-    words = np.asarray(words)
-    mask = np.asarray(mask)
+    Rf, words, mask = backend.encode_flat(
+        flat, np.stack(freq_rows), rans_jax.TF_SHIFT)
     out = []
     for b in range(B):
         w = words[b].reshape(-1)[mask[b].reshape(-1)]
@@ -378,13 +371,13 @@ def encode_o1_batch(datas: list[bytes]) -> list[bytes]:
         return []
     preps = [o1_prep(d) for d in datas]  # (tab, freqs, shift)
 
+    from fqzcomp5_tpu.ops import backend
+
     out = [b""] * B
-    flats_all = {}
     for group_shift in (10, 12):
         idxs = [i for i, p in enumerate(preps) if p[2] == group_shift]
         if not idxs:
             continue
-        tables = [[] for _ in range(5)]
         R0s = []
         tails = []
         Tmax = 1
@@ -395,8 +388,6 @@ def encode_o1_batch(datas: list[bytes]) -> list[bytes]:
             n = len(arr)
             tt = rans_jax.build_enc_tables(preps[i][1], group_shift)
             flat5 = _with_nop_row(tt)
-            for k in range(5):
-                tables[k].append(flat5[k])
             isz = n // 32
             # host-walk lane 31's tail
             R31 = rans_jax.RANS_L
@@ -429,18 +420,14 @@ def encode_o1_batch(datas: list[bytes]) -> list[bytes]:
             f[0] = chunks.T[0]  # ctx 0
             flat[g, :isz] = f
 
-        tb = [np.stack(t) for t in tables]
-        Rf, words, mask = rans_jax.encode_scan_flat(
-            flat, tb[0], tb[1], tb[2], tb[3], tb[4], np.stack(R0s))
-        Rf = np.asarray(Rf)
-        words = np.asarray(words)
-        mask = np.asarray(mask)
+        freqs_g = np.stack([preps[i][1] for i in idxs])  # (G, 256, 256)
+        Rf, words, mask = backend.encode_flat(
+            flat, freqs_g, group_shift, R0=np.stack(R0s))
         for g, i in enumerate(idxs):
             w = words[g].reshape(-1)[mask[g].reshape(-1)]
             out[i] = (preps[i][0] + Rf[g].astype("<u4").tobytes()
                       + w.astype("<u2").tobytes()
                       + np.array(tails[g][::-1], "<u2").tobytes())
-    del flats_all
     return out
 
 
