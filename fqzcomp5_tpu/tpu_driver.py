@@ -36,33 +36,98 @@ from fqzcomp5_tpu.options import Options, method_avail_for
 WAVE = 8            # blocks per device wave
 MIN_DEVICE = 4096   # sections smaller than this stay on the host
 
+X_PACK = 0x80
+X_32 = 0x04
+
 
 def _frame(order: int, data_len: int, payload: bytes) -> bytes:
     return bytes([order]) + varint.put_u32(data_len) + payload
 
 
+_SHIFTS = {2: np.arange(0, 8, 4, dtype=np.uint8),
+           4: np.arange(0, 8, 2, dtype=np.uint8),
+           8: np.arange(8, dtype=np.uint8)}
+
+
+def pack_np(data: bytes):
+    """Vectorised PACK transform (pack.c:56-150 semantics).
+
+    Returns (meta_bytes, packed_bytes, per_byte) or None when the
+    alphabet exceeds 16 symbols.  Pad bits are zero, matching the
+    reference's partial-byte packing."""
+    arr = np.frombuffer(data, np.uint8)
+    syms = np.unique(arr)
+    n = len(syms)
+    if n > 16:
+        return None
+    meta = bytes([n & 0xFF]) + syms.tobytes()
+    if n <= 1:
+        return meta, b"", 0
+    per = 8 if n <= 2 else 4 if n <= 4 else 2
+    lut = np.zeros(256, np.uint8)
+    lut[syms] = np.arange(n, dtype=np.uint8)
+    m = lut[arr]
+    pad = (-len(m)) % per
+    if pad:
+        m = np.concatenate([m, np.zeros(pad, np.uint8)])
+    mm = m.reshape(-1, per)
+    packed = np.bitwise_or.reduce(mm << _SHIFTS[per], axis=1)
+    return meta, packed.astype(np.uint8).tobytes(), per
+
+
+def unpack_np(packed: bytes, out_len: int, syms: np.ndarray) -> bytes:
+    """Inverse of pack_np for a known symbol map."""
+    n = len(syms)
+    if n <= 1:
+        return syms.tobytes() * out_len if n else b""
+    per = 8 if n <= 2 else 4 if n <= 4 else 2
+    arr = np.frombuffer(packed, np.uint8)
+    bits = 8 // per
+    vals = (arr[:, None] >> _SHIFTS[per][None, :]) & ((1 << bits) - 1)
+    return syms[vals.reshape(-1)[:out_len]].tobytes()
+
+
 def _device_section_encode(datas: list[bytes]) -> list[bytes]:
-    """Best-of {O0, O1} x32 framed streams for many sections."""
+    """Best-of {O0, O1, PACK|O0, PACK|O1} x32 framed streams for many
+    sections, all walked on the device in two batched calls."""
     big_idx = [i for i, d in enumerate(datas) if len(d) >= MIN_DEVICE]
     out: list[bytes] = [b""] * len(datas)
     big = set(big_idx)
     for i, d in enumerate(datas):
         if i not in big:
             out[i] = host.rans_compress(d, 1)  # tiny sections: host O1
-    if big_idx:
-        subset = [datas[i] for i in big_idx]
-        enc0 = encode_o0_batch(subset)
-        enc1 = encode_o1_batch(subset)
-        for k, i in enumerate(big_idx):
-            d = datas[i]
-            cands = [(len(enc0[k]), 0x04, enc0[k]),
-                     (len(enc1[k]), 0x05, enc1[k])]
-            cands.sort(key=lambda c: c[0])
-            clen, order, payload = cands[0]
-            if clen >= len(d):  # CAT fallback (dispatcher rule)
-                out[i] = _frame(0x20, len(d), d)
-            else:
-                out[i] = _frame(order, len(d), payload)
+    if not big_idx:
+        return out
+
+    plain = [datas[i] for i in big_idx]
+    packs = [pack_np(datas[i]) for i in big_idx]
+    jobs = list(plain)
+    pk_pos = {}
+    for k, p in enumerate(packs):
+        if p is not None and len(p[1]) >= 32:
+            pk_pos[k] = len(jobs)
+            jobs.append(p[1])
+    enc0 = encode_o0_batch(jobs)
+    enc1 = encode_o1_batch(jobs)
+    for k, i in enumerate(big_idx):
+        d = datas[i]
+        cands = [(len(enc0[k]), X_32 | 0, b"", enc0[k]),
+                 (len(enc1[k]), X_32 | 1, b"", enc1[k])]
+        if k in pk_pos:
+            meta, packed, _ = packs[k]
+            pmeta = meta + varint.put_u32(len(packed))
+            j = pk_pos[k]
+            cands.append((len(pmeta) + len(enc0[j]), X_PACK | X_32 | 0,
+                          pmeta, enc0[j]))
+            cands.append((len(pmeta) + len(enc1[j]), X_PACK | X_32 | 1,
+                          pmeta, enc1[j]))
+        cands.sort(key=lambda c: c[0])
+        clen, order, pmeta, payload = cands[0]
+        if clen >= len(d):  # CAT fallback (dispatcher rule)
+            out[i] = _frame(0x20, len(d), d)
+        else:
+            out[i] = (bytes([order]) + varint.put_u32(len(d)) + pmeta
+                      + payload)
     return out
 
 
@@ -94,9 +159,11 @@ def encode_stream_tpu(batches, out_fp: BinaryIO, arg: Options,
             if fq.fixed_len:
                 v = varint.put_u32(fq.fixed_len)
                 out += bytes([len(v)]) + v
+                len_csize = 1 + len(v)
             else:
                 blob = varint.put_array_u32(fq.lens)
                 out += bytes([0]) + struct.pack("<I", len(blob)) + blob
+                len_csize = 5 + len(blob)
             out += struct.pack("<BII", 0, len(fq.seq_buf),
                                len(seqs[w])) + seqs[w]
             if not fq.is_fasta:
@@ -111,10 +178,13 @@ def encode_stream_tpu(batches, out_fp: BinaryIO, arg: Options,
 
             idx.add(out_fp.tell(), len(fq.seq_buf), fq.num_records)
             out_fp.write(bytes(out))
-            t.nblock += 1
-            t.nusize += len(fq.name_buf)
-            t.susize += len(fq.seq_buf)
-            t.qusize += len(fq.qual_buf)
+            bt = Timings()
+            bt.update(0, len(fq.name_buf), len(npay), 0.0)
+            bt.update(3, 4 * fq.num_records, len_csize, 0.0)
+            bt.update(1, len(fq.seq_buf), len(seqs[w]) + 9, 0.0)
+            if not fq.is_fasta:
+                bt.update(2, len(fq.qual_buf), len(quals[qi - 1]) + 9, 0.0)
+            t.append_block(bt, arg.verbose)
 
     wave: list[fastq.FastqBatch] = []
     for fq in batches:
@@ -148,12 +218,38 @@ def encode_file_tpu(in_path, out_fp: BinaryIO, arg: Options,
 # ---------------------------------------------------------------------
 # Decode: wave-batched device rANS for plain O0/O1 sections.
 
-_PLAIN = {0x00: (0, False), 0x01: (1, False), 0x04: (0, True),
-          0x05: (1, True)}
-
-
-def _is_plain_rans(payload: bytes) -> bool:
-    return len(payload) > 0 and payload[0] in _PLAIN
+def _parse_device_job(payload: bytes):
+    """Parse a section payload the device decoder can handle: plain or
+    PACK'd X32 rANS.  Returns (order01, body, body_out_size, post) or
+    None for the host path; post(packed_bytes) -> section bytes."""
+    if len(payload) < 5:
+        return None
+    order = payload[0]
+    if order & ~(X_PACK | X_32 | 1):
+        return None
+    if not (order & X_32):
+        return None
+    ulen, nb = varint.get_u32(payload, 1)
+    off = 1 + nb
+    if order & X_PACK:
+        if off >= len(payload):
+            return None
+        n = payload[off]
+        if n == 0 or n > 16:
+            return None  # 256-symbol wrap or unpackable: host path
+        syms = np.frombuffer(payload[off + 1:off + 1 + n], np.uint8)
+        off += 1 + n
+        psize, nb = varint.get_u32(payload, off)
+        off += nb
+        body = payload[off:]
+        if len(body) < 130:
+            return None
+        return (order & 1, body, psize,
+                lambda pk, u=ulen, s=syms: unpack_np(pk, u, s))
+    body = payload[off:]
+    if len(body) < 130:
+        return None
+    return order & 1, body, ulen, None
 
 
 def decode_file_tpu(in_fp: BinaryIO, writer, arg: Options,
@@ -165,39 +261,34 @@ def decode_file_tpu(in_fp: BinaryIO, writer, arg: Options,
     def flush(wave):
         if not wave:
             return
-        # decode each block on the host, except plain-rANS seq/qual
-        # payloads which run batched on the device
-        jobs0, jobs1 = [], []   # (block_idx, section, payload, usize)
+        # decode each block on the host, except plain/PACK X32 rANS
+        # seq/qual payloads which run batched on the device
+        jobs0, jobs1 = [], []   # (block_idx, section, body, osize, post)
         metas = [None] * len(wave)
         for i, raw in enumerate(wave):
             metas[i] = _split_block(raw, file_version)
         for i, m in enumerate(metas):
             for sec in ("seq", "qual"):
                 strat, ulen, payload = m[sec]
-                if strat == 0 and _is_plain_rans(payload) \
-                        and len(payload) > 4:
-                    inner = payload[0]
-                    _, nb = varint.get_u32(payload, 1)
-                    body = payload[1 + nb:]
-                    if len(body) < 130:
-                        continue  # too small; host path
-                    if _PLAIN[inner][0] == 0:
-                        jobs0.append((i, sec, body, ulen,
-                                      _PLAIN[inner][1]))
-                    else:
-                        jobs1.append((i, sec, body, ulen,
-                                      _PLAIN[inner][1]))
+                if strat != 0:
+                    continue
+                job = _parse_device_job(payload)
+                if job is None:
+                    continue
+                o01, body, osize, post = job
+                (jobs1 if o01 else jobs0).append(
+                    (i, sec, body, osize, post))
         dev_results = {}
         for jobs, dec in ((jobs0, decode_o0_batch), (jobs1, decode_o1_batch)):
-            x32 = [j for j in jobs if j[4]]
-            if x32:
-                res = dec([j[2] for j in x32], [j[3] for j in x32])
-                for j, r in zip(x32, res):
-                    dev_results[(j[0], j[1])] = r
+            if jobs:
+                res = dec([j[2] for j in jobs], [j[3] for j in jobs])
+                for j, r in zip(jobs, res):
+                    dev_results[(j[0], j[1])] = j[4](r) if j[4] else r
         for i, raw in enumerate(wave):
             pre = {k[1]: v for k, v in dev_results.items() if k[0] == i}
-            fq = decode_block(raw, file_version, predecoded=pre)
-            t.nblock += 1
+            bt = Timings()
+            fq = decode_block(raw, file_version, predecoded=pre, timings=bt)
+            t.append_block(bt, arg.verbose)
             writer(fq)
 
     for raw in container.iter_raw_blocks(in_fp, index_offset):

@@ -56,3 +56,69 @@ def test_tpu_engine_fasta(tmp_path):
     assert cli.main(["-e", "tpu", "-V", str(p), str(comp)]) == 0
     assert cli.main(["-d", "-V", str(comp), str(out)]) == 0
     assert out.read_bytes() == p.read_bytes()
+
+
+def test_pack_np_roundtrip():
+    from fqzcomp5_tpu import tpu_driver
+
+    rng = np.random.default_rng(5)
+    for alpha, per in [(b"AB", 8), (b"ACGT", 4), (b"ACGTN", 2),
+                       (bytes(range(16)), 2)]:
+        for n in (1, 7, 64, 1001):
+            data = rng.choice(list(alpha), n).astype(np.uint8).tobytes()
+            r = tpu_driver.pack_np(data)
+            assert r is not None
+            meta, packed, got_per = r
+            syms = np.frombuffer(meta[1:], np.uint8)
+            assert tpu_driver.unpack_np(packed, n, syms) == data
+    # >16 symbols is unpackable
+    assert tpu_driver.pack_np(bytes(range(17)) * 3) is None
+
+
+def test_tpu_engine_pack_path(tmp_path):
+    """Correlated DNA makes PACK|O1 win; file must round-trip through
+    both the device and host decoders."""
+    import io
+
+    from fqzcomp5_tpu import tpu_driver
+    from fqzcomp5_tpu.drivers import Timings, decode_file, \
+        make_fastq_writer
+    from fqzcomp5_tpu.options import Options
+
+    rng = np.random.default_rng(6)
+    # markov-ish DNA: repeat motifs -> O1-compressible
+    motif = rng.choice(list(b"ACGT"), 64).astype(np.uint8)
+    recs = []
+    for i in range(600):
+        seq = np.tile(motif, 3).copy()
+        flips = rng.integers(0, len(seq), 8)
+        seq[flips] = rng.choice(list(b"ACGT"), 8)
+        q = np.full(len(seq), 40, np.uint8)
+        recs.append(b"@r%d\n" % i + seq.tobytes() + b"\n+\n"
+                    + (q + 33).tobytes() + b"\n")
+    data = b"".join(recs)
+    src = tmp_path / "m.fastq"
+    src.write_bytes(data)
+
+    arg = Options()
+    arg.apply_preset(1)
+    arg.blk_size = 1 << 20
+    arg.verbose = -1
+    out = io.BytesIO()
+    tpu_driver.encode_file_tpu(str(src), out, arg, Timings())
+    blob = out.getvalue()
+
+    # the seq section must actually have taken the PACK branch
+    from fqzcomp5_tpu import container
+    fp = io.BytesIO(blob)
+    ver, idx_off = container.read_header(fp)
+    orders = []
+    for raw in container.iter_raw_blocks(fp, idx_off):
+        m = tpu_driver._split_block(raw, ver)
+        orders.append(m["seq"][2][0])
+    assert any(o & tpu_driver.X_PACK for o in orders), orders
+
+    for dec in (tpu_driver.decode_file_tpu, decode_file):
+        res = io.BytesIO()
+        dec(io.BytesIO(blob), make_fastq_writer(res, arg), arg, Timings())
+        assert res.getvalue() == data
