@@ -27,13 +27,30 @@ import numpy as np
 
 
 def main():
+    # the tunnelled TPU backend can flake at init; retry before falling
+    # back to whatever backend is available
     import jax
+
+    on_tpu = False
+    for attempt in range(5):
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+            break
+        except RuntimeError:
+            if attempt == 4:
+                jax.config.update("jax_platforms", "cpu")
+            else:
+                time.sleep(10)
     import jax.numpy as jnp
 
     from fqzcomp5_tpu.ops import rans_jax, rans_pallas
 
-    B = 512               # independent streams (blocks x sections)
-    T1, T2 = 2048, 8192   # scan lengths for marginal timing
+    if on_tpu:
+        B = 512               # independent streams (blocks x sections)
+        T1, T2 = 2048, 8192   # scan lengths for marginal timing
+    else:
+        # CPU safety net (no TPU reachable): tiny interpret-mode run
+        B, (T1, T2) = 32, (32, 128)
     NSYM = 46             # SRR1238539-like quality alphabet
 
     freqs = np.zeros((B, 256), np.uint32)
@@ -48,7 +65,7 @@ def main():
         P = vals[..., 0].astype(jnp.int32)
         PB = jnp.swapaxes(rans_pallas._pack_rows(P), 0, 1)
         R0 = jnp.full((B // 4, 128), rans_pallas.RANS_L, jnp.int32)
-        Rf, out = rans_pallas.encode_walk(PB, R0)
+        Rf, out = rans_pallas.encode_walk(PB, R0, interpret=not on_tpu)
         return Rf.sum() + out.sum()
 
     ptab = jax.device_put(jnp.asarray(pt))

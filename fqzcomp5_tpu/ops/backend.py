@@ -18,9 +18,14 @@ def _use_pallas() -> bool:
     env = os.environ.get("FQZ5_PALLAS")
     if env is not None:
         return env not in ("0", "false", "")
-    import jax
+    try:
+        import jax
 
-    return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu"
+    except Exception:
+        # backend init can fail transiently (tunnelled TPU); the scan
+        # path on CPU always works
+        return False
 
 
 def encode_flat(flat: np.ndarray, freqs: np.ndarray, shift: int,

@@ -107,8 +107,15 @@ def _device_section_encode(datas: list[bytes]) -> list[bytes]:
         if p is not None and len(p[1]) >= 32:
             pk_pos[k] = len(jobs)
             jobs.append(p[1])
-    enc0 = encode_o0_batch(jobs)
-    enc1 = encode_o1_batch(jobs)
+    try:
+        enc0 = encode_o0_batch(jobs)
+        enc1 = encode_o1_batch(jobs)
+    except RuntimeError:
+        # device unavailable mid-run (tunnel drop): host path for this
+        # wave keeps the output valid
+        for i in big_idx:
+            out[i] = host.rans_compress(datas[i], 0x05 | 0x80)
+        return out
     for k, i in enumerate(big_idx):
         d = datas[i]
         cands = [(len(enc0[k]), X_32 | 0, b"", enc0[k]),
