@@ -151,6 +151,39 @@ def _encode_stream(batches, out_fp: BinaryIO, arg: Options,
     container.patch_index_offset(out_fp, index_offset)
 
 
+def _prefetched(gen, depth: int = 2):
+    """Run a batch generator on a background thread (the reference
+    overlaps its main-thread kseq parse with pool compression; this is
+    the same overlap — parsing is numpy/native work that releases the
+    GIL)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    DONE = object()
+    err: list[BaseException] = []
+
+    def run():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(DONE)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            break
+        yield item
+    th.join()
+    if err:
+        raise err[0]
+
+
 def encode_file(in_path: Optional[str], out_fp: BinaryIO, arg: Options,
                 t: Timings) -> None:
     parser = fastq.Parser(fastq.open_input(in_path))
@@ -162,7 +195,7 @@ def encode_file(in_path: Optional[str], out_fp: BinaryIO, arg: Options,
                 return
             yield b
 
-    _encode_stream(batches(), out_fp, arg, t)
+    _encode_stream(_prefetched(batches()), out_fp, arg, t)
 
 
 def encode_paired(in1: str, in2: str, out_fp: BinaryIO, arg: Options,
@@ -177,7 +210,7 @@ def encode_paired(in1: str, in2: str, out_fp: BinaryIO, arg: Options,
                 return
             yield b
 
-    _encode_stream(batches(), out_fp, arg, t)
+    _encode_stream(_prefetched(batches()), out_fp, arg, t)
 
 
 def decode_file(in_fp: BinaryIO, writer, arg: Options, t: Timings) -> None:
@@ -188,10 +221,15 @@ def decode_file(in_fp: BinaryIO, writer, arg: Options, t: Timings) -> None:
         pass
 
     nthread = max(1, arg.nthread)
+    fmt = getattr(writer, "format", None)
+    sink = getattr(writer, "write_bytes", None)
 
     def job(raw):
         bt = Timings()
         fq = decode_block(raw, file_version, timings=bt)
+        if fmt is not None:
+            # format in the worker too; the ordered drain just writes
+            return fmt(fq), bt
         return fq, bt
 
     with cf.ThreadPoolExecutor(max_workers=nthread) as pool:
@@ -199,9 +237,12 @@ def decode_file(in_fp: BinaryIO, writer, arg: Options, t: Timings) -> None:
         max_inflight = nthread * 2
 
         def drain_one():
-            fq, bt = pending.pop(0).result()
+            res, bt = pending.pop(0).result()
             t.append_block(bt, arg.verbose)
-            writer(fq)
+            if fmt is not None:
+                sink(res)
+            else:
+                writer(res)
 
         for raw in container.iter_raw_blocks(in_fp, index_offset):
             pending.append(pool.submit(job, raw))
@@ -211,24 +252,52 @@ def decode_file(in_fp: BinaryIO, writer, arg: Options, t: Timings) -> None:
             drain_one()
 
 
-def make_fastq_writer(out_fp: BinaryIO, arg: Options):
-    from fqzcomp5_tpu.fastq_fast import format_fastq_fast
+class _FastqWriter:
+    """Formatter + ordered sink pair: decode workers call .format in
+    parallel, the in-order drain calls .write_bytes.  Calling the
+    object directly does both (wave/TPU driver path)."""
 
-    def write(batch):
+    def __init__(self, out_fp: BinaryIO, arg: Options):
+        self._out = out_fp
+        self._plus = bool(arg.plus_name)
+
+    def format(self, batch) -> bytes:
+        from fqzcomp5_tpu.fastq_fast import format_fastq_fast
+
         if batch.is_fasta:
-            out_fp.write(fastq.format_fasta(batch))
-        else:
-            out_fp.write(format_fastq_fast(batch, bool(arg.plus_name)))
-    return write
+            return fastq.format_fasta(batch)
+        return format_fastq_fast(batch, self._plus)
+
+    def write_bytes(self, data: bytes) -> None:
+        self._out.write(data)
+
+    def __call__(self, batch) -> None:
+        self.write_bytes(self.format(batch))
+
+
+def make_fastq_writer(out_fp: BinaryIO, arg: Options):
+    return _FastqWriter(out_fp, arg)
+
+
+class _DeinterleaveWriter:
+    def __init__(self, out1: BinaryIO, out2: BinaryIO, arg: Options):
+        self._o1, self._o2 = out1, out2
+        self._plus = arg.plus_name
+
+    def format(self, batch) -> tuple[bytes, bytes]:
+        r1, r2 = fastq.split_batch(batch)
+        if batch.is_fasta:
+            return fastq.format_fasta(r1), fastq.format_fasta(r2)
+        return (fastq.format_fastq(r1, self._plus),
+                fastq.format_fastq(r2, self._plus))
+
+    def write_bytes(self, pair) -> None:
+        self._o1.write(pair[0])
+        self._o2.write(pair[1])
+
+    def __call__(self, batch) -> None:
+        self.write_bytes(self.format(batch))
 
 
 def make_deinterleave_writer(out1: BinaryIO, out2: BinaryIO, arg: Options):
-    def write(batch):
-        r1, r2 = fastq.split_batch(batch)
-        if batch.is_fasta:
-            out1.write(fastq.format_fasta(r1))
-            out2.write(fastq.format_fasta(r2))
-        else:
-            out1.write(fastq.format_fastq(r1, arg.plus_name))
-            out2.write(fastq.format_fastq(r2, arg.plus_name))
-    return write
+    return _DeinterleaveWriter(out1, out2, arg)

@@ -38,6 +38,10 @@ def concat_ranges(data: np.ndarray, starts, ends) -> np.ndarray:
     total = int(lens.sum())
     if total == 0:
         return np.zeros(0, data.dtype)
+    # adjacent ranges (e.g. whole-buffer record spans) need no copy
+    if (len(starts) and total == ends[-1] - starts[0]
+            and bool((starts[1:] == ends[:-1]).all())):
+        return data[starts[0]:ends[-1]]
     if data.dtype == np.uint8 and _have_native():
         from fqzcomp5_tpu.codecs import native
 
