@@ -100,8 +100,11 @@ def get_array_u32(buf, off: int, count: int) -> tuple[np.ndarray, int]:
     if count == 0:
         return np.zeros(0, dtype=np.uint32), off
     data = np.frombuffer(buf, dtype=np.uint8)
-    # Terminator bytes have the top bit clear.
-    is_end = (data[off:] & 0x80) == 0
+    # Terminator bytes have the top bit clear.  u32 varints are at most
+    # 6 bytes, so only a bounded window needs scanning (not the whole
+    # remaining buffer).
+    window = min(len(data), off + count * 6 + 8)
+    is_end = (data[off:window] & 0x80) == 0
     ends_rel = np.flatnonzero(is_end)
     if ends_rel.size < count:
         raise ValueError("truncated varint stream")
