@@ -114,12 +114,14 @@ def _mulhi32(a, b):
 # Order-0 encode core
 
 @functools.partial(jax.jit, static_argnames=("shift",))
-def encode_scan(syms, x_max, rcp, rcp_shift, bias, cmpl, shift: int):
+def encode_scan(syms, x_max, rcp, rcp_shift, bias, cmpl, shift: int,
+                R0=None):
     """Walk (B, T, N) symbols in reverse, returning emitted word planes.
 
     Returns (final_states (B,N), words (B,T,N) u16-in-u32,
     mask (B,T,N) bool).  Symbol tables are (B, S) gathered per lane.
-    """
+    R0 optionally seeds the states (also lets shard_map callers pass a
+    carry with the right varying mesh axes)."""
     B = syms.shape[0]
 
     def step(R, sym_t):
@@ -134,9 +136,11 @@ def encode_scan(syms, x_max, rcp, rcp_shift, bias, cmpl, shift: int):
              + q * jnp.take_along_axis(cmpl, sym_t, axis=1))
         return R, (word, emit)
 
-    R0 = jnp.full((B, N), RANS_L, jnp.uint32)
+    if R0 is None:
+        R0 = jnp.full((B, N), RANS_L, jnp.uint32)
     syms_t = jnp.swapaxes(syms.astype(jnp.int32), 0, 1)  # (T, B, N)
-    Rf, (words, mask) = jax.lax.scan(step, R0, syms_t, reverse=True)
+    Rf, (words, mask) = jax.lax.scan(step, R0.astype(jnp.uint32), syms_t,
+                                     reverse=True)
     return Rf, jnp.swapaxes(words, 0, 1), jnp.swapaxes(mask, 0, 1)
 
 

@@ -73,3 +73,46 @@ def training_step(mesh: Mesh, syms, tables, shift=rans_jax.TF_SHIFT):
     gathered = jax.jit(lambda x: x)(nwords)  # resharding no-op
     sizes = np.asarray(jax.device_get(gathered))
     return Rf, words, mask, sizes
+
+
+def shard_map_encode_step(mesh: Mesh, syms, tables,
+                          shift=rans_jax.TF_SHIFT):
+    """Explicit-SPMD variant: each device walks its block shard
+    independently (no cross-device deps in the hot loop — mirroring the
+    reference's thread-pool data parallelism), then the per-stream
+    compressed sizes all-gather over the mesh (the index-entry
+    exchange) and total output bytes psum for the throughput report.
+
+    Returns (Rf, words, mask) sharded over ("dp","sp") plus replicated
+    (sizes (B,), total_bytes scalar)."""
+    from jax.experimental.shard_map import shard_map
+
+    axes = ("dp", "sp")
+
+    def step(syms, x_max, rcp, rcp_shift, bias, cmpl):
+        # seed the carry from the sharded input so it carries the same
+        # varying mesh axes as the scanned operands
+        R0 = jnp.full_like(syms[:, 0, :], rans_jax.RANS_L).astype(
+            jnp.uint32)
+        Rf, words, mask = rans_jax.encode_scan(
+            syms, x_max, rcp, rcp_shift, bias, cmpl, shift, R0=R0)
+        local_sizes = jnp.sum(mask.astype(jnp.int32), axis=(1, 2))
+        # index entries ride the ICI to every host (writer picks them up)
+        sizes = jax.lax.all_gather(local_sizes, axes, tiled=True)
+        total = jax.lax.psum(jnp.sum(local_sizes) * 2 + 128, axes)
+        return Rf, words, mask, sizes, total
+
+    shard = P(axes)
+    try:
+        fn = shard_map(
+            step, mesh=mesh,
+            in_specs=(shard, shard, shard, shard, shard, shard),
+            out_specs=(shard, shard, shard, P(), P()),
+            check_rep=False)
+    except TypeError:  # newer jax renamed the kwarg
+        fn = shard_map(
+            step, mesh=mesh,
+            in_specs=(shard, shard, shard, shard, shard, shard),
+            out_specs=(shard, shard, shard, P(), P()),
+            check_vma=False)
+    return jax.jit(fn)(syms, *tables)

@@ -63,3 +63,33 @@ def test_entry_compiles():
     fn, args = g.entry()
     Rf, words, mask = jax.jit(fn)(*args)
     assert Rf.shape == (4, 32)
+
+
+def test_shard_invariance():
+    """SURVEY section 4: output must be identical regardless of device
+    count — blocks are model-independent, so a 1-device and an 8-device
+    mesh walk produce the same streams."""
+    import jax
+    import numpy as np
+
+    from fqzcomp5_tpu.ops import rans_jax
+    from fqzcomp5_tpu.parallel import pipeline
+
+    rng = np.random.default_rng(11)
+    B, T = 16, 12
+    freqs = np.zeros((B, 256), np.uint32)
+    freqs[:, :8] = 512
+    tables = rans_jax.build_enc_tables(freqs, rans_jax.TF_SHIFT)
+    syms = rng.integers(0, 8, (B, T, 32)).astype(np.int32)
+
+    devs = jax.devices("cpu")
+    results = []
+    for n in (1, 4, 8):
+        mesh = pipeline.make_mesh(devs[:n], dp=n, sp=1)
+        Rf, w, m, sizes, total = pipeline.shard_map_encode_step(
+            mesh, syms, tables)
+        results.append((np.asarray(Rf), np.asarray(w), np.asarray(m),
+                        np.asarray(sizes)))
+    for r in results[1:]:
+        for a, b in zip(results[0], r):
+            assert np.array_equal(a, b)
