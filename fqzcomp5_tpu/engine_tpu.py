@@ -332,24 +332,29 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
             raise ValueError("o0 dec prep failed")
         bodies.append(arr[used:])
 
-    Wmax = max(max((len(x) - 128 + 1) // 2 for x in bodies), 1)
-    words = np.zeros((B, Wmax), np.uint32)
-    R0 = np.empty((B, 32), np.uint32)
-    for b, body in enumerate(bodies):
-        R0[b] = body[:128].copy().view("<u4")
-        wb = body[128:]
-        if len(wb) & 1:
-            wb = np.concatenate([wb, np.zeros(1, np.uint8)])
-        w16 = wb.copy().view("<u2")
-        words[b, :len(w16)] = w16
-
     t_real = np.array([sz // 32 for sz in out_szs], np.int32)
     Tmax = max(int(t_real.max()), 1)
-    syms, Rf, _ = rans_jax.decode_scan(words, R0, s3s, Tmax,
-                                       rans_jax.TF_SHIFT,
-                                       t_real=t_real)
-    syms = np.asarray(syms)
-    Rf = np.asarray(Rf)
+
+    from fqzcomp5_tpu.ops import backend
+    if backend._use_pallas():
+        syms, Rf = _decode_o0_pallas(bodies, s3s, t_real, Tmax)
+    else:
+        Wmax = max(max((len(x) - 128 + 1) // 2 for x in bodies), 1)
+        words = np.zeros((B, Wmax), np.uint32)
+        R0 = np.empty((B, 32), np.uint32)
+        for b, body in enumerate(bodies):
+            R0[b] = body[:128].copy().view("<u4")
+            wb = body[128:]
+            if len(wb) & 1:
+                wb = np.concatenate([wb, np.zeros(1, np.uint8)])
+            w16 = wb.copy().view("<u2")
+            words[b, :len(w16)] = w16
+        syms, Rf, _ = rans_jax.decode_scan(words, R0, s3s, Tmax,
+                                           rans_jax.TF_SHIFT,
+                                           t_real=t_real)
+        syms = np.asarray(syms)
+        Rf = np.asarray(Rf)
+
     out = []
     for b, sz in enumerate(out_szs):
         full = syms[b, :sz // 32].reshape(-1).astype(np.uint8)
@@ -360,6 +365,47 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
             full = np.concatenate([full, tail])
         out.append(full[:sz].tobytes())
     return out
+
+
+def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
+    """Run the Pallas decode walk; returns (syms (B,T,32), Rf (B,32))
+    matching decode_scan's host-side conventions."""
+    import jax.numpy as jnp
+
+    from fqzcomp5_tpu.ops import rans_pallas_dec
+
+    B = len(bodies)
+    # recover per-symbol freqs from the s3 LUT (slot -> f<<20|bias<<8|sym)
+    freqs = np.zeros((B, 256), np.uint32)
+    for b in range(B):
+        syms_lut = (s3s[b] & 0xFF).astype(np.int64)
+        freqs[b][syms_lut] = s3s[b] >> 20
+    Wmax128 = max(max((len(x) - 128 + 1) // 2 for x in bodies)
+                  // 128 + 3, 3)
+    words = np.zeros((B, Wmax128, 128), np.int32)
+    R0 = np.zeros((B, 128), np.int32)
+    for b, body in enumerate(bodies):
+        R0[b, :32] = body[:128].copy().view("<u4").astype(np.int32)
+        wb = body[128:]
+        if len(wb) & 1:
+            wb = np.concatenate([wb, np.zeros(1, np.uint8)])
+        w16 = wb.copy().view("<u2").astype(np.int32)
+        flat = np.zeros(Wmax128 * 128, np.int32)
+        flat[:len(w16)] = w16
+        words[b] = flat.reshape(Wmax128, 128)
+    # alphabet bucket: the compare loop costs O(S) per step, so compile
+    # for the smallest bucket covering the max symbol value
+    max_sym = int(np.max(np.nonzero(freqs.any(0))[0], initial=0))
+    S = 16 if max_sym < 16 else 64 if max_sym < 64 else 256
+    tab = rans_pallas_dec.build_dec_tables(freqs, rans_jax.TF_SHIFT, S)
+    f0 = freqs[:, :1].astype(np.int32)
+    syms, Rf = rans_pallas_dec.decode_walk(
+        jnp.asarray(words), jnp.asarray(tab), jnp.asarray(f0),
+        jnp.asarray(R0), jnp.asarray(t_real), T=Tmax,
+        shift=rans_jax.TF_SHIFT, S=S)
+    syms = np.asarray(syms)[:, :, :32].transpose(1, 0, 2)  # (B, T, 32)
+    Rf = np.asarray(Rf)[:, :32].astype(np.uint32)
+    return syms, Rf
 
 
 def encode_o1_batch(datas: list[bytes]) -> list[bytes]:

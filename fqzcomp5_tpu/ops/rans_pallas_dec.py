@@ -1,0 +1,239 @@
+"""Pallas TPU kernel for the batched 32-lane rANS order-0 decode walk.
+
+TPUs have no vector gather, which rules out the CPU recipe (s3-LUT
+gathers, rANS_static32x16pr_avx2.c:527-607).  This kernel replaces the
+two gathers differently:
+
+- symbol lookup: a compare-reduction over the cumulative-frequency
+  boundaries — sym = #{j : C[j+1] <= m} — with freq/start selected in
+  the same pass.  Cost is O(alphabet) VPU ops per step, so the kernel
+  is compiled per alphabet bucket (16/64/256).
+- word feed: each stream keeps a 256-word register double-window
+  (two (rows,128) int32 tiles).  Per step, lanes take the next 0..32
+  words via a rank (segmented prefix sum over the 32 state lanes,
+  log-step rolls) and a 32-way select from the cons-aligned view; the
+  window then advances by the consumed count with masked static rolls.
+  When 128 words are consumed the windows swap and the refill DMAs in
+  per-row from HBM (the words array never stages through VMEM blocks,
+  so section size is unbounded).
+
+Layout: one stream per row; lanes 0..31 hold the 32 interleaved rANS
+states (rANS_static32x16pr.c:65).  T leads arrays so per-step dynamic
+indices land on untiled dims.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N = 32
+RANS_L = 1 << 15
+LANES = 128
+WIN = 128            # words per window tile
+
+
+def build_dec_tables(freqs: np.ndarray, shift: int, S: int) -> np.ndarray:
+    """(B, S) int32 boundary/freq tables: entry j packs
+    (freq[j+1] << 14) | C[j+1]; entry S-1 has C[S]=1<<shift so its
+    compare never fires.  freqs: (B, 256) summing to 1<<shift; all
+    symbols above S-1 must be absent."""
+    freqs = np.atleast_2d(freqs).astype(np.int64)
+    B = freqs.shape[0]
+    if S < 256:
+        assert (freqs[:, S:] == 0).all(), "alphabet exceeds bucket"
+    C = np.zeros((B, 257), np.int64)
+    C[:, 1:] = np.cumsum(freqs, axis=1)
+    f_next = np.zeros((B, 256), np.int64)
+    f_next[:, :255] = freqs[:, 1:]
+    out = ((f_next[:, :S] << 14) | C[:, 1:S + 1]).astype(np.int32)
+    return out
+
+
+def _lane_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+
+def _decode_kernel(shift: int, Tc: int, S: int, tab_ref, f0_ref, r0_ref,
+                   w_hbm, treal_ref, sym_ref, rf_ref,
+                   R_st, W0, W1, cons_st, jhbm_st, sem):
+    """Grid: (stream-row blocks, T chunks).  State persists over T."""
+    t_idx = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    rows = R_st.shape[0]
+    lane = _lane_iota()
+    in_seg = lane < N
+    mask = (1 << shift) - 1
+
+    @pl.when(t_idx == 0)
+    def _():
+        R_st[:] = r0_ref[:]
+        for r in range(rows):
+            cons_st[r] = 0
+            jhbm_st[r] = 2
+            # preload both windows synchronously (w_hbm is the whole
+            # unblocked array: row index is global)
+            for slot, Wd in ((0, W0), (1, W1)):
+                dma = pltpu.make_async_copy(
+                    w_hbm.at[b_idx * rows + r, slot], Wd.at[r],
+                    sem.at[r])
+                dma.start()
+                dma.wait()
+
+    def step(s, _):
+        t_global = t_idx * Tc + s
+        R = R_st[:]
+        m = R & mask
+
+        # ---- symbol lookup: sym = #{j : C[j+1] <= m} ---------------
+        sym = jnp.zeros((rows, LANES), jnp.int32)
+        F = f0_ref[:]                     # freq of symbol 0, broadcast
+        C = jnp.zeros((rows, LANES), jnp.int32)
+        for j in range(S):
+            e = tab_ref[:, j:j + 1]       # (rows, 1) broadcast
+            cj = e & 0x3FFF
+            ge = m >= cj
+            sym = sym + ge.astype(jnp.int32)
+            F = jnp.where(ge, e >> 14, F)
+            C = jnp.where(ge, cj, C)
+
+        Rn = F * jax.lax.shift_right_logical(R, shift) + (m - C)
+
+        # ---- renormalisation ranks ---------------------------------
+        treal_vec = jnp.array([treal_ref[r, 0] for r in range(rows)],
+                              jnp.int32).reshape(rows, 1)
+        active = (t_global < treal_vec).astype(jnp.int32)
+        need = ((Rn < RANS_L) & in_seg).astype(jnp.int32) * active
+        incl = need
+        for d in (1, 2, 4, 8, 16):
+            sh = pltpu.roll(incl, d, axis=1)
+            incl = incl + jnp.where(lane >= d, sh, 0)
+        rank = incl - need
+        k = incl[:, N - 1:N]              # (rows, 1) consumed count
+
+        # ---- word select from the cons-aligned window --------------
+        cons_vec = cons_ref_vec(cons_st, rows)
+        # V[j] = window[cons + j]; build by shifting W0||W1 left by cons
+        V0, V1 = W0[:], W1[:]
+        for d in (1, 2, 4, 8, 16, 32, 64):
+            bit = (cons_vec & d) > 0
+            r0 = pltpu.roll(V0, LANES - d, axis=1)  # left-shift by d
+            r1 = pltpu.roll(V1, LANES - d, axis=1)
+            # lanes >= 128-d of roll(V0) wrapped from the front; they
+            # must come from V1's first d lanes (which r1 holds there)
+            m0 = jnp.where(lane < LANES - d, r0, r1)
+            V0 = jnp.where(bit, m0, V0)
+            V1 = jnp.where(bit, r1, V1)
+        word = jnp.zeros((rows, LANES), jnp.int32)
+        for j in range(N):
+            word = jnp.where((rank == j) & (need > 0), V0[:, j:j + 1],
+                             word)
+
+        Rn = jnp.where(need > 0, (Rn << 16) | (word & 0xFFFF), Rn)
+        R_new = jnp.where((active > 0) & in_seg, Rn, R)
+        R_st[:] = R_new
+        sym_ref[s] = jnp.where(active > 0, sym, 0)
+
+        # ---- advance window ----------------------------------------
+        for r in range(rows):
+            kk = k[r, 0]
+            new_cons = cons_st[r] + kk
+
+            @pl.when(new_cons >= WIN)
+            def _(r=r, new_cons=new_cons):
+                W0[r, :] = W1[r, :]
+                dma = pltpu.make_async_copy(
+                    w_hbm.at[b_idx * rows + r, jhbm_st[r]], W1.at[r],
+                    sem.at[r])
+                dma.start()
+                dma.wait()
+                jhbm_st[r] = jhbm_st[r] + 1
+                cons_st[r] = new_cons - WIN
+
+            @pl.when(new_cons < WIN)
+            def _(r=r, new_cons=new_cons):
+                cons_st[r] = new_cons
+
+        return 0
+
+    jax.lax.fori_loop(0, Tc, step, 0)
+
+    n_t = pl.num_programs(1)
+
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        rf_ref[:] = R_st[:]
+        # stash the per-row word cursor in lane 32 (the host continues
+        # the <32-byte tail from there)
+        cur = jnp.array([(jhbm_st[r] - 2) * WIN + cons_st[r]
+                         for r in range(rows)], jnp.int32).reshape(rows, 1)
+        rf_ref[:, N:N + 1] = cur
+
+
+def cons_ref_vec(cons_st, rows):
+    """(rows, 1) int32 vector of the per-row consumed counts."""
+    vals = [cons_st[r] for r in range(rows)]
+    return jnp.array(vals, jnp.int32).reshape(rows, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "S", "T",
+                                             "interpret"))
+def decode_walk(words128, tab, f0, R0, treal, T: int, shift: int = 12,
+                S: int = 256, interpret: bool = False):
+    """words128: (B, W128, 128) int32 word stream per stream (padded);
+    tab: (B, S) int32 from build_dec_tables; f0: (B, 1) freq of symbol
+    0; R0: (B, 128) int32 initial states (lanes 0..31); treal: (B,)
+    active step counts (reshaped to (B,1) SMEM internally).
+    Returns (syms (T, B, 128) int32, Rf)."""
+    B, W128, L = words128.shape
+    assert L == LANES and W128 >= 2
+    rows = min(B, 8)
+    while B % rows:
+        rows -= 1
+    Tc = max(1, min(T, 128))
+    while T % Tc:
+        Tc -= 1
+    grid = (B // rows, T // Tc)
+    nt = grid[1]
+
+    del nt
+    out_spec = pl.BlockSpec((Tc, rows, LANES),
+                            lambda b, t: (t, b, 0),
+                            memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((rows, LANES), lambda b, t: (b, 0),
+                              memory_space=pltpu.VMEM)
+
+    syms, Rf = pl.pallas_call(
+        functools.partial(_decode_kernel, shift, Tc, S),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, S), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),   # words in HBM
+            pl.BlockSpec((rows, 1), lambda b, t: (b, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[out_spec, state_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.int32),   # R
+            pltpu.VMEM((rows, LANES), jnp.int32),   # W0
+            pltpu.VMEM((rows, LANES), jnp.int32),   # W1
+            pltpu.SMEM((rows,), jnp.int32),          # cons
+            pltpu.SMEM((rows,), jnp.int32),          # next hbm chunk
+            pltpu.SemaphoreType.DMA((rows,)),
+        ],
+        interpret=interpret,
+    )(tab, f0, R0, words128, treal.reshape(B, 1).astype(jnp.int32))
+    return syms, Rf

@@ -1,0 +1,97 @@
+"""Pallas decode-walk parity (interpreter mode; tests run on CPU).
+
+Streams come from the real engine encoder, so this exercises the full
+wire format: 32 flush states + interleaved renormalisation words."""
+
+import numpy as np
+import pytest
+
+from fqzcomp5_tpu import engine_tpu
+from fqzcomp5_tpu.ops import rans_pallas_dec
+
+
+def _prep(datas):
+    import ctypes
+
+    L = engine_tpu._lib()
+    payloads = engine_tpu.encode_o0_batch(datas)
+    B = len(datas)
+    s3s = np.empty((B, 1 << 12), np.uint32)
+    bodies = []
+    for b, p in enumerate(payloads):
+        arr = np.frombuffer(p, np.uint8)
+        used = L.fqz5_rans_o0_dec_prep(
+            engine_tpu._ptr(arr), len(arr),
+            s3s[b].ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        assert used > 0
+        bodies.append(arr[used:])
+    freqs = np.stack([engine_tpu.o0_prep(d)[1] for d in datas])
+    Wmax = max(max((len(x) - 128 + 1) // 2 for x in bodies) // 128 + 3, 3)
+    words = np.zeros((B, Wmax, 128), np.int32)
+    R0 = np.zeros((B, 128), np.int32)
+    for b, body in enumerate(bodies):
+        R0[b, :32] = body[:128].copy().view("<u4").astype(np.int32)
+        wb = body[128:]
+        if len(wb) & 1:
+            wb = np.concatenate([wb, np.zeros(1, np.uint8)])
+        w16 = wb.copy().view("<u2").astype(np.int32)
+        flat = np.zeros(Wmax * 128, np.int32)
+        flat[:len(w16)] = w16
+        words[b] = flat.reshape(Wmax, 128)
+    return words, freqs, R0
+
+
+@pytest.mark.parametrize("S", [64, 256])
+def test_decode_walk_parity(S):
+    rng = np.random.default_rng(3)
+    B = 6
+    # the S bucket bounds the max SYMBOL VALUE: quality-style bytes for
+    # S=64, raw ACGTN bytes for S=256
+    alpha = (np.arange(5, dtype=np.uint8) + 2 if S == 64
+             else np.frombuffer(b"ACGTN", np.uint8))
+    datas = []
+    for b in range(B):
+        n = int(rng.integers(300, 5000))
+        datas.append(rng.choice(
+            alpha, n, p=[.3, .2, .2, .25, .05]).tobytes())
+    words, freqs, R0 = _prep(datas)
+    treal = np.array([len(d) // 32 for d in datas], np.int32)
+    T = int(treal.max())
+    tab = rans_pallas_dec.build_dec_tables(freqs, 12, S)
+    f0 = freqs[:, :1].astype(np.int32)
+    syms, Rf = rans_pallas_dec.decode_walk(
+        words, tab, f0, R0, treal, T=T, shift=12, S=S, interpret=True)
+    syms = np.asarray(syms)
+    for b, d in enumerate(datas):
+        t = len(d) // 32
+        got = syms[:t, b, :32].reshape(-1).astype(np.uint8)
+        assert np.array_equal(got, np.frombuffer(d, np.uint8)[:t * 32]), b
+    # word cursor (lane 32) counts every consumed word
+    Rf = np.asarray(Rf)
+    assert (Rf[:, 32] >= 0).all()
+
+
+def test_decode_o0_batch_pallas_path(monkeypatch):
+    """decode_o0_batch via the interpret-mode Pallas path must match
+    the scan path bit-for-bit, including the <32-byte tails."""
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    rng = np.random.default_rng(9)
+    datas = [rng.choice(np.frombuffer(b"ACGTN", np.uint8),
+                        int(rng.integers(40, 4000))).tobytes()
+             for _ in range(5)]
+    payloads = engine_tpu.encode_o0_batch(datas)
+    szs = [len(d) for d in datas]
+    want = engine_tpu.decode_o0_batch(payloads, szs)
+    assert want == datas
+
+    orig = rpd.decode_walk
+
+    def walk_interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rpd, "decode_walk", walk_interp)
+    monkeypatch.setenv("FQZ5_PALLAS", "1")
+    got = engine_tpu.decode_o0_batch(payloads, szs)
+    assert got == datas
