@@ -368,24 +368,29 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
 
 
 def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
-    """Run the Pallas decode walk; returns (syms (B,T,32), Rf (B,32))
-    matching decode_scan's host-side conventions."""
+    """Run the Pallas decode walk (v3: 4 streams/row); returns
+    (syms (B,T,32), Rf (B,32)) matching decode_scan's conventions."""
     import jax.numpy as jnp
 
-    from fqzcomp5_tpu.ops import rans_pallas_dec
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
 
     B = len(bodies)
+    pad = (-B) % rpd.S_SLOTS
     # recover per-symbol freqs from the s3 LUT (slot -> f<<20|bias<<8|sym)
-    freqs = np.zeros((B, 256), np.uint32)
+    freqs = np.zeros((B + pad, 256), np.uint32)
     for b in range(B):
         syms_lut = (s3s[b] & 0xFF).astype(np.int64)
         freqs[b][syms_lut] = s3s[b] >> 20
+    freqs[B:, 0] = 1 << rans_jax.TF_SHIFT  # pad streams: degenerate
     Wmax128 = max(max((len(x) - 128 + 1) // 2 for x in bodies)
-                  // 128 + 3, 3)
-    words = np.zeros((B, Wmax128, 128), np.int32)
-    R0 = np.zeros((B, 128), np.int32)
+                  // 128 + 4, 4)
+    words = np.zeros((B + pad, Wmax128, 128), np.int32)
+    R0 = np.zeros((B + pad, 32), np.int32)
+    R0[B:] = rpd.RANS_L
+    treal = np.zeros(B + pad, np.int32)
+    treal[:B] = t_real
     for b, body in enumerate(bodies):
-        R0[b, :32] = body[:128].copy().view("<u4").astype(np.int32)
+        R0[b] = body[:128].copy().view("<u4").astype(np.int32)
         wb = body[128:]
         if len(wb) & 1:
             wb = np.concatenate([wb, np.zeros(1, np.uint8)])
@@ -395,17 +400,26 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
         words[b] = flat.reshape(Wmax128, 128)
     # alphabet bucket: the compare loop costs O(S) per step, so compile
     # for the smallest bucket covering the max symbol value
-    max_sym = int(np.max(np.nonzero(freqs.any(0))[0], initial=0))
+    max_sym = int(np.max(np.nonzero(freqs[:B].any(0))[0], initial=0))
     S = 16 if max_sym < 16 else 64 if max_sym < 64 else 256
-    tab = rans_pallas_dec.build_dec_tables(freqs, rans_jax.TF_SHIFT, S)
-    f0 = freqs[:, :1].astype(np.int32)
-    syms, Rf = rans_pallas_dec.decode_walk(
-        jnp.asarray(words), jnp.asarray(tab), jnp.asarray(f0),
-        jnp.asarray(R0), jnp.asarray(t_real), T=Tmax,
+    tab = rpd.build_dec_tables(freqs, rans_jax.TF_SHIFT, S)
+    cexp = np.ascontiguousarray(rpd.expand4(tab).transpose(1, 0, 2))
+    f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
+    texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
+    R0p = R0.reshape((B + pad) // rpd.S_SLOTS, 128).astype(np.int32)
+    syms, Rf = rpd.decode_walk4v3(
+        jnp.asarray(words), jnp.asarray(cexp), jnp.asarray(f0exp),
+        jnp.asarray(R0p), jnp.asarray(texp), T=Tmax,
         shift=rans_jax.TF_SHIFT, S=S)
-    syms = np.asarray(syms)[:, :, :32].transpose(1, 0, 2)  # (B, T, 32)
-    Rf = np.asarray(Rf)[:, :32].astype(np.uint32)
-    return syms, Rf
+    syms = np.asarray(syms)      # (T, B4, 128)
+    Rf4 = np.asarray(Rf)         # (B4, 128)
+    out_syms = np.empty((B, Tmax, 32), np.int32)
+    Rf_out = np.empty((B, 32), np.uint32)
+    for b in range(B):
+        sl = slice((b % 4) * 32, (b % 4) * 32 + 32)
+        out_syms[b] = syms[:, b // 4, sl]
+        Rf_out[b] = Rf4[b // 4, sl].astype(np.uint32)
+    return out_syms, Rf_out
 
 
 def encode_o1_batch(datas: list[bytes]) -> list[bytes]:

@@ -237,3 +237,403 @@ def decode_walk(words128, tab, f0, R0, treal, T: int, shift: int = 12,
         interpret=interpret,
     )(tab, f0, R0, words128, treal.reshape(B, 1).astype(jnp.int32))
     return syms, Rf
+
+
+# ---------------------------------------------------------------------
+# v2: 4 streams per 128-lane row (full VPU utilisation).
+#
+# Tables expand per lane ((S, rows, 128) — each lane reads its own
+# stream's entry), the rank prefix-sum masks at 32-lane segment
+# boundaries, and each stream slot keeps its own register double-window
+# with per-(row,slot) consumption counters.
+
+S_SLOTS = 4
+
+
+def _decode_kernel4(shift: int, Tc: int, S: int, cexp_ref, f0_ref, r0_ref,
+                    w_hbm, texp_ref, sym_ref, rf_ref,
+                    R_st, W0a, W0b, W0c, W0d, W1a, W1b, W1c, W1d,
+                    cons_st, jhbm_st, sem):
+    t_idx = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    rows = R_st.shape[0]
+    lane = _lane_iota()
+    lane_mod = lane & (N - 1)
+    mask = (1 << shift) - 1
+    W0s = (W0a, W0b, W0c, W0d)
+    W1s = (W1a, W1b, W1c, W1d)
+
+    @pl.when(t_idx == 0)
+    def _():
+        R_st[:] = r0_ref[:]
+        for r in range(rows):
+            for s in range(S_SLOTS):
+                cons_st[r, s] = 0
+                jhbm_st[r, s] = 2
+                g = (b_idx * rows + r) * S_SLOTS + s
+                for slot, Wd in ((0, W0s[s]), (1, W1s[s])):
+                    dma = pltpu.make_async_copy(
+                        w_hbm.at[g, slot], Wd.at[r], sem.at[r])
+                    dma.start()
+                    dma.wait()
+
+    def step(st, _):
+        t_global = t_idx * Tc + st
+        R = R_st[:]
+        m = R & mask
+
+        sym = jnp.zeros((rows, LANES), jnp.int32)
+        F = f0_ref[:]
+        C = jnp.zeros((rows, LANES), jnp.int32)
+        for j in range(S):
+            e = cexp_ref[j]               # (rows, 128): per-lane entry
+            cj = e & 0x3FFF
+            ge = m >= cj
+            sym = sym + ge.astype(jnp.int32)
+            F = jnp.where(ge, e >> 14, F)
+            C = jnp.where(ge, cj, C)
+
+        Rn = F * jax.lax.shift_right_logical(R, shift) + (m - C)
+
+        active = (t_global < texp_ref[:]).astype(jnp.int32)
+        need = (Rn < RANS_L).astype(jnp.int32) * active
+        incl = need
+        for d in (1, 2, 4, 8, 16):
+            sh = pltpu.roll(incl, d, axis=1)
+            incl = incl + jnp.where(lane_mod >= d, sh, 0)
+        rank = incl - need
+
+        word = jnp.zeros((rows, LANES), jnp.int32)
+        for s in range(S_SLOTS):
+            in_slot = (lane >= s * N) & (lane < (s + 1) * N)
+            cons_vec = jnp.array(
+                [cons_st[r, s] for r in range(rows)],
+                jnp.int32).reshape(rows, 1)
+            V0, V1 = W0s[s][:], W1s[s][:]
+            for d in (1, 2, 4, 8, 16, 32, 64):
+                bit = (cons_vec & d) > 0
+                r0 = pltpu.roll(V0, LANES - d, axis=1)
+                r1 = pltpu.roll(V1, LANES - d, axis=1)
+                m0 = jnp.where(lane < LANES - d, r0, r1)
+                V0 = jnp.where(bit, m0, V0)
+                V1 = jnp.where(bit, r1, V1)
+            sel = (need > 0) & in_slot
+            for j in range(N):
+                word = jnp.where(sel & (rank == j), V0[:, j:j + 1], word)
+
+        Rn = jnp.where(need > 0, (Rn << 16) | (word & 0xFFFF), Rn)
+        R_st[:] = jnp.where(active > 0, Rn, R)
+        sym_ref[st] = jnp.where(active > 0, sym, 0)
+
+        for s in range(S_SLOTS):
+            kseg = incl[:, (s + 1) * N - 1:(s + 1) * N]
+            for r in range(rows):
+                new_cons = cons_st[r, s] + kseg[r, 0]
+
+                @pl.when(new_cons >= WIN)
+                def _(r=r, s=s, new_cons=new_cons):
+                    W0s[s][r, :] = W1s[s][r, :]
+                    g = (b_idx * rows + r) * S_SLOTS + s
+                    dma = pltpu.make_async_copy(
+                        w_hbm.at[g, jhbm_st[r, s]], W1s[s].at[r],
+                        sem.at[r])
+                    dma.start()
+                    dma.wait()
+                    jhbm_st[r, s] = jhbm_st[r, s] + 1
+                    cons_st[r, s] = new_cons - WIN
+
+                @pl.when(new_cons < WIN)
+                def _(r=r, s=s, new_cons=new_cons):
+                    cons_st[r, s] = new_cons
+
+        return 0
+
+    jax.lax.fori_loop(0, Tc, step, 0)
+
+    n_t = pl.num_programs(1)
+
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        rf_ref[:] = R_st[:]
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "S", "T",
+                                             "interpret"))
+def decode_walk4(words128, cexp, f0exp, R0p, texp, T: int,
+                 shift: int = 12, S: int = 256, interpret: bool = False):
+    """4-streams-per-row decode walk.
+
+    words128: (B, W128, 128) int32 per-stream word chunks (B = total
+    streams, a multiple of 4); cexp: (S, B4, 128) per-lane tables;
+    f0exp/texp/R0p: (B4, 128) per-lane symbol-0 freqs / active step
+    counts / initial states.  Returns (syms (T, B4, 128), Rf)."""
+    B, W128, L = words128.shape
+    B4 = B // S_SLOTS
+    assert B4 * S_SLOTS == B and L == LANES
+    rows = min(B4, 8)
+    while B4 % rows:
+        rows -= 1
+    Tc = max(1, min(T, 128))
+    while T % Tc:
+        Tc -= 1
+    grid = (B4 // rows, T // Tc)
+
+    state_spec = pl.BlockSpec((rows, LANES), lambda b, t: (b, 0),
+                              memory_space=pltpu.VMEM)
+    syms, Rf = pl.pallas_call(
+        functools.partial(_decode_kernel4, shift, Tc, S),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((S, rows, LANES), lambda b, t: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            state_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((Tc, rows, LANES), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B4, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B4, LANES), jnp.int32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((rows, LANES), jnp.int32) for _ in range(9)]
+            + [pltpu.SMEM((rows, S_SLOTS), jnp.int32),
+               pltpu.SMEM((rows, S_SLOTS), jnp.int32),
+               pltpu.SemaphoreType.DMA((rows,))]),
+        interpret=interpret,
+    )(cexp, f0exp, R0p, words128, texp)
+    return syms, Rf
+
+
+def expand4(per_stream: np.ndarray) -> np.ndarray:
+    """(B, ...) per-stream values -> per-lane (B//4, ..., 128) with
+    stream b in lanes (b%4)*32:(b%4+1)*32 of row b//4."""
+    B = per_stream.shape[0]
+    assert B % S_SLOTS == 0
+    rest = per_stream.shape[1:]
+    x = per_stream.reshape((B // S_SLOTS, S_SLOTS) + rest + (1,))
+    x = np.broadcast_to(x, (B // S_SLOTS, S_SLOTS) + rest + (N,))
+    # -> (B4, ..., 4, 32) -> (B4, ..., 128)
+    x = np.moveaxis(x, 1, -2)
+    return np.ascontiguousarray(
+        x.reshape((B // S_SLOTS,) + rest + (LANES,)))
+
+
+# ---------------------------------------------------------------------
+# v3: fully vectorised bookkeeping.
+#
+# Beyond v2: the consumption counter lives as a (rows,128) VMEM tile
+# (replicated per 32-lane segment) so window alignment masks come from
+# vector bits; the rank select collapses to a per-lane-bit
+# segment-local shift (5 masked double-rolls instead of a 32-way
+# scan); the S-loop keeps the packed entry and unpacks once.  Scalar
+# work remains only in the (gated) refill branches.
+
+def _seg_broadcast_last(x, lane_mod):
+    """Broadcast each 32-lane segment's lane-31 value to the segment."""
+    b = x
+    for d in (1, 2, 4, 8, 16):
+        sh = pltpu.roll(b, LANES - d, axis=1)  # left-shift by d
+        b = jnp.maximum(b, jnp.where(lane_mod < N - d, sh, b))
+    return b
+
+
+def _decode_kernel4v3(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
+                      r0_ref, w_hbm, texp_ref, sym_ref, rf_ref,
+                      R_st, W0a, W0b, W0c, W0d, W1a, W1b, W1c, W1d,
+                      W2a, W2b, W2c, W2d, cons_t, jhbm_st, sem):
+    t_idx = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    rows = R_st.shape[0]
+    lane = _lane_iota()
+    lane_mod = lane & (N - 1)
+    seg = lane >> 5
+    mask = (1 << shift) - 1
+    W0s = (W0a, W0b, W0c, W0d)
+    W1s = (W1a, W1b, W1c, W1d)
+    W2s = (W2a, W2b, W2c, W2d)
+
+    @pl.when(t_idx == 0)
+    def _():
+        R_st[:] = r0_ref[:]
+        cons_t[:] = jnp.zeros((rows, LANES), jnp.int32)
+        for r in range(rows):
+            for s in range(S_SLOTS):
+                jhbm_st[r, s] = 3
+                g = (b_idx * rows + r) * S_SLOTS + s
+                for slot, Wd in ((0, W0s[s]), (1, W1s[s])):
+                    dma = pltpu.make_async_copy(
+                        w_hbm.at[g, slot], Wd.at[r], sem.at[r, s])
+                    dma.start()
+                    dma.wait()
+                # W2 prefetch stays in flight; waited at first crossing
+                pltpu.make_async_copy(
+                    w_hbm.at[g, 2], W2s[s].at[r], sem.at[r, s]).start()
+
+    def step(st, _):
+        t_global = t_idx * Tc + st
+        R = R_st[:]
+        m = R & mask
+
+        sym = jnp.zeros((rows, LANES), jnp.int32)
+        P = (f0_ref[:] << 14)
+        for j in range(S):
+            e = cexp_ref[j]
+            ge = m >= (e & 0x3FFF)
+            sym = sym + ge.astype(jnp.int32)
+            P = jnp.where(ge, e, P)
+        F = P >> 14
+        C = jnp.where(sym > 0, P & 0x3FFF, 0)
+
+        Rn = F * jax.lax.shift_right_logical(R, shift) + (m - C)
+
+        active = (t_global < texp_ref[:]).astype(jnp.int32)
+        need = (Rn < RANS_L).astype(jnp.int32) * active
+        incl = need
+        for d in (1, 2, 4, 8, 16):
+            sh = pltpu.roll(incl, d, axis=1)
+            incl = incl + jnp.where(lane_mod >= d, sh, 0)
+        rank = incl - need
+        kseg = _seg_broadcast_last(incl, lane_mod)
+
+        cons = cons_t[:]
+        # combined first-32 window view per slot, aligned by cons.
+        # Slot operations interleave inside each shift step so the
+        # long roll->select chains of the four slots overlap (the VPU
+        # is latency-bound here, not issue-bound).
+        css = [jnp.where(seg == s, cons, 0) for s in range(S_SLOTS)]
+        for d in (1, 2, 4, 8, 16, 32, 64):
+            css = [jnp.maximum(cs, pltpu.roll(cs, d, axis=1))
+                   for cs in css]
+        V0s = [W0s[s][:] for s in range(S_SLOTS)]
+        V1s = [W1s[s][:] for s in range(S_SLOTS)]
+        for d in (1, 2, 4, 8, 16, 32, 64):
+            bs = [(css[s] & d) > 0 for s in range(S_SLOTS)]
+            r0s = [pltpu.roll(v, LANES - d, axis=1) for v in V0s]
+            r1s = [pltpu.roll(v, LANES - d, axis=1) for v in V1s]
+            m0s = [jnp.where(lane < LANES - d, r0s[s], r1s[s])
+                   for s in range(S_SLOTS)]
+            V0s = [jnp.where(bs[s], m0s[s], V0s[s])
+                   for s in range(S_SLOTS)]
+            V1s = [jnp.where(bs[s], r1s[s], V1s[s])
+                   for s in range(S_SLOTS)]
+        Vc = jnp.zeros((rows, LANES), jnp.int32)
+        for s in range(S_SLOTS):
+            Vc = jnp.where(seg == s, pltpu.roll(V0s[s], s * N, axis=1),
+                           Vc)
+
+        # word = Vc[32*seg + rank]: stable expand of the compacted
+        # window values.  rank is monotone within a segment, so the
+        # butterfly composes when bits of (lane - rank) process high
+        # to low with right-shifts (verified exhaustively).
+        delta = lane_mod - rank
+        w = Vc
+        for d in (16, 8, 4, 2, 1):
+            sh = pltpu.roll(w, d, axis=1)           # lane z <- w[z-d]
+            wrap = pltpu.roll(w, 96 + d, axis=1)    # segment wrap
+            shifted = jnp.where(lane_mod >= d, sh, wrap)
+            w = jnp.where((delta & d) > 0, shifted, w)
+
+        Rn = jnp.where(need > 0, (Rn << 16) | (w & 0xFFFF), Rn)
+        R_st[:] = jnp.where(active > 0, Rn, R)
+        sym_ref[st] = jnp.where(active > 0, sym, 0)
+
+        new_cons = cons + kseg
+        crossing = (new_cons >= WIN).astype(jnp.int32)
+        cons_t[:] = jnp.where(crossing > 0, new_cons - WIN, new_cons)
+        # per-slot scalar bitmasks of crossing rows (bit r of bits[s])
+        row_pow = jnp.int32(1) << jax.lax.broadcasted_iota(
+            jnp.int32, (rows, 1), 0)
+        marked = crossing * row_pow
+        bits = [jnp.sum(jnp.where((lane == s * N), marked, 0))
+                for s in range(S_SLOTS)]
+
+        @pl.when(bits[0] + bits[1] + bits[2] + bits[3] > 0)
+        def _():
+            # rotate the triple window: the W2 prefetch (started a full
+            # 128-word period ago) has already landed, so the wait is
+            # free; then relaunch the prefetch for the next chunk
+            for s in range(S_SLOTS):
+                for r in range(rows):
+                    @pl.when(((bits[s] >> r) & 1) > 0)
+                    def _(r=r, s=s):
+                        g = (b_idx * rows + r) * S_SLOTS + s
+                        pltpu.make_async_copy(
+                            w_hbm.at[g, jhbm_st[r, s] - 1],
+                            W2s[s].at[r], sem.at[r, s]).wait()
+                        W0s[s][r, :] = W1s[s][r, :]
+                        W1s[s][r, :] = W2s[s][r, :]
+                        pltpu.make_async_copy(
+                            w_hbm.at[g, jhbm_st[r, s]], W2s[s].at[r],
+                            sem.at[r, s]).start()
+                        jhbm_st[r, s] = jhbm_st[r, s] + 1
+
+        return 0
+
+    jax.lax.fori_loop(0, Tc, step, 0)
+
+    n_t = pl.num_programs(1)
+
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        rf_ref[:] = R_st[:]
+        # drain the always-in-flight W2 prefetches before kernel exit
+        for s in range(S_SLOTS):
+            for r in range(rows):
+                g = (b_idx * rows + r) * S_SLOTS + s
+                pltpu.make_async_copy(
+                    w_hbm.at[g, jhbm_st[r, s] - 1], W2s[s].at[r],
+                    sem.at[r, s]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "S", "T",
+                                             "interpret"))
+def decode_walk4v3(words128, cexp, f0exp, R0p, texp, T: int,
+                   shift: int = 12, S: int = 256,
+                   interpret: bool = False):
+    """v3 of decode_walk4 (same signature/results)."""
+    B, W128, L = words128.shape
+    B4 = B // S_SLOTS
+    assert B4 * S_SLOTS == B and L == LANES
+    rows = min(B4, 8)
+    while B4 % rows:
+        rows -= 1
+    Tc = max(1, min(T, 128))
+    while T % Tc:
+        Tc -= 1
+    grid = (B4 // rows, T // Tc)
+
+    state_spec = pl.BlockSpec((rows, LANES), lambda b, t: (b, 0),
+                              memory_space=pltpu.VMEM)
+    syms, Rf = pl.pallas_call(
+        functools.partial(_decode_kernel4v3, shift, Tc, S),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((S, rows, LANES), lambda b, t: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            state_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((Tc, rows, LANES), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B4, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B4, LANES), jnp.int32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((rows, LANES), jnp.int32) for _ in range(14)]
+            + [pltpu.SMEM((rows, S_SLOTS), jnp.int32),
+               pltpu.SemaphoreType.DMA((rows, S_SLOTS))]),
+        interpret=interpret,
+    )(cexp, f0exp, R0p, words128, texp)
+    return syms, Rf

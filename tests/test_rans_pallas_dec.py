@@ -85,13 +85,13 @@ def test_decode_o0_batch_pallas_path(monkeypatch):
     want = engine_tpu.decode_o0_batch(payloads, szs)
     assert want == datas
 
-    orig = rpd.decode_walk
+    orig = rpd.decode_walk4v3
 
     def walk_interp(*a, **k):
         k["interpret"] = True
         return orig(*a, **k)
 
-    monkeypatch.setattr(rpd, "decode_walk", walk_interp)
+    monkeypatch.setattr(rpd, "decode_walk4v3", walk_interp)
     monkeypatch.setenv("FQZ5_PALLAS", "1")
     got = engine_tpu.decode_o0_batch(payloads, szs)
     assert got == datas
