@@ -531,8 +531,18 @@ def decode_o1_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
             words[g, :len(w16)] = w16
         t_real = np.array([out_szs[i] // 32 for i in idxs], np.int32)
         Tmax = max(int(t_real.max()), 1)
-        syms, Rf, ptrf = rans_jax.decode_scan_o1(
-            words, R0, s3s, Tmax, group_shift, t_real=t_real)
+
+        from fqzcomp5_tpu.ops import backend
+        done = False
+        if backend._use_pallas():
+            r = _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax,
+                                        group_shift)
+            if r is not None:
+                syms, Rf, ptrf = r
+                done = True
+        if not done:
+            syms, Rf, ptrf = rans_jax.decode_scan_o1(
+                words, R0, s3s, Tmax, group_shift, t_real=t_real)
         syms = np.asarray(syms)
         Rf = np.asarray(Rf)
         ptrf = np.asarray(ptrf)
@@ -562,3 +572,69 @@ def decode_o1_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
                 res = np.concatenate([res, tail])
             out[i] = res[:sz].tobytes()
     return out
+
+
+def _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax, shift):
+    """Pallas order-1 decode for one shift group.  Returns
+    (syms (G,T,32) bytes, Rf (G,32), ptrf (G,)) like decode_scan_o1,
+    or None when the alphabet exceeds the 64-symbol bucket."""
+    import jax.numpy as jnp
+
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    G = len(words)
+    tot = 1 << shift
+    # recover (G, 256, 256) context freq tables from the s3 LUTs
+    s3m = s3s.reshape(G, 256, tot)
+    sym_lut = (s3m & 0xFF).astype(np.int64)
+    f_lut = (s3m >> (shift + 8)).astype(np.uint32)
+    freqs = np.zeros((G, 256, 256), np.uint32)
+    gi = np.arange(G)[:, None, None]
+    ci = np.arange(256)[None, :, None]
+    freqs[gi, ci, sym_lut] = f_lut
+
+    packed, alphabet, A, A1, last0 = rpd.build_o1_dense_tables(
+        freqs, shift)
+    if A == 0 or A > 64:
+        return None
+
+    pad = (-G) % rpd.S_SLOTS
+    Gp = G + pad
+    if pad:
+        packed = np.concatenate(
+            [packed, np.zeros((pad, packed.shape[1]), np.int32)])
+        # pad streams: degenerate table (sym0 f=tot in every ctx)
+        for ci2 in range(A1):
+            packed[G:, ci2 * (A + 1)] = tot << 14
+            packed[G:, ci2 * (A + 1) + 1:(ci2 + 1) * (A + 1)] = tot
+    Wmax128 = words.shape[1] // 128 + 4
+    words128 = np.zeros((Gp, Wmax128, 128), np.int32)
+    for g in range(G):
+        flat = np.zeros(Wmax128 * 128, np.int32)
+        flat[:words.shape[1]] = words[g]
+        words128[g] = flat.reshape(Wmax128, 128)
+    R0p = np.full((Gp, 32), rpd.RANS_L, np.int32)
+    R0p[:G] = R0.astype(np.int32)
+    treal = np.zeros(Gp, np.int32)
+    treal[:G] = t_real
+
+    cexp = np.ascontiguousarray(rpd.expand4(packed).transpose(1, 0, 2))
+    texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
+    R0r = R0p.reshape(Gp // rpd.S_SLOTS, 128)
+    syms, Rf, cur = rpd.decode_walk4v3_o1(
+        jnp.asarray(words128), jnp.asarray(cexp), jnp.asarray(R0r),
+        jnp.asarray(texp), T=Tmax, shift=shift, A=A, A1=A1,
+        last0=last0)
+    syms = np.asarray(syms)      # (T, G4, 128) dense
+    Rf4 = np.asarray(Rf)
+    cur4 = np.asarray(cur)
+    lut = alphabet.astype(np.uint8)
+    out_syms = np.empty((G, Tmax, 32), np.uint8)
+    Rf_out = np.empty((G, 32), np.uint32)
+    ptrf = np.empty(G, np.int32)
+    for g in range(G):
+        sl = slice((g % 4) * 32, (g % 4) * 32 + 32)
+        out_syms[g] = lut[syms[:, g // 4, sl]]
+        Rf_out[g] = Rf4[g // 4, sl].astype(np.uint32)
+        ptrf[g] = cur4[g // 4, (g % 4) * 32]
+    return out_syms, Rf_out, ptrf

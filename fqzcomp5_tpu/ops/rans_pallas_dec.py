@@ -637,3 +637,250 @@ def decode_walk4v3(words128, cexp, f0exp, R0p, texp, T: int,
         interpret=interpret,
     )(cexp, f0exp, R0p, words128, texp)
     return syms, Rf
+
+
+# ---------------------------------------------------------------------
+# Order-1 decode: same walk and word feed as v3, but the boundary
+# table row depends on each lane's previous decoded symbol.  Symbols
+# and contexts remap to a dense alphabet (A values) on the host, so
+# the lookup is an outer loop over contexts (mask last==c) around the
+# O0-style compare loop — O(A^2) VPU ops per step.  Decoded dense
+# indices map back to bytes on the host.
+
+def _decode_kernel4v3_o1(shift: int, Tc: int, A: int, A1: int, last0: int,
+                         cexp_ref, r0_ref, w_hbm, texp_ref,
+                         sym_ref, rf_ref, cur_ref,
+                         R_st, last_st, W0a, W0b, W0c, W0d,
+                         W1a, W1b, W1c, W1d, W2a, W2b, W2c, W2d,
+                         cons_t, jhbm_st, sem):
+    """cexp layout: row c*(A+1) is context c's symbol-0 packed entry
+    ((f0<<14), C=0); rows c*(A+1)+1+j are boundary entries j (packed
+    (f[j+1]<<14)|C[j+1])."""
+    t_idx = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    rows = R_st.shape[0]
+    lane = _lane_iota()
+    lane_mod = lane & (N - 1)
+    seg = lane >> 5
+    mask = (1 << shift) - 1
+    W0s = (W0a, W0b, W0c, W0d)
+    W1s = (W1a, W1b, W1c, W1d)
+    W2s = (W2a, W2b, W2c, W2d)
+    stride = A + 1
+
+    @pl.when(t_idx == 0)
+    def _():
+        R_st[:] = r0_ref[:]
+        last_st[:] = jnp.full((rows, LANES), last0, jnp.int32)
+        cons_t[:] = jnp.zeros((rows, LANES), jnp.int32)
+        for r in range(rows):
+            for s in range(S_SLOTS):
+                jhbm_st[r, s] = 3
+                g = (b_idx * rows + r) * S_SLOTS + s
+                for slot, Wd in ((0, W0s[s]), (1, W1s[s])):
+                    dma = pltpu.make_async_copy(
+                        w_hbm.at[g, slot], Wd.at[r], sem.at[r, s])
+                    dma.start()
+                    dma.wait()
+                pltpu.make_async_copy(
+                    w_hbm.at[g, 2], W2s[s].at[r], sem.at[r, s]).start()
+
+    def step(st, _):
+        t_global = t_idx * Tc + st
+        R = R_st[:]
+        last = last_st[:]
+        m = R & mask
+
+        sym = jnp.zeros((rows, LANES), jnp.int32)
+        P = jnp.zeros((rows, LANES), jnp.int32)
+        for c in range(A1):
+            onc = last == c
+            Pc = cexp_ref[c * stride]
+            symc = jnp.zeros((rows, LANES), jnp.int32)
+            for j in range(A):
+                e = cexp_ref[c * stride + 1 + j]
+                ge = m >= (e & 0x3FFF)
+                symc = symc + ge.astype(jnp.int32)
+                Pc = jnp.where(ge, e, Pc)
+            sym = jnp.where(onc, symc, sym)
+            P = jnp.where(onc, Pc, P)
+        F = P >> 14
+        C = jnp.where(sym > 0, P & 0x3FFF, 0)
+
+        Rn = F * jax.lax.shift_right_logical(R, shift) + (m - C)
+
+        active = (t_global < texp_ref[:]).astype(jnp.int32)
+        need = (Rn < RANS_L).astype(jnp.int32) * active
+        incl = need
+        for d in (1, 2, 4, 8, 16):
+            sh = pltpu.roll(incl, d, axis=1)
+            incl = incl + jnp.where(lane_mod >= d, sh, 0)
+        rank = incl - need
+        kseg = _seg_broadcast_last(incl, lane_mod)
+
+        cons = cons_t[:]
+        css = [jnp.where(seg == s, cons, 0) for s in range(S_SLOTS)]
+        for d in (1, 2, 4, 8, 16, 32, 64):
+            css = [jnp.maximum(cs, pltpu.roll(cs, d, axis=1))
+                   for cs in css]
+        V0s = [W0s[s][:] for s in range(S_SLOTS)]
+        V1s = [W1s[s][:] for s in range(S_SLOTS)]
+        for d in (1, 2, 4, 8, 16, 32, 64):
+            bs = [(css[s] & d) > 0 for s in range(S_SLOTS)]
+            r0s = [pltpu.roll(v, LANES - d, axis=1) for v in V0s]
+            r1s = [pltpu.roll(v, LANES - d, axis=1) for v in V1s]
+            m0s = [jnp.where(lane < LANES - d, r0s[s], r1s[s])
+                   for s in range(S_SLOTS)]
+            V0s = [jnp.where(bs[s], m0s[s], V0s[s])
+                   for s in range(S_SLOTS)]
+            V1s = [jnp.where(bs[s], r1s[s], V1s[s])
+                   for s in range(S_SLOTS)]
+        Vc = jnp.zeros((rows, LANES), jnp.int32)
+        for s in range(S_SLOTS):
+            Vc = jnp.where(seg == s, pltpu.roll(V0s[s], s * N, axis=1),
+                           Vc)
+
+        delta = lane_mod - rank
+        w = Vc
+        for d in (16, 8, 4, 2, 1):
+            sh = pltpu.roll(w, d, axis=1)
+            wrap = pltpu.roll(w, 96 + d, axis=1)
+            shifted = jnp.where(lane_mod >= d, sh, wrap)
+            w = jnp.where((delta & d) > 0, shifted, w)
+
+        Rn = jnp.where(need > 0, (Rn << 16) | (w & 0xFFFF), Rn)
+        R_st[:] = jnp.where(active > 0, Rn, R)
+        last_st[:] = jnp.where(active > 0, sym, last)
+        sym_ref[st] = jnp.where(active > 0, sym, 0)
+
+        new_cons = cons + kseg
+        crossing = (new_cons >= WIN).astype(jnp.int32)
+        cons_t[:] = jnp.where(crossing > 0, new_cons - WIN, new_cons)
+        row_pow = jnp.int32(1) << jax.lax.broadcasted_iota(
+            jnp.int32, (rows, 1), 0)
+        marked = crossing * row_pow
+        bits = [jnp.sum(jnp.where((lane == s * N), marked, 0))
+                for s in range(S_SLOTS)]
+
+        @pl.when(bits[0] + bits[1] + bits[2] + bits[3] > 0)
+        def _():
+            for s in range(S_SLOTS):
+                for r in range(rows):
+                    @pl.when(((bits[s] >> r) & 1) > 0)
+                    def _(r=r, s=s):
+                        g = (b_idx * rows + r) * S_SLOTS + s
+                        pltpu.make_async_copy(
+                            w_hbm.at[g, jhbm_st[r, s] - 1],
+                            W2s[s].at[r], sem.at[r, s]).wait()
+                        W0s[s][r, :] = W1s[s][r, :]
+                        W1s[s][r, :] = W2s[s][r, :]
+                        pltpu.make_async_copy(
+                            w_hbm.at[g, jhbm_st[r, s]], W2s[s].at[r],
+                            sem.at[r, s]).start()
+                        jhbm_st[r, s] = jhbm_st[r, s] + 1
+
+        return 0
+
+    jax.lax.fori_loop(0, Tc, step, 0)
+
+    n_t = pl.num_programs(1)
+
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        rf_ref[:] = R_st[:]
+        # per-stream word cursors, replicated over each segment
+        jexp = jnp.zeros((rows, LANES), jnp.int32)
+        for s in range(S_SLOTS):
+            jcol = jnp.array([jhbm_st[r, s] for r in range(rows)],
+                             jnp.int32).reshape(rows, 1)
+            jexp = jnp.where(seg == s, jcol, jexp)
+        cur_ref[:] = (jexp - 3) * WIN + cons_t[:]
+        for s in range(S_SLOTS):
+            for r in range(rows):
+                g = (b_idx * rows + r) * S_SLOTS + s
+                pltpu.make_async_copy(
+                    w_hbm.at[g, jhbm_st[r, s] - 1], W2s[s].at[r],
+                    sem.at[r, s]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "A", "A1",
+                                             "last0", "T", "interpret"))
+def decode_walk4v3_o1(words128, cexp, R0p, texp, T: int, shift: int,
+                      A: int, A1: int, last0: int,
+                      interpret: bool = False):
+    """Order-1 decode walk (dense alphabet).  cexp: (A1*(A+1), B4, 128)
+    per-lane packed entries; see _decode_kernel4v3_o1.  Returns
+    (syms (T, B4, 128) dense indices, Rf (B4,128), cur (B4,128))."""
+    B, W128, L = words128.shape
+    B4 = B // S_SLOTS
+    assert B4 * S_SLOTS == B and L == LANES
+    rows = min(B4, 8)
+    while B4 % rows:
+        rows -= 1
+    Tc = max(1, min(T, 128))
+    while T % Tc:
+        Tc -= 1
+    grid = (B4 // rows, T // Tc)
+
+    state_spec = pl.BlockSpec((rows, LANES), lambda b, t: (b, 0),
+                              memory_space=pltpu.VMEM)
+    syms, Rf, cur = pl.pallas_call(
+        functools.partial(_decode_kernel4v3_o1, shift, Tc, A, A1, last0),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((A1 * (A + 1), rows, LANES),
+                         lambda b, t: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            state_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((Tc, rows, LANES), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B4, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B4, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B4, LANES), jnp.int32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((rows, LANES), jnp.int32) for _ in range(15)]
+            + [pltpu.SMEM((rows, S_SLOTS), jnp.int32),
+               pltpu.SemaphoreType.DMA((rows, S_SLOTS))]),
+        interpret=interpret,
+    )(cexp, R0p, words128, texp)
+    return syms, Rf, cur
+
+
+def build_o1_dense_tables(freqs: np.ndarray, shift: int):
+    """Dense-alphabet O1 boundary tables from (B, 256, 256) context
+    freq tables.  Returns (packed (B, A1*(A+1)) int32, alphabet bytes
+    (A,), A, A1, last0)."""
+    B = freqs.shape[0]
+    present = freqs.any(axis=(0, 1))          # symbols used anywhere
+    alphabet = np.flatnonzero(present)
+    A = len(alphabet)
+    if 0 in alphabet:
+        A1 = A
+        last0 = int(np.searchsorted(alphabet, 0))
+        ctx_bytes = alphabet
+    else:
+        A1 = A + 1
+        last0 = A
+        ctx_bytes = np.concatenate([alphabet, [0]])
+    stride = A + 1
+    out = np.zeros((B, A1 * stride), np.int32)
+    for b in range(B):
+        sub = freqs[b][np.ix_(ctx_bytes, alphabet)].astype(np.int64)
+        Csub = np.cumsum(sub, axis=1)
+        f0 = sub[:, 0]
+        for ci in range(A1):
+            base = ci * stride
+            out[b, base] = f0[ci] << 14
+            fn = np.zeros(A, np.int64)
+            fn[:A - 1] = sub[ci, 1:]
+            out[b, base + 1:base + 1 + A] = (fn << 14) | Csub[ci]
+    return out, alphabet, A, A1, last0

@@ -95,3 +95,41 @@ def test_decode_o0_batch_pallas_path(monkeypatch):
     monkeypatch.setenv("FQZ5_PALLAS", "1")
     got = engine_tpu.decode_o0_batch(payloads, szs)
     assert got == datas
+
+
+def test_decode_o1_batch_pallas_path(monkeypatch):
+    """Order-1 Pallas decode (dense-alphabet) must match the scan path
+    across ragged sizes, tails, and both DNA- and quality-like
+    alphabets."""
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    orig = rpd.decode_walk4v3_o1
+
+    def walk_interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rpd, "decode_walk4v3_o1", walk_interp)
+
+    rng = np.random.default_rng(7)
+    motif = rng.choice(list(b"ACGT"), 48).astype(np.uint8)
+    datas = []
+    for i in range(5):
+        n = int(rng.integers(600, 2501))
+        reps = np.tile(motif, n // 48 + 1)[:n].copy()
+        fl = rng.integers(0, n, n // 9)
+        reps[fl] = rng.choice(list(b"ACGT"), len(fl))
+        datas.append(reps.tobytes())
+    # a wider alphabet (A~12, still cheap in interpreter mode)
+    q = (np.clip(np.cumsum(rng.integers(-2, 3, 1500)), 0, 11)
+         .astype(np.uint8) + 2).tobytes()
+    datas.append(q)
+
+    payloads = engine_tpu.encode_o1_batch(datas)
+    szs = [len(d) for d in datas]
+    want = engine_tpu.decode_o1_batch(payloads, szs)
+    assert want == datas
+
+    monkeypatch.setenv("FQZ5_PALLAS", "1")
+    got = engine_tpu.decode_o1_batch(payloads, szs)
+    assert got == datas
