@@ -71,7 +71,7 @@ class Timings:
             self.lcsize += csize
             self.ltime += dt
 
-    def append_block(self, o: "Timings", verbose: int, fp=sys.stderr):
+    def append_block(self, o: "Timings", verbose: int, fp=None):
         """append_timings (fqzcomp5.c:1856-1884): merge a per-block
         Timings and optionally print the per-block trace."""
         self.nblock += 1
@@ -88,6 +88,7 @@ class Timings:
         self.lcsize += o.lcsize
         self.ltime += o.ltime
         if verbose > 0:
+            fp = fp if fp is not None else sys.stderr
             print(f"Names   {o.nusize:11d} to {o.ncsize:11d} "
                   f"in {o.ntime:.2f} sec method {o.nmeth}", file=fp)
             print(f"Lengths {o.lusize:11d} to {o.lcsize:11d} "
@@ -97,7 +98,8 @@ class Timings:
             print(f"Quals   {o.qusize:11d} to {o.qcsize:11d} "
                   f"in {o.qtime:.2f} sec method {o.qmeth}\n", file=fp)
 
-    def report(self, fp=sys.stderr):
+    def report(self, fp=None):
+        fp = fp if fp is not None else sys.stderr
         print(f"All {self.nblock} blocks combined:", file=fp)
         print(f"Names    {self.nusize:10d} to {self.ncsize:10d} "
               f"in {self.ntime:.2f} sec", file=fp)

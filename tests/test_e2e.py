@@ -214,3 +214,32 @@ def test_mixed_comments_strat2(tmp_path):
     assert run_cli(["-n", "2", "-V", str(src), str(comp)]) == 0
     assert run_cli(["-d", "-V", str(comp), str(out)]) == 0
     assert out.read_bytes() == src.read_bytes()
+
+
+# Verbose-report parity: sizes and method ids must match the reference
+# field-for-field (times vary).
+def test_verbose_report_fields(tmp_path, data_dir, capsys):
+    import re
+
+    comp = tmp_path / "c.fqz5"
+    assert cli.main(["-3", "-v", "-t", "1",
+                     str(data_dir / "sample.fastq"), str(comp)]) == 0
+    err = capsys.readouterr().err
+    # per-block trace lines (fqzcomp5.c:1875-1884 format)
+    m = re.search(r"Names\s+(\d+) to\s+(\d+) in [\d.]+ sec method (\d+)",
+                  err)
+    assert m, err
+    assert m.group(1) == "45"      # sample.fastq name bytes
+    m = re.search(r"Lengths\s+(\d+) to\s+(\d+) in [\d.]+ sec method (\d+)",
+                  err)
+    assert m, err
+    # final aggregate (fqzcomp5.c:5270-5280 format)
+    assert re.search(r"All 1 blocks combined:", err)
+    assert re.search(r"Seqs\s+300 to\s+\d+ in [\d.]+ sec", err)
+
+    # decode report swaps the size columns
+    out = tmp_path / "o.fastq"
+    assert cli.main(["-d", "-v", str(comp), str(out)]) == 0
+    err = capsys.readouterr().err
+    m = re.search(r"Names\s+(\d+) to\s+(\d+) in", err)
+    assert m and m.group(2) == "45", err
