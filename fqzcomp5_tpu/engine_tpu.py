@@ -374,8 +374,12 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
 
     from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
 
+    from fqzcomp5_tpu.ops import backend as _bk
+
+    _bk.ensure_compile_cache()
     B = len(bodies)
-    pad = (-B) % rpd.S_SLOTS
+    pad = _bk._bucket(B, lo=rpd.S_SLOTS) - B   # shape-bucketed streams
+    Tb = _bk._bucket(Tmax)
     # recover per-symbol freqs from the s3 LUT (slot -> f<<20|bias<<8|sym)
     freqs = np.zeros((B + pad, 256), np.uint32)
     for b in range(B):
@@ -409,9 +413,9 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
     R0p = R0.reshape((B + pad) // rpd.S_SLOTS, 128).astype(np.int32)
     syms, Rf = rpd.decode_walk4v3(
         jnp.asarray(words), jnp.asarray(cexp), jnp.asarray(f0exp),
-        jnp.asarray(R0p), jnp.asarray(texp), T=Tmax,
+        jnp.asarray(R0p), jnp.asarray(texp), T=Tb,
         shift=rans_jax.TF_SHIFT, S=S)
-    syms = np.asarray(syms)      # (T, B4, 128)
+    syms = np.asarray(syms)[:Tmax]      # (T, B4, 128)
     Rf4 = np.asarray(Rf)         # (B4, 128)
     out_syms = np.empty((B, Tmax, 32), np.int32)
     Rf_out = np.empty((B, 32), np.uint32)
@@ -582,7 +586,11 @@ def _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax, shift):
 
     from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
 
+    from fqzcomp5_tpu.ops import backend as _bk
+
+    _bk.ensure_compile_cache()
     G = len(words)
+    Tb = _bk._bucket(Tmax)
     tot = 1 << shift
     # recover (G, 256, 256) context freq tables from the s3 LUTs
     s3m = s3s.reshape(G, 256, tot)
@@ -598,7 +606,7 @@ def _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax, shift):
     if A == 0 or A > 64:
         return None
 
-    pad = (-G) % rpd.S_SLOTS
+    pad = _bk._bucket(G, lo=rpd.S_SLOTS) - G
     Gp = G + pad
     if pad:
         packed = np.concatenate(
@@ -623,9 +631,9 @@ def _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax, shift):
     R0r = R0p.reshape(Gp // rpd.S_SLOTS, 128)
     syms, Rf, cur = rpd.decode_walk4v3_o1(
         jnp.asarray(words128), jnp.asarray(cexp), jnp.asarray(R0r),
-        jnp.asarray(texp), T=Tmax, shift=shift, A=A, A1=A1,
+        jnp.asarray(texp), T=Tb, shift=shift, A=A, A1=A1,
         last0=last0)
-    syms = np.asarray(syms)      # (T, G4, 128) dense
+    syms = np.asarray(syms)[:Tmax]      # (T, G4, 128) dense
     Rf4 = np.asarray(Rf)
     cur4 = np.asarray(cur)
     lut = alphabet.astype(np.uint8)

@@ -14,6 +14,40 @@ import os
 import numpy as np
 
 
+def _bucket(n: int, lo: int = 64) -> int:
+    """Round up to a power of two (>= lo): distinct tensor shapes cost
+    a Mosaic compile each, so waves of varying block counts/lengths
+    must land on a small set of shapes."""
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+_cache_ready = False
+
+
+def ensure_compile_cache() -> None:
+    """Persistent XLA compilation cache: kernel compiles survive across
+    CLI invocations (a fresh process otherwise pays seconds per
+    shape)."""
+    global _cache_ready
+    if _cache_ready:
+        return
+    _cache_ready = True
+    try:
+        import pathlib
+
+        import jax
+
+        d = pathlib.Path.home() / ".cache" / "fqz5_jax"
+        d.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(d))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def _use_pallas() -> bool:
     env = os.environ.get("FQZ5_PALLAS")
     if env is not None:
@@ -41,22 +75,38 @@ def encode_flat(flat: np.ndarray, freqs: np.ndarray, shift: int,
     if _use_pallas():
         from fqzcomp5_tpu.ops import rans_pallas
 
+        ensure_compile_cache()
         pt = rans_pallas.build_packed_tables(freqs, shift)
+        # pad T to a shape bucket with no-op sentinel steps (appended
+        # high: the reversed walk runs them first, leaving states
+        # untouched) so wave after wave reuses one compiled kernel
+        Tb = _bucket(T)
+        if Tb != T:
+            S = pt.shape[1] - 1
+            padT = np.full((B, Tb - T, n), S, flat.dtype)
+            flat = np.concatenate([flat, padT], axis=1)
         P = rans_pallas.pack_plane_host(flat.astype(np.int32), pt, shift)
+        # bucket the row count too (identity-padded streams)
+        B4 = P.shape[1]
+        B4b = _bucket(B4, lo=2)
+        if B4b != B4:
+            ident = np.full((P.shape[0], B4b - B4, 128),
+                            1 << (2 * shift), np.int32)
+            P = np.concatenate([P, ident], axis=1)
         if R0 is None:
-            R0p = np.full((P.shape[1], 128), rans_pallas.RANS_L, np.int32)
+            R0p = np.full((B4b, 128), rans_pallas.RANS_L, np.int32)
         else:
             R0i = np.asarray(R0, np.int64).astype(np.int32)
             R0p = rans_pallas._pack_rows(
                 jnp.asarray(R0i[:, None, :]))[:, 0, :]
             R0p = np.asarray(R0p)
-            if R0p.shape[0] < P.shape[1]:
-                pad = np.full((P.shape[1] - R0p.shape[0], 128),
+            if R0p.shape[0] < B4b:
+                pad = np.full((B4b - R0p.shape[0], 128),
                               rans_pallas.RANS_L, np.int32)
                 R0p = np.concatenate([R0p, pad], axis=0)
         Rf, out = rans_pallas.encode_walk(jnp.asarray(P), jnp.asarray(R0p),
                                           shift=shift)
-        out = np.asarray(out)     # (T, B4, 128)
+        out = np.asarray(out)[:T]     # (T, B4b, 128); trim T bucket
         Rf = np.asarray(Rf)
         out = np.asarray(rans_pallas._unpack_rows(
             jnp.swapaxes(jnp.asarray(out), 0, 1), B))
