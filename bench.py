@@ -44,11 +44,11 @@ def main():
                 time.sleep(10)
     import jax.numpy as jnp
 
-    from fqzcomp5_tpu.ops import rans_jax, rans_pallas
+    from fqzcomp5_tpu.ops import rans_pallas
 
     if on_tpu:
         B = 512               # independent streams (blocks x sections)
-        T1, T2 = 2048, 8192   # scan lengths for marginal timing
+        T1, T2 = 2048, 16384  # scan lengths for marginal timing
     else:
         # CPU safety net (no TPU reachable): tiny interpret-mode run
         B, (T1, T2) = 32, (32, 128)
@@ -86,7 +86,7 @@ def main():
     for T in (T1, T2):
         float(pipeline(keys[0], planes[T], T))
 
-    def best_time(T, off, n=5):
+    def best_time(T, off, n=9):
         best = 1e9
         for i in range(n):
             t0 = time.perf_counter()
@@ -95,7 +95,7 @@ def main():
         return best
 
     tA = best_time(T1, 1)
-    tB = best_time(T2, 8)
+    tB = best_time(T2, 12)
     extra_bytes = B * 32 * (T2 - T1)
     mbps = extra_bytes / (tB - tA) / 1e6
     print(json.dumps({

@@ -37,8 +37,9 @@ Options:
     -b SIZE       Specify block size. May use K, M and G suffixes
     -v            Increase verbosity
     -V            Silent mode
-    -e ENGINE     Compute engine: host (native C++), tpu (batched
-                  JAX/device rANS for seq+qual sections), auto
+    -e ENGINE     Compute engine: host (native C++; the default --
+                  "auto" resolves to it) or tpu (wave-batched device
+                  rANS encode+decode for seq+qual sections)
 
     -n INT        Name encoding method (0=rANS, 1=tok3, 2=tok3+LZP)
     -N INT        Name encoding strategy.
