@@ -92,6 +92,11 @@ def _register_optional(L: ctypes.CDLL) -> None:
         ("fqz5_parse_fastq_chunk", ctypes.c_int64,
          [u8p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
           i64p, i64p, i64p, i64p]),
+        ("fqz5_split_names", ctypes.c_int64,
+         [u8p, ctypes.c_int64, u8p, i64p, u8p, u8p, i64p]),
+        ("fqz5_join_names", ctypes.c_int64,
+         [u8p, ctypes.c_int64, u8p, ctypes.c_int64, u8p,
+          ctypes.c_int64, u8p, u32p]),
     ]:
         try:
             fn = getattr(L, name)
@@ -238,3 +243,49 @@ def derive_flags(name_buf: bytes, nrec: int) -> np.ndarray:
     if rc != nrec:
         raise ValueError("name buffer truncated while deriving flags")
     return flags
+
+
+def split_names(name_buf: bytes):
+    """Strategy-2 name split (fqzcomp5.c:1408-1586 semantics plus the
+    explicit-empty-comment fix; see names.py).  Returns
+    (ids bytes, flags bytes, comments bytes)."""
+    L = lib()
+    n = len(name_buf)
+    nrec_max = name_buf.count(0) + 1
+    ids = np.empty(n + nrec_max + 1, np.uint8)
+    flags = np.empty(nrec_max + 1, np.uint8)
+    comments = np.empty(n + nrec_max + 1, np.uint8)
+    ids_len = np.zeros(1, np.int64)
+    com_len = np.zeros(1, np.int64)
+    _, inp = _u8(name_buf)
+    nrec = L.fqz5_split_names(
+        inp, n, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i64p(ids_len),
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        comments.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i64p(com_len))
+    if nrec < 0:
+        raise ValueError("split_names failed")
+    return (ids[:ids_len[0]].tobytes(), flags[:nrec].tobytes(),
+            comments[:com_len[0]].tobytes())
+
+
+def join_names(ids: bytes, flags: bytes, comments: bytes):
+    """Inverse of split_names under reference decode semantics
+    (fqzcomp5.c:1722-1760).  Returns (name_buf, fread2 uint32 array)."""
+    L = lib()
+    nrec_max = ids.count(0) + 1
+    cap = len(ids) + len(comments) + 4 * nrec_max + 16
+    out = np.empty(cap, np.uint8)
+    fread2 = np.zeros(nrec_max, np.uint32)
+    _, idp = _u8(ids)
+    _, flp = _u8(flags)
+    _, cop = _u8(comments)
+    n = L.fqz5_join_names(
+        idp, len(ids), flp, len(flags), cop, len(comments),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        fread2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if n < 0:
+        raise ValueError("join_names failed")
+    nrec = ids.count(0)
+    return out[:n].tobytes(), fread2[:nrec]

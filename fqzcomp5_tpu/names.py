@@ -33,71 +33,23 @@ def encode_names(name_buf: bytes, strat: int, level: int) -> bytes:
         comp = host.tok3_encode(name_buf, level, 0)
         return struct.pack("<IBI", ulen, 1, len(comp)) + comp
 
-    # strategy 2: split ID / flag / comment
-    ids = bytearray()
-    comments = bytearray()
-    flags = bytearray()
-    comment_pad: list[int] = []  # records lacking a comment
-    i = 0
-    n = len(name_buf)
-    while i < n:
-        j = name_buf.find(b"\x00", i)
-        if j < 0:
-            j = n
-        name = name_buf[i:j]
-        f = 0
-        w1end = len(name)
-        w2start = -1
-        for k, ch in enumerate(name):
-            if ch == 0x20 or ch == 0x09:  # space or tab
-                w1end = k
-                w2start = k + 1
-                f |= 4
-                break
-        if w2start >= 0:
-            f |= 0 if name[w2start - 1] == 0x20 else 8
-        if w1end > 1 and name[w1end - 2] == ord("/"):
-            if name[w1end - 1] == ord("1"):
-                f |= 1
-                w1end -= 2
-            elif name[w1end - 1] == ord("2"):
-                f |= 3
-                w1end -= 2
-        flags.append(f)
-        ids += name[:w1end]
-        ids.append(0)
-        if w2start >= 0:
-            comments += name[w2start:]
-            comments.append(0)
-        else:
-            # NB deviation from the reference encoder: it emits nothing
-            # here, but its decoder consumes one comment entry per
-            # record whenever a comment stream exists, corrupting
-            # mixed comment/no-comment blocks (fqzcomp5.c:1745-1749).
-            # An explicit empty entry keeps alignment and decodes
-            # correctly under both decoders.
-            comment_pad.append(len(flags) - 1)
-        i = j + 1
+    # strategy 2: split ID / flag / comment (native single pass;
+    # fqz5_split_names in native/hostops.cpp).
+    # NB deviation from the reference encoder: when any record has a
+    # comment, comment-less records get an explicit EMPTY entry — the
+    # reference encoder emits nothing for them, but its decoder
+    # consumes one comment entry per record whenever a comment stream
+    # exists, corrupting mixed blocks (fqzcomp5.c:1745-1749).  Ours
+    # round-trips and stays reference-decodable.
+    from fqzcomp5_tpu.codecs import native
 
-    if comments and comment_pad:
-        # rebuild with explicit empty entries in record order
-        parts = []
-        ci = 0
-        csplit = bytes(comments).split(b"\x00")[:-1]
-        pad = set(comment_pad)
-        for r in range(len(flags)):
-            if r in pad:
-                parts.append(b"")
-            else:
-                parts.append(csplit[ci])
-                ci += 1
-        comments = bytearray(b"\x00".join(parts) + b"\x00")
+    ids, flags, comments = native.split_names(name_buf)
 
-    out1 = host.tok3_encode(bytes(ids), level, 0)
-    outf = host.rans_compress(bytes(flags), 129)
+    out1 = host.tok3_encode(ids, level, 0)
+    outf = host.rans_compress(flags, 129)
     out2 = b""
     if comments:
-        lz = host.lzp(bytes(comments))
+        lz = host.lzp(comments)
         out2 = host.rans_compress(lz, 5)
 
     clen = len(out1) + len(outf) + len(out2) + 8
@@ -135,24 +87,8 @@ def decode_names(comp: bytes, c_len: int, u_len: int, strat: int):
     # record; a comment entry is consumed for EVERY record whenever a
     # comment stream exists (appended without separator if flag bit 2
     # is unset -- only reachable on reference-encoded mixed blocks).
-    ids = out1.split(b"\x00")[:-1] if out1 else []
-    comments = out2.split(b"\x00") if out2 else []
-    nrec = len(ids)
-    parts = []
-    flags = np.zeros(max(nrec, len(outf)), np.uint32)
-    ci = 0
-    for r in range(nrec):
-        f = outf[r] if r < len(outf) else 0
-        nm = bytearray(ids[r])
-        if f & 1:
-            nm += b"/2" if f & 2 else b"/1"
-        if f & 4:
-            nm += b"\t" if f & 8 else b" "
-        if comments:
-            if ci < len(comments):
-                nm += comments[ci]
-                ci += 1
-        parts.append(bytes(nm))
-        flags[r] = FQZ_FREAD2 if (f & 3) == 3 else 0
-    name_buf = b"\x00".join(parts) + (b"\x00" if parts else b"")
-    return name_buf, flags[:nrec]
+    # Native single pass (fqz5_join_names).
+    from fqzcomp5_tpu.codecs import native
+
+    name_buf, flags = native.join_names(out1, outf, out2)
+    return name_buf, flags

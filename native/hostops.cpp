@@ -129,4 +129,102 @@ int64_t fqz5_derive_flags(const uint8_t* name_buf, int64_t buf_len,
     return nrec;
 }
 
+// Name-section strategy-2 splitter/joiner (fqzcomp5.c:1408-1794
+// semantics; see fqzcomp5_tpu/names.py for the mixed-comment
+// deviation).  The Python per-record loops cost ~2s per 16MB of names.
+
+// Split NUL-separated names into ID stream (NUL-separated), per-record
+// flag bytes and comment stream (NUL-separated; present for every
+// record when any record has a comment).  Returns nrec or -1.
+int64_t fqz5_split_names(const uint8_t* in, int64_t len,
+                         uint8_t* ids, int64_t* ids_len,
+                         uint8_t* flags,
+                         uint8_t* comments, int64_t* com_len) {
+    // pass 1: any separator anywhere => comment stream exists
+    bool has_com = false;
+    for (int64_t i = 0; i < len; i++) {
+        if (in[i] == ' ' || in[i] == '\t') { has_com = true; break; }
+    }
+    uint8_t* ip = ids;
+    uint8_t* cp = comments;
+    int64_t nrec = 0;
+    int64_t i = 0;
+    while (i < len) {
+        const uint8_t* nul = (const uint8_t*)memchr(in + i, 0, len - i);
+        int64_t j = nul ? nul - in : len;
+        int64_t w1end = j, w2 = -1;
+        uint8_t f = 0;
+        for (int64_t k = i; k < j; k++) {
+            if (in[k] == ' ' || in[k] == '\t') {
+                w1end = k;
+                w2 = k + 1;
+                f |= 4;
+                if (in[k] != ' ') f |= 8;
+                break;
+            }
+        }
+        if (w1end - i > 1 && in[w1end - 2] == '/') {
+            if (in[w1end - 1] == '1') { f |= 1; w1end -= 2; }
+            else if (in[w1end - 1] == '2') { f |= 3; w1end -= 2; }
+        }
+        flags[nrec++] = f;
+        memcpy(ip, in + i, size_t(w1end - i));
+        ip += w1end - i;
+        *ip++ = 0;
+        if (has_com) {
+            if (w2 >= 0) {
+                memcpy(cp, in + w2, size_t(j - w2));
+                cp += j - w2;
+            }
+            *cp++ = 0;
+        }
+        i = j + 1;
+    }
+    *ids_len = ip - ids;
+    *com_len = cp - comments;
+    return nrec;
+}
+
+// Rebuild names from the three streams; fills fread2[r] with 128 where
+// (f&3)==3.  Returns name_buf length or -1.
+int64_t fqz5_join_names(const uint8_t* ids, int64_t ids_len,
+                        const uint8_t* flags, int64_t nflags,
+                        const uint8_t* comments, int64_t com_len,
+                        uint8_t* out, uint32_t* fread2) {
+    uint8_t* op = out;
+    const uint8_t* idp = ids;
+    const uint8_t* idend = ids + ids_len;
+    const uint8_t* cp = comments;
+    const uint8_t* cend = comments + com_len;
+    int64_t r = 0;
+    while (idp < idend) {
+        const uint8_t* nul = (const uint8_t*)memchr(idp, 0, idend - idp);
+        int64_t idlen = nul ? nul - idp : idend - idp;
+        memcpy(op, idp, size_t(idlen));
+        op += idlen;
+        uint8_t f = r < nflags ? flags[r] : 0;
+        if (f & 1) {
+            *op++ = '/';
+            *op++ = (f & 2) ? '2' : '1';
+        }
+        if (f & 4) *op++ = (f & 8) ? '\t' : ' ';
+        if (com_len) {
+            // one comment entry consumed per record while any remain
+            if (cp <= cend) {
+                const uint8_t* cn =
+                    (const uint8_t*)memchr(cp, 0, cend - cp);
+                int64_t cl = cn ? cn - cp : cend - cp;
+                memcpy(op, cp, size_t(cl));
+                op += cl;
+                cp = cn ? cn + 1 : cend + 1;  // past-end stops consuming
+            }
+        }
+        *op++ = 0;
+        fread2[r] = ((f & 3) == 3) ? 128 : 0;
+        r++;
+        idp = nul ? nul + 1 : idend;
+    }
+    return op - out;
+}
+
 }  // extern "C"
