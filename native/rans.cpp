@@ -28,6 +28,23 @@ constexpr int kSimdAuto = 1 << 17;
 
 constexpr int kShift = 12;            // TF_SHIFT (order-0)
 constexpr uint32_t kTot = 1u << kShift;
+extern "C" int fqz5_have_avx2();
+extern "C" int fqz5_have_avx512();
+extern "C" void fqz5_simd512_dec_o0_32(const uint32_t*, int,
+                                       const uint8_t**, const uint8_t*,
+                                       uint32_t*, uint8_t*, uint32_t);
+extern "C" void fqz5_simd512_dec_o1_32(const uint8_t*, const uint32_t*,
+                                       int, const uint8_t**,
+                                       const uint8_t*, uint32_t*,
+                                       uint8_t*, uint8_t*, uint32_t);
+extern "C" void fqz5_simd_dec_o0_32(const uint32_t*, int, const uint8_t**,
+                                    const uint8_t*, uint32_t*, uint8_t*,
+                                    uint32_t);
+extern "C" void fqz5_simd_dec_o1_32(const uint8_t*, const uint32_t*, int,
+                                    const uint8_t**, const uint8_t*,
+                                    uint32_t*, uint8_t*, uint8_t*,
+                                    uint32_t);
+
 constexpr int kShiftO1 = 12;          // TF_SHIFT_O1
 constexpr int kShiftO1Fast = 10;      // TF_SHIFT_O1_FAST
 constexpr uint32_t kRansL = 1u << 15; // RANS_BYTE_L
@@ -445,7 +462,17 @@ bool rans_dec_o0(const uint8_t* in, uint32_t in_size, uint8_t* out,
         if (R[z] < kRansL) return false;
     }
     constexpr uint32_t mask = kTot - 1;
-    for (uint32_t i = 0; i < out_sz; i++) {
+    uint32_t start = 0;
+    if (N == 32 && fqz5_have_avx512()) {
+        uint32_t main_sz = out_sz & ~31u;
+        fqz5_simd512_dec_o0_32(s3, kShift, &cp, limit, R, out, main_sz);
+        start = main_sz;
+    } else if (N == 32 && fqz5_have_avx2()) {
+        uint32_t main_sz = out_sz & ~31u;
+        fqz5_simd_dec_o0_32(s3, kShift, &cp, limit, R, out, main_sz);
+        start = main_sz;
+    }
+    for (uint32_t i = start; i < out_sz; i++) {
         int z = i & (N - 1);
         uint32_t S = s3[R[z] & mask];
         out[i] = uint8_t(S);
@@ -613,7 +640,7 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
     const uint32_t tot = 1u << shift;
     static thread_local std::vector<uint8_t> sfbv;
     static thread_local std::vector<uint32_t> fbv;
-    sfbv.resize(256 * tot);
+    sfbv.resize(256 * tot + 4);  // +4: SIMD dword gathers of bytes
     fbv.resize(256 * 256);
     uint8_t* sfb = sfbv.data();
     uint32_t* fb = fbv.data();
@@ -652,15 +679,34 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
     for (int z = 0; z < N; z++) i4[z] = z * isz;
     const uint32_t mask = tot - 1;
 
-    for (uint32_t i = 0; i < isz; i++) {
+    if (N == 32 && isz && (fqz5_have_avx2() || fqz5_have_avx512())) {
+        static thread_local std::vector<uint8_t> tbuf;
+        tbuf.resize(size_t(isz) * 32);
+        if (fqz5_have_avx512())
+            fqz5_simd512_dec_o1_32(sfb, fb, int(shift), &cp, limit, R, l,
+                                   tbuf.data(), isz);
+        else
+            fqz5_simd_dec_o1_32(sfb, fb, int(shift), &cp, limit, R, l,
+                                tbuf.data(), isz);
+        // un-transpose (isz x 32) into the 32 contiguous lane chunks
         for (int z = 0; z < N; z++) {
-            uint32_t m = R[z] & mask;
-            uint8_t c = sfb[l[z] * tot + m];
-            uint32_t fbe = fb[l[z] * 256 + c];
-            R[z] = (fbe >> 16) * (R[z] >> shift) + m - (fbe & 0xffff);
-            out[i4[z]++] = c;
-            l[z] = c;
-            dec_renorm(R[z], cp, limit);
+            uint8_t* dst = out + i4[z];
+            const uint8_t* src = tbuf.data() + z;
+            for (uint32_t i = 0; i < isz; i++)
+                dst[i] = src[size_t(i) * 32];
+            i4[z] += isz;
+        }
+    } else {
+        for (uint32_t i = 0; i < isz; i++) {
+            for (int z = 0; z < N; z++) {
+                uint32_t m = R[z] & mask;
+                uint8_t c = sfb[l[z] * tot + m];
+                uint32_t fbe = fb[l[z] * 256 + c];
+                R[z] = (fbe >> 16) * (R[z] >> shift) + m - (fbe & 0xffff);
+                out[i4[z]++] = c;
+                l[z] = c;
+                dec_renorm(R[z], cp, limit);
+            }
         }
     }
     // tail on the last state

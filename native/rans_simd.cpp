@@ -1,0 +1,332 @@
+// AVX2 cores for the 32-state rANS Nx16 decoder hot loops.
+//
+// Same wire format and state walk as the scalar templates in rans.cpp
+// (32 interleaved states, 16-bit renormalisation); the SIMD mapping
+// puts 8 states in each of four YMM registers.  Renormalisation uses a
+// startup-generated 256-entry permutation LUT: the 8-bit "needs a
+// word" mask spreads the next popcount(mask) stream words across the
+// needing lanes in lane order.
+//
+// The wrappers only run the full-group main loops; callers keep the
+// scalar table parsing, state init and tail handling, so byte
+// behaviour is identical to the scalar templates.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" int fqz5_have_avx2();
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+
+namespace {
+
+constexpr uint32_t kRansL = 1u << 15;
+
+struct PermLut {
+    alignas(32) uint32_t idx[256][8];
+    PermLut() {
+        for (int m = 0; m < 256; m++) {
+            int k = 0;
+            for (int lane = 0; lane < 8; lane++)
+                idx[m][lane] = (m >> lane) & 1 ? uint32_t(k++) : 0u;
+        }
+    }
+};
+const PermLut kPerm;
+
+inline __m256i renorm8(__m256i R, const uint8_t*& ptr,
+                       const uint8_t* limit) {
+    const __m256i vL = _mm256_set1_epi32(int(kRansL));
+    __m256i ge = _mm256_cmpeq_epi32(_mm256_max_epu32(R, vL), R);
+    __m256i need = _mm256_xor_si256(ge, _mm256_set1_epi32(-1));
+    int m8 = _mm256_movemask_ps(_mm256_castsi256_ps(need));
+    if (!m8) return R;
+    if (ptr + 16 > limit) {  // near stream end: scalar bound checks
+        alignas(32) uint32_t r[8];
+        _mm256_store_si256((__m256i*)r, R);
+        for (int z = 0; z < 8; z++) {
+            if (r[z] < kRansL && ptr + 1 < limit) {
+                r[z] = (r[z] << 16) |
+                       (uint32_t(ptr[0]) | (uint32_t(ptr[1]) << 8));
+                ptr += 2;
+            }
+        }
+        return _mm256_load_si256((const __m256i*)r);
+    }
+    __m128i w16 = _mm_loadu_si128((const __m128i*)ptr);
+    __m256i w32 = _mm256_cvtepu16_epi32(w16);
+    __m256i pidx = _mm256_load_si256((const __m256i*)kPerm.idx[m8]);
+    __m256i words = _mm256_permutevar8x32_epi32(w32, pidx);
+    __m256i shifted = _mm256_or_si256(_mm256_slli_epi32(R, 16), words);
+    R = _mm256_blendv_epi8(R, shifted, need);
+    ptr += 2 * __builtin_popcount(unsigned(m8));
+    return R;
+}
+
+inline void pack8_low_bytes(__m256i S, uint8_t* dst) {
+    __m256i b = _mm256_shuffle_epi8(
+        S, _mm256_setr_epi8(0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1,
+                            -1, -1, -1, -1, 0, 4, 8, 12, -1, -1, -1, -1,
+                            -1, -1, -1, -1, -1, -1, -1, -1));
+    uint32_t lo = uint32_t(_mm256_extract_epi32(b, 0));
+    uint32_t hi = uint32_t(_mm256_extract_epi32(b, 4));
+    memcpy(dst, &lo, 4);
+    memcpy(dst + 4, &hi, 4);
+}
+
+}  // namespace
+
+extern "C" {
+
+int fqz5_have_avx2() { return __builtin_cpu_supports("avx2") ? 1 : 0; }
+
+// Order-0 main loop over full 32-symbol groups.  Updates *cp_io and R.
+void fqz5_simd_dec_o0_32(const uint32_t* s3, int shift,
+                         const uint8_t** cp_io, const uint8_t* limit,
+                         uint32_t* Rs, uint8_t* out, uint32_t main_sz) {
+    const uint8_t* cp = *cp_io;
+    const uint32_t mask = (1u << shift) - 1;
+    const __m256i vmask = _mm256_set1_epi32(int(mask));
+    const __m256i vff = _mm256_set1_epi32(0xFF);
+    __m256i R[4];
+    for (int g = 0; g < 4; g++)
+        R[g] = _mm256_loadu_si256((const __m256i*)(Rs + 8 * g));
+
+    for (uint32_t i = 0; i < main_sz; i += 32) {
+        // issue the four gathers back-to-back so their latency overlaps;
+        // only the renorms are serial (shared word pointer, lane order)
+        __m256i S[4];
+        for (int g = 0; g < 4; g++) {
+            __m256i m = _mm256_and_si256(R[g], vmask);
+            S[g] = _mm256_i32gather_epi32((const int*)s3, m, 4);
+        }
+        for (int g = 0; g < 4; g++) {
+            pack8_low_bytes(_mm256_and_si256(S[g], vff), out + i + 8 * g);
+            __m256i f = _mm256_srli_epi32(S[g], shift + 8);
+            __m256i b = _mm256_and_si256(_mm256_srli_epi32(S[g], 8),
+                                         vmask);
+            __m256i q = _mm256_srli_epi32(R[g], shift);
+            R[g] = _mm256_add_epi32(_mm256_mullo_epi32(f, q), b);
+        }
+        for (int g = 0; g < 4; g++) R[g] = renorm8(R[g], cp, limit);
+    }
+    for (int g = 0; g < 4; g++)
+        _mm256_storeu_si256((__m256i*)(Rs + 8 * g), R[g]);
+    *cp_io = cp;
+}
+
+// Order-1 main loop: isz steps over 32 lanes, writing a transposed
+// (isz x 32) buffer the caller must provide (tbuf), plus final last[].
+void fqz5_simd_dec_o1_32(const uint8_t* sfb, const uint32_t* fb,
+                         int shift, const uint8_t** cp_io,
+                         const uint8_t* limit, uint32_t* Rs,
+                         uint8_t* lastv, uint8_t* tbuf, uint32_t isz) {
+    const uint8_t* cp = *cp_io;
+    const uint32_t mask = (1u << shift) - 1;
+    const __m256i vmask = _mm256_set1_epi32(int(mask));
+    const __m256i vff = _mm256_set1_epi32(0xFF);
+    __m256i R[4], last[4];
+    for (int g = 0; g < 4; g++) {
+        R[g] = _mm256_loadu_si256((const __m256i*)(Rs + 8 * g));
+        alignas(32) uint32_t l32[8];
+        for (int z = 0; z < 8; z++) l32[z] = lastv[8 * g + z];
+        last[g] = _mm256_load_si256((const __m256i*)l32);
+    }
+
+    for (uint32_t i = 0; i < isz; i++) {
+        uint8_t* trow = tbuf + size_t(i) * 32;
+        __m256i m[4], c[4];
+        for (int g = 0; g < 4; g++) {
+            m[g] = _mm256_and_si256(R[g], vmask);
+            __m256i sidx = _mm256_add_epi32(
+                _mm256_slli_epi32(last[g], shift), m[g]);
+            __m256i sv = _mm256_i32gather_epi32((const int*)sfb, sidx, 1);
+            c[g] = _mm256_and_si256(sv, vff);
+        }
+        __m256i fbe[4];
+        for (int g = 0; g < 4; g++) {
+            pack8_low_bytes(c[g], trow + 8 * g);
+            __m256i fidx = _mm256_add_epi32(
+                _mm256_slli_epi32(last[g], 8), c[g]);
+            fbe[g] = _mm256_i32gather_epi32((const int*)fb, fidx, 4);
+        }
+        for (int g = 0; g < 4; g++) {
+            __m256i f = _mm256_srli_epi32(fbe[g], 16);
+            __m256i st = _mm256_and_si256(fbe[g],
+                                          _mm256_set1_epi32(0xFFFF));
+            __m256i q = _mm256_srli_epi32(R[g], shift);
+            R[g] = _mm256_sub_epi32(
+                _mm256_add_epi32(_mm256_mullo_epi32(f, q), m[g]), st);
+            last[g] = c[g];
+        }
+        for (int g = 0; g < 4; g++) R[g] = renorm8(R[g], cp, limit);
+    }
+    for (int g = 0; g < 4; g++) {
+        _mm256_storeu_si256((__m256i*)(Rs + 8 * g), R[g]);
+        alignas(32) uint32_t l32[8];
+        _mm256_store_si256((__m256i*)l32, last[g]);
+        for (int z = 0; z < 8; z++) lastv[8 * g + z] = uint8_t(l32[z]);
+    }
+    *cp_io = cp;
+}
+
+}  // extern "C"
+
+#else  // !__AVX2__
+
+extern "C" {
+int fqz5_have_avx2() { return 0; }
+void fqz5_simd_dec_o0_32(const uint32_t*, int, const uint8_t**,
+                         const uint8_t*, uint32_t*, uint8_t*, uint32_t) {}
+void fqz5_simd_dec_o1_32(const uint8_t*, const uint32_t*, int,
+                         const uint8_t**, const uint8_t*, uint32_t*,
+                         uint8_t*, uint8_t*, uint32_t) {}
+}
+
+#endif
+
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
+
+namespace {
+
+inline __m512i renorm16(__m512i R, const uint8_t*& ptr,
+                        const uint8_t* limit) {
+    const __m512i vL = _mm512_set1_epi32(int(kRansL));
+    __mmask16 need = _mm512_cmplt_epu32_mask(R, vL);
+    if (!need) return R;
+    if (ptr + 32 > limit) {
+        alignas(64) uint32_t r[16];
+        _mm512_store_si512(r, R);
+        for (int z = 0; z < 16; z++) {
+            if (r[z] < kRansL && ptr + 1 < limit) {
+                r[z] = (r[z] << 16) |
+                       (uint32_t(ptr[0]) | (uint32_t(ptr[1]) << 8));
+                ptr += 2;
+            }
+        }
+        return _mm512_load_si512(r);
+    }
+    __m256i w16 = _mm256_loadu_si256((const __m256i*)ptr);
+    __m512i w32 = _mm512_cvtepu16_epi32(w16);
+    // spread the next popcount(need) words to the needing lanes in order
+    __m512i words = _mm512_maskz_expand_epi32(need, w32);
+    __m512i shifted = _mm512_or_si512(_mm512_slli_epi32(R, 16), words);
+    R = _mm512_mask_mov_epi32(R, need, shifted);
+    ptr += 2 * __builtin_popcount(unsigned(need));
+    return R;
+}
+
+inline void pack16_low_bytes(__m512i S, uint8_t* dst) {
+    __m128i b = _mm512_cvtepi32_epi8(S);
+    _mm_storeu_si128((__m128i*)dst, b);
+}
+
+}  // namespace
+
+extern "C" int fqz5_have_avx512() {
+    return (__builtin_cpu_supports("avx512f") &&
+            __builtin_cpu_supports("avx512bw") &&
+            __builtin_cpu_supports("avx512vl"))
+               ? 1
+               : 0;
+}
+
+extern "C" void fqz5_simd512_dec_o0_32(const uint32_t* s3, int shift,
+                                       const uint8_t** cp_io,
+                                       const uint8_t* limit, uint32_t* Rs,
+                                       uint8_t* out, uint32_t main_sz) {
+    const uint8_t* cp = *cp_io;
+    const uint32_t mask = (1u << shift) - 1;
+    const __m512i vmask = _mm512_set1_epi32(int(mask));
+    __m512i R[2];
+    for (int g = 0; g < 2; g++)
+        R[g] = _mm512_loadu_si512(Rs + 16 * g);
+
+    for (uint32_t i = 0; i < main_sz; i += 32) {
+        __m512i S[2];
+        for (int g = 0; g < 2; g++) {
+            __m512i m = _mm512_and_si512(R[g], vmask);
+            S[g] = _mm512_i32gather_epi32(m, (const int*)s3, 4);
+        }
+        for (int g = 0; g < 2; g++) {
+            pack16_low_bytes(S[g], out + i + 16 * g);
+            __m512i f = _mm512_srli_epi32(S[g], shift + 8);
+            __m512i b = _mm512_and_si512(_mm512_srli_epi32(S[g], 8),
+                                         vmask);
+            __m512i q = _mm512_srli_epi32(R[g], shift);
+            R[g] = _mm512_add_epi32(_mm512_mullo_epi32(f, q), b);
+        }
+        for (int g = 0; g < 2; g++) R[g] = renorm16(R[g], cp, limit);
+    }
+    for (int g = 0; g < 2; g++) _mm512_storeu_si512(Rs + 16 * g, R[g]);
+    *cp_io = cp;
+}
+
+extern "C" void fqz5_simd512_dec_o1_32(const uint8_t* sfb,
+                                       const uint32_t* fb, int shift,
+                                       const uint8_t** cp_io,
+                                       const uint8_t* limit, uint32_t* Rs,
+                                       uint8_t* lastv, uint8_t* tbuf,
+                                       uint32_t isz) {
+    const uint8_t* cp = *cp_io;
+    const uint32_t mask = (1u << shift) - 1;
+    const __m512i vmask = _mm512_set1_epi32(int(mask));
+    const __m512i vff = _mm512_set1_epi32(0xFF);
+    __m512i R[2], last[2];
+    for (int g = 0; g < 2; g++) {
+        R[g] = _mm512_loadu_si512(Rs + 16 * g);
+        alignas(64) uint32_t l32[16];
+        for (int z = 0; z < 16; z++) l32[z] = lastv[16 * g + z];
+        last[g] = _mm512_load_si512(l32);
+    }
+
+    for (uint32_t i = 0; i < isz; i++) {
+        uint8_t* trow = tbuf + size_t(i) * 32;
+        __m512i m[2], c[2];
+        for (int g = 0; g < 2; g++) {
+            m[g] = _mm512_and_si512(R[g], vmask);
+            __m512i sidx = _mm512_add_epi32(
+                _mm512_slli_epi32(last[g], shift), m[g]);
+            __m512i sv = _mm512_i32gather_epi32(sidx, (const int*)sfb, 1);
+            c[g] = _mm512_and_si512(sv, vff);
+        }
+        __m512i fbe[2];
+        for (int g = 0; g < 2; g++) {
+            pack16_low_bytes(c[g], trow + 16 * g);
+            __m512i fidx = _mm512_add_epi32(
+                _mm512_slli_epi32(last[g], 8), c[g]);
+            fbe[g] = _mm512_i32gather_epi32(fidx, (const int*)fb, 4);
+        }
+        for (int g = 0; g < 2; g++) {
+            __m512i f = _mm512_srli_epi32(fbe[g], 16);
+            __m512i st = _mm512_and_si512(fbe[g],
+                                          _mm512_set1_epi32(0xFFFF));
+            __m512i q = _mm512_srli_epi32(R[g], shift);
+            R[g] = _mm512_sub_epi32(
+                _mm512_add_epi32(_mm512_mullo_epi32(f, q), m[g]), st);
+            last[g] = c[g];
+        }
+        for (int g = 0; g < 2; g++) R[g] = renorm16(R[g], cp, limit);
+    }
+    for (int g = 0; g < 2; g++) {
+        _mm512_storeu_si512(Rs + 16 * g, R[g]);
+        alignas(64) uint32_t l32[16];
+        _mm512_store_si512(l32, last[g]);
+        for (int z = 0; z < 16; z++) lastv[16 * g + z] = uint8_t(l32[z]);
+    }
+    *cp_io = cp;
+}
+
+#else
+
+extern "C" int fqz5_have_avx512() { return 0; }
+extern "C" void fqz5_simd512_dec_o0_32(const uint32_t*, int,
+                                       const uint8_t**, const uint8_t*,
+                                       uint32_t*, uint8_t*, uint32_t) {}
+extern "C" void fqz5_simd512_dec_o1_32(const uint8_t*, const uint32_t*,
+                                       int, const uint8_t**,
+                                       const uint8_t*, uint32_t*,
+                                       uint8_t*, uint8_t*, uint32_t) {}
+
+#endif  // AVX512
