@@ -328,17 +328,30 @@ int compute_shift(const uint32_t* F0, uint32_t (*F)[256], const uint32_t* T,
 // Core rANS state ops (rANS_word.h)
 struct EncSym {
     uint32_t x_max;
-    uint32_t start;
-    uint32_t freq;
-    uint32_t bits;
+    uint32_t rcp;       // ceil(2^(31+sh) / freq), freq >= 2
+    uint32_t bias;
+    uint16_t cmpl;      // (1<<scale_bits) - freq
+    uint16_t rcp_shift;
 };
 
 inline void enc_sym_init(EncSym& s, uint32_t start, uint32_t freq,
                          uint32_t scale_bits) {
+    // reciprocal-multiply division (rANS_word.h:195-260 scheme): for
+    // freq >= 2, q = mulhi32(x, rcp) >> rcp_shift is the exact floor
+    // quotient; freq == 1 divides exactly via rcp = 2^32-1, bias+x.
     s.x_max = ((kRansL >> scale_bits) << 16) * freq - 1;
-    s.start = start;
-    s.freq = freq;
-    s.bits = scale_bits;
+    s.cmpl = uint16_t((1u << scale_bits) - freq);
+    if (freq < 2) {
+        s.rcp = ~0u;
+        s.rcp_shift = 0;
+        s.bias = start + (1u << scale_bits) - 1;
+    } else {
+        uint32_t sh = 0;
+        while (freq > (1u << sh)) sh++;
+        s.rcp = uint32_t(((uint64_t(1) << (sh + 31)) + freq - 1) / freq);
+        s.rcp_shift = uint16_t(sh - 1);
+        s.bias = start;
+    }
 }
 
 inline void enc_put(uint32_t& x, uint8_t*& ptr, const EncSym& s) {
@@ -348,7 +361,8 @@ inline void enc_put(uint32_t& x, uint8_t*& ptr, const EncSym& s) {
         ptr[1] = uint8_t(x >> 8);
         x >>= 16;
     }
-    x = ((x / s.freq) << s.bits) + (x % s.freq) + s.start;
+    uint32_t q = uint32_t((uint64_t(x) * s.rcp) >> 32) >> s.rcp_shift;
+    x = x + s.bias + q * s.cmpl;
 }
 
 inline void enc_flush(uint32_t x, uint8_t*& ptr) {
