@@ -37,6 +37,14 @@ extern "C" void fqz5_simd512_dec_o1_32(const uint8_t*, const uint32_t*,
                                        int, const uint8_t**,
                                        const uint8_t*, uint32_t*,
                                        uint8_t*, uint8_t*, uint32_t);
+extern "C" void fqz5_simd512_enc_o0_32(const uint8_t*, uint32_t,
+                                       const uint32_t*, const uint32_t*,
+                                       const uint32_t*, const uint32_t*,
+                                       uint32_t*, uint8_t**);
+extern "C" void fqz5_simd512_enc_o1_32(const uint8_t*, uint32_t,
+                                       const uint32_t*, const uint32_t*,
+                                       const uint32_t*, const uint32_t*,
+                                       uint32_t*, uint8_t**);
 extern "C" void fqz5_simd_dec_o0_32(const uint32_t*, int, const uint8_t**,
                                     const uint8_t*, uint32_t*, uint8_t*,
                                     uint32_t);
@@ -430,9 +438,22 @@ bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
     int rem = in_size & (N - 1);
     for (int z = rem - 1; z >= 0; z--)
         enc_put(R[z], ptr, syms[in[in_size - rem + z]]);
-    for (uint32_t i = in_size & ~uint32_t(N - 1); i > 0; i -= N)
-        for (int z = N - 1; z >= 0; z--)
-            enc_put(R[z], ptr, syms[in[i - N + z]]);
+    if (N == 32 && fqz5_have_avx512() && in_size >= 32) {
+        alignas(64) uint32_t sxm[256], src_[256], sbi[256], scr[256];
+        for (int j = 0; j < 256; j++) {
+            sxm[j] = syms[j].x_max;
+            src_[j] = syms[j].rcp;
+            sbi[j] = syms[j].bias;
+            scr[j] = uint32_t(syms[j].cmpl) |
+                     (uint32_t(syms[j].rcp_shift) << 16);
+        }
+        fqz5_simd512_enc_o0_32(in, in_size & ~uint32_t(31), sxm, src_,
+                               sbi, scr, R, &ptr);
+    } else {
+        for (uint32_t i = in_size & ~uint32_t(N - 1); i > 0; i -= N)
+            for (int z = N - 1; z >= 0; z--)
+                enc_put(R[z], ptr, syms[in[i - N + z]]);
+    }
     for (int z = N - 1; z >= 0; z--) enc_flush(R[z], ptr);
 
     size_t stream = size_t(end - ptr);
@@ -599,15 +620,45 @@ bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
     }
     if (N == 32) iN[N - 1] = int64_t(N) * isz - 2;
 
-    for (; iN[0] >= 0;) {
-        for (int z = N - 1; z >= 0; z--) {
-            uint8_t c = in[iN[z]];
-            enc_put(R[z], ptr, syms[c][lN[z]]);
-            lN[z] = c;
-            iN[z]--;
+    if (N == 32 && isz && fqz5_have_avx512()) {
+        // flat (ctx*256+sym) SoA tables + (isz x 32) input transpose
+        static thread_local std::vector<uint32_t> soa;
+        soa.resize(4 * 65536);
+        uint32_t* sxm = soa.data();
+        uint32_t* src_ = sxm + 65536;
+        uint32_t* sbi = src_ + 65536;
+        uint32_t* scr = sbi + 65536;
+        for (int i2 = 0; i2 < 256; i2++)
+            for (int j = 0; j < 256; j++) {
+                const EncSym& e = syms[i2][j];
+                int k = i2 * 256 + j;
+                sxm[k] = e.x_max;
+                src_[k] = e.rcp;
+                sbi[k] = e.bias;
+                scr[k] = uint32_t(e.cmpl) | (uint32_t(e.rcp_shift) << 16);
+            }
+        static thread_local std::vector<uint8_t> tin;
+        tin.resize(size_t(isz) * 32);
+        for (int z = 0; z < 32; z++) {
+            const uint8_t* srcp = in + size_t(z) * isz;
+            uint8_t* dstp = tin.data() + z;
+            for (uint32_t i2 = 0; i2 < isz; i2++)
+                dstp[size_t(i2) * 32] = srcp[i2];
         }
+        fqz5_simd512_enc_o1_32(tin.data(), isz, sxm, src_, sbi, scr, R,
+                               &ptr);
+    } else {
+        for (; iN[0] >= 0;) {
+            for (int z = N - 1; z >= 0; z--) {
+                uint8_t c = in[iN[z]];
+                enc_put(R[z], ptr, syms[c][lN[z]]);
+                lN[z] = c;
+                iN[z]--;
+            }
+        }
+        for (int z = N - 1; z >= 0; z--)
+            enc_put(R[z], ptr, syms[0][lN[z]]);
     }
-    for (int z = N - 1; z >= 0; z--) enc_put(R[z], ptr, syms[0][lN[z]]);
     for (int z = N - 1; z >= 0; z--) enc_flush(R[z], ptr);
 
     size_t stream = size_t(end - ptr);

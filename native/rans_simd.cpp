@@ -330,3 +330,135 @@ extern "C" void fqz5_simd512_dec_o1_32(const uint8_t*, const uint32_t*,
                                        uint8_t*, uint8_t*, uint32_t) {}
 
 #endif  // AVX512
+
+// ---------------------------------------------------------------------
+// AVX-512 encode cores.  SoA symbol tables (x_max, rcp, bias,
+// cmpl|rcp_shift<<16) are built by the caller; renormalisation emits
+// u16 words via compress + masked narrow store, walking groups high-z
+// first so the descending byte order matches the scalar encoder.
+
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
+
+namespace {
+
+inline __m512i mulhi32(__m512i a, __m512i b) {
+    __m512i even = _mm512_mul_epu32(a, b);
+    __m512i odd = _mm512_mul_epu32(_mm512_srli_epi64(a, 32),
+                                   _mm512_srli_epi64(b, 32));
+    // hi bits: even-lane results sit in odd 32-bit slots of `even`
+    return _mm512_mask_blend_epi32(
+        0xAAAA, _mm512_srli_epi64(even, 32), odd);
+}
+
+// one 16-lane encode step: renorm emit + state update
+inline __m512i enc16(__m512i x, __m512i xmax, __m512i rcp, __m512i bias,
+                     __m512i cmpl_rsh, uint8_t*& ptr) {
+    __mmask16 emit = _mm512_cmpgt_epu32_mask(x, xmax);
+    if (emit) {
+        int cnt = __builtin_popcount(unsigned(emit));
+        __m512i w = _mm512_and_si512(x, _mm512_set1_epi32(0xFFFF));
+        __m512i packed = _mm512_maskz_compress_epi32(emit, w);
+        __m256i w16 = _mm512_cvtepi32_epi16(packed);
+        ptr -= 2 * cnt;
+        _mm256_mask_storeu_epi16(ptr, __mmask16((1u << cnt) - 1), w16);
+        x = _mm512_mask_srli_epi32(x, emit, x, 16);
+    }
+    __m512i rsh = _mm512_srli_epi32(cmpl_rsh, 16);
+    __m512i cmpl = _mm512_and_si512(cmpl_rsh,
+                                    _mm512_set1_epi32(0xFFFF));
+    __m512i q = _mm512_srlv_epi32(mulhi32(x, rcp), rsh);
+    return _mm512_add_epi32(
+        _mm512_add_epi32(x, bias), _mm512_mullo_epi32(q, cmpl));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Order-0: consume in[0..main_sz) walking groups of 32 backwards.
+// soa: 4 arrays of nsym u32.  Rs updated in place; *ptr_io moves down.
+void fqz5_simd512_enc_o0_32(const uint8_t* in, uint32_t main_sz,
+                            const uint32_t* xmax, const uint32_t* rcp,
+                            const uint32_t* bias, const uint32_t* crs,
+                            uint32_t* Rs, uint8_t** ptr_io) {
+    uint8_t* ptr = *ptr_io;
+    __m512i R[2];
+    for (int g = 0; g < 2; g++) R[g] = _mm512_loadu_si512(Rs + 16 * g);
+
+    for (int64_t i = int64_t(main_sz) - 32; i >= 0; i -= 32) {
+        // z = 31..16 emit first (higher addresses), then 15..0
+        for (int g = 1; g >= 0; g--) {
+            __m128i sb = _mm_loadu_si128(
+                (const __m128i*)(in + i + 16 * g));
+            __m512i sym = _mm512_cvtepu8_epi32(sb);
+            __m512i xm = _mm512_i32gather_epi32(sym, (const int*)xmax, 4);
+            __m512i rc = _mm512_i32gather_epi32(sym, (const int*)rcp, 4);
+            __m512i bi = _mm512_i32gather_epi32(sym, (const int*)bias, 4);
+            __m512i cr = _mm512_i32gather_epi32(sym, (const int*)crs, 4);
+            R[g] = enc16(R[g], xm, rc, bi, cr, ptr);
+        }
+    }
+    for (int g = 0; g < 2; g++) _mm512_storeu_si512(Rs + 16 * g, R[g]);
+    *ptr_io = ptr;
+}
+
+// Order-1: tin is the (isz x 32) transposed input (tin[i*32+z] =
+// in[z*isz+i]); lanes carry their own `last`.  Tables are flat
+// (ctx*256 + sym) SoA.  First-step ctx handling is the caller's
+// (this walks steps isz-1 .. 1; step 0's ctx-0 symbols too, when
+// first0 != 0).
+void fqz5_simd512_enc_o1_32(const uint8_t* tin, uint32_t isz,
+                            const uint32_t* xmax, const uint32_t* rcp,
+                            const uint32_t* bias, const uint32_t* crs,
+                            uint32_t* Rs, uint8_t** ptr_io) {
+    uint8_t* ptr = *ptr_io;
+    __m512i R[2], last[2];
+    for (int g = 0; g < 2; g++) {
+        R[g] = _mm512_loadu_si512(Rs + 16 * g);
+        __m128i lb = _mm_loadu_si128(
+            (const __m128i*)(tin + size_t(isz - 1) * 32 + 16 * g));
+        last[g] = _mm512_cvtepu8_epi32(lb);
+    }
+
+    for (int64_t i = int64_t(isz) - 2; i >= 0; i--) {
+        for (int g = 1; g >= 0; g--) {
+            __m128i cb = _mm_loadu_si128(
+                (const __m128i*)(tin + size_t(i) * 32 + 16 * g));
+            __m512i ctx = _mm512_cvtepu8_epi32(cb);
+            __m512i flat = _mm512_add_epi32(
+                _mm512_slli_epi32(ctx, 8), last[g]);
+            __m512i xm = _mm512_i32gather_epi32(flat, (const int*)xmax, 4);
+            __m512i rc = _mm512_i32gather_epi32(flat, (const int*)rcp, 4);
+            __m512i bi = _mm512_i32gather_epi32(flat, (const int*)bias, 4);
+            __m512i cr = _mm512_i32gather_epi32(flat, (const int*)crs, 4);
+            R[g] = enc16(R[g], xm, rc, bi, cr, ptr);
+            last[g] = ctx;
+        }
+    }
+    // final step: ctx 0, symbol = last
+    for (int g = 1; g >= 0; g--) {
+        __m512i flat = last[g];
+        __m512i xm = _mm512_i32gather_epi32(flat, (const int*)xmax, 4);
+        __m512i rc = _mm512_i32gather_epi32(flat, (const int*)rcp, 4);
+        __m512i bi = _mm512_i32gather_epi32(flat, (const int*)bias, 4);
+        __m512i cr = _mm512_i32gather_epi32(flat, (const int*)crs, 4);
+        R[g] = enc16(R[g], xm, rc, bi, cr, ptr);
+    }
+    for (int g = 0; g < 2; g++) _mm512_storeu_si512(Rs + 16 * g, R[g]);
+    *ptr_io = ptr;
+}
+
+}  // extern "C"
+
+#else
+
+extern "C" {
+void fqz5_simd512_enc_o0_32(const uint8_t*, uint32_t, const uint32_t*,
+                            const uint32_t*, const uint32_t*,
+                            const uint32_t*, uint32_t*, uint8_t**) {}
+void fqz5_simd512_enc_o1_32(const uint8_t*, uint32_t, const uint32_t*,
+                            const uint32_t*, const uint32_t*,
+                            const uint32_t*, uint32_t*, uint8_t**) {}
+}
+
+#endif
