@@ -216,8 +216,12 @@ def _main(argv=None) -> int:
             o2 = gzip.open(files[2], "wb") if is_gz(files[2]) \
                 else open(files[2], "wb")
             try:
-                decode_file(in_fp, make_deinterleave_writer(o1, o2, arg),
-                            arg, t)
+                writer = make_deinterleave_writer(o1, o2, arg)
+                if arg.engine == "tpu":
+                    from fqzcomp5_tpu.tpu_driver import decode_file_tpu
+                    decode_file_tpu(in_fp, writer, arg, t)
+                else:
+                    decode_file(in_fp, writer, arg, t)
             finally:
                 o1.close()
                 o2.close()
@@ -244,7 +248,11 @@ def _main(argv=None) -> int:
         if len(files) == 3:
             arg.paired_mode = 1
             with open(files[2], "wb") as out:
-                encode_paired(files[0], files[1], out, arg, t)
+                if arg.engine == "tpu":
+                    from fqzcomp5_tpu.tpu_driver import encode_paired_tpu
+                    encode_paired_tpu(files[0], files[1], out, arg, t)
+                else:
+                    encode_paired(files[0], files[1], out, arg, t)
         else:
             in_name = files[0] if len(files) >= 1 else None
             out_name = files[1] if len(files) >= 2 else None

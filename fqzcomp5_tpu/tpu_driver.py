@@ -222,6 +222,21 @@ def encode_file_tpu(in_path, out_fp: BinaryIO, arg: Options,
     encode_stream_tpu(batches(), out_fp, arg, t)
 
 
+def encode_paired_tpu(in1, in2, out_fp: BinaryIO, arg: Options,
+                      t: Timings) -> None:
+    parser = fastq.InterleavedParser(
+        fastq.open_input(in1), fastq.open_input(in2))
+
+    def batches():
+        while True:
+            b = parser.next_batch(arg.blk_size)
+            if b is None:
+                return
+            yield b
+
+    encode_stream_tpu(batches(), out_fp, arg, t)
+
+
 # ---------------------------------------------------------------------
 # Decode: wave-batched device rANS for plain O0/O1 sections.
 

@@ -122,3 +122,21 @@ def test_tpu_engine_pack_path(tmp_path):
         res = io.BytesIO()
         dec(io.BytesIO(blob), make_fastq_writer(res, arg), arg, Timings())
         assert res.getvalue() == data
+
+
+def test_tpu_engine_paired(tmp_path, data_dir=None):
+    import pathlib
+
+    data = pathlib.Path(__file__).parent / "data"
+    comp = tmp_path / "p.fqz5"
+    assert cli.main(["-1", "-V", "-e", "tpu",
+                     str(data / "paired_R1_nosuffix.fastq"),
+                     str(data / "paired_R2_nosuffix.fastq"),
+                     str(comp)]) == 0
+    o1, o2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+    assert cli.main(["-d", "-V", "-e", "tpu", str(comp),
+                     str(o1), str(o2)]) == 0
+    assert o1.read_bytes() == \
+        (data / "paired_R1_nosuffix.fastq").read_bytes()
+    assert o2.read_bytes() == \
+        (data / "paired_R2_nosuffix.fastq").read_bytes()
