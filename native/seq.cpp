@@ -108,10 +108,13 @@ int64_t seq_encode(const uint8_t* in, uint32_t in_size, const uint32_t* lens,
                 uint8_t b = uint8_t(L[in[i + k]] & 3);
                 seq_model[last].encode(rc, b);
                 last = ((last << 2) + b) & mask;
+                __builtin_prefetch(&seq_model[last]);
                 if (both_strands) {
                     int b2 = last2 & 3;
                     last2 = last2 / 4 + ((3 - b) << (2 * ctx_size - 2));
                     seq_model[last2].update(b2);
+                    __builtin_prefetch(
+                        &seq_model[(last2 / 4) & mask]);
                 }
                 if (--seq_len == 0 && i + k + 1 < in_size) {
                     if (nseq >= nrecords) return -1;
@@ -207,11 +210,14 @@ int64_t seq_decode(const uint8_t* in, uint32_t in_size, const uint32_t* lens,
             for (uint32_t k = 0; k < run; k++) {
                 uint8_t b = uint8_t(seq_model[last].decode(rc));
                 last = ((last << 2) + b) & mask;
+                __builtin_prefetch(&seq_model[last]);
                 out[i + k] = uint8_t(bases[b]);
                 if (both_strands) {
                     int b2 = last2 & 3;
                     last2 = last2 / 4 + ((3 - b) << (2 * ctx_size - 2));
                     seq_model[last2].update(b2);
+                    __builtin_prefetch(
+                        &seq_model[(last2 / 4) & mask]);
                 }
                 if (--seq_len == 0 && i + k + 1 < out_size) {
                     if (nseq >= nrecords) return -1;
