@@ -620,8 +620,10 @@ bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
     }
     if (N == 32) iN[N - 1] = int64_t(N) * isz - 2;
 
-    if (N == 32 && isz && fqz5_have_avx512()) {
-        // flat (ctx*256+sym) SoA tables + (isz x 32) input transpose
+    if (N == 32 && isz && in_size >= 32 * isz + 2 &&
+        fqz5_have_avx512()) {
+        // flat (ctx*256+sym) SoA tables; lanes gather their strided
+        // chunk bytes directly (no input transpose)
         static thread_local std::vector<uint32_t> soa;
         soa.resize(4 * 65536);
         uint32_t* sxm = soa.data();
@@ -637,16 +639,7 @@ bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
                 sbi[k] = e.bias;
                 scr[k] = uint32_t(e.cmpl) | (uint32_t(e.rcp_shift) << 16);
             }
-        static thread_local std::vector<uint8_t> tin;
-        tin.resize(size_t(isz) * 32);
-        for (int z = 0; z < 32; z++) {
-            const uint8_t* srcp = in + size_t(z) * isz;
-            uint8_t* dstp = tin.data() + z;
-            for (uint32_t i2 = 0; i2 < isz; i2++)
-                dstp[size_t(i2) * 32] = srcp[i2];
-        }
-        fqz5_simd512_enc_o1_32(tin.data(), isz, sxm, src_, sbi, scr, R,
-                               &ptr);
+        fqz5_simd512_enc_o1_32(in, isz, sxm, src_, sbi, scr, R, &ptr);
     } else {
         for (; iN[0] >= 0;) {
             for (int z = N - 1; z >= 0; z--) {

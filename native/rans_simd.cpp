@@ -402,29 +402,44 @@ void fqz5_simd512_enc_o0_32(const uint8_t* in, uint32_t main_sz,
     *ptr_io = ptr;
 }
 
-// Order-1: tin is the (isz x 32) transposed input (tin[i*32+z] =
-// in[z*isz+i]); lanes carry their own `last`.  Tables are flat
-// (ctx*256 + sym) SoA.  First-step ctx handling is the caller's
-// (this walks steps isz-1 .. 1; step 0's ctx-0 symbols too, when
-// first0 != 0).
-void fqz5_simd512_enc_o1_32(const uint8_t* tin, uint32_t isz,
+// Order-1: lanes read their strided chunk bytes (in[z*isz + i]) via
+// gathers, so no input transpose is needed; lanes carry their own
+// `last`.  Tables are flat (ctx*256 + sym) SoA.
+void fqz5_simd512_enc_o1_32(const uint8_t* in, uint32_t isz,
                             const uint32_t* xmax, const uint32_t* rcp,
                             const uint32_t* bias, const uint32_t* crs,
                             uint32_t* Rs, uint8_t** ptr_io) {
     uint8_t* ptr = *ptr_io;
+    const __m512i vff = _mm512_set1_epi32(0xFF);
+    __m512i zoff[2];
+    for (int g = 0; g < 2; g++) {
+        alignas(64) uint32_t zo[16];
+        for (int z = 0; z < 16; z++)
+            zo[z] = uint32_t((16 * g + z) * isz);
+        zoff[g] = _mm512_load_si512(zo);
+    }
+    // dword gathers read up to 3 bytes past in[idx]; the caller only
+    // dispatches here when in_size >= 32*isz + 2 and the loop stops at
+    // i = isz-2, so every read stays inside the input buffer
+    auto gather_bytes = [&](int64_t i, int g) {
+        __m512i idx = _mm512_add_epi32(zoff[g],
+                                       _mm512_set1_epi32(int(i)));
+        __m512i v = _mm512_i32gather_epi32(idx, (const int*)in, 1);
+        return _mm512_and_si512(v, vff);
+    };
     __m512i R[2], last[2];
     for (int g = 0; g < 2; g++) {
         R[g] = _mm512_loadu_si512(Rs + 16 * g);
-        __m128i lb = _mm_loadu_si128(
-            (const __m128i*)(tin + size_t(isz - 1) * 32 + 16 * g));
-        last[g] = _mm512_cvtepu8_epi32(lb);
+        // scalar init avoids reading past the final column
+        alignas(64) uint32_t l32[16];
+        for (int z = 0; z < 16; z++)
+            l32[z] = in[size_t(16 * g + z) * isz + isz - 1];
+        last[g] = _mm512_load_si512(l32);
     }
 
     for (int64_t i = int64_t(isz) - 2; i >= 0; i--) {
         for (int g = 1; g >= 0; g--) {
-            __m128i cb = _mm_loadu_si128(
-                (const __m128i*)(tin + size_t(i) * 32 + 16 * g));
-            __m512i ctx = _mm512_cvtepu8_epi32(cb);
+            __m512i ctx = gather_bytes(i, g);
             __m512i flat = _mm512_add_epi32(
                 _mm512_slli_epi32(ctx, 8), last[g]);
             __m512i xm = _mm512_i32gather_epi32(flat, (const int*)xmax, 4);
