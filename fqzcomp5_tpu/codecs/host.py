@@ -158,11 +158,23 @@ def tok3_encode(names_blk: bytes, level: int, use_arith: int) -> bytes:
     return out[:rc].tobytes()
 
 
-def tok3_decode(comp: bytes) -> bytes:
+def tok3_decode(comp: bytes, expected_len: int | None = None,
+                max_len: int | None = None) -> bytes:
+    """expected_len: the section's known uncompressed size (exact);
+    max_len: an upper bound from the framing.  Either fails fast on a
+    corrupt embedded length instead of decoding gigabytes."""
     L = native.lib()
     if len(comp) < 9:
         raise ValueError("short tok3 stream")
     ulen = int.from_bytes(comp[:4], "little")
+    if expected_len is not None and ulen != expected_len:
+        raise ValueError(
+            f"tok3 length mismatch: stream says {ulen}, "
+            f"section says {expected_len}")
+    if max_len is not None and ulen > max_len:
+        raise ValueError("tok3 length exceeds section bound")
+    if expected_len is None and ulen > (1 << 28):
+        raise ValueError("implausible tok3 uncompressed length")
     cap = ulen + 2048
     out, outp = _out(cap)
     inp, _keep = _ptr(comp)

@@ -69,13 +69,14 @@ def decode_names(comp: bytes, c_len: int, u_len: int, strat: int):
         rout = host.rans_uncompress(comp)
         return host.unlzp(rout, u_len), None
     if strat == 1:
-        return host.tok3_decode(comp), None
+        return host.tok3_decode(comp, expected_len=u_len), None
 
     clen1, clenf = struct.unpack_from("<II", comp, 0)
     if c_len < clen1 + clenf + 8:
         raise ValueError("invalid strat-2 name payload")
     clen2 = c_len - clen1 - clenf - 8
-    out1 = host.tok3_decode(comp[8:8 + clen1])
+    # ids are the names minus suffixes/comments plus NULs: < 2x section
+    out1 = host.tok3_decode(comp[8:8 + clen1], max_len=2 * u_len + 64)
     outf = host.rans_uncompress(comp[8 + clen1:8 + clen1 + clenf])
     out2 = b""
     if clen2:
