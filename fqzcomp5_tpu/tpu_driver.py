@@ -38,6 +38,9 @@ MIN_DEVICE = 4096   # sections smaller than this stay on the host
 
 X_PACK = 0x80
 X_32 = 0x04
+X_STRIPE = 0x08
+X_NOSZ = 0x10
+X_CAT = 0x20
 
 
 def _frame(order: int, data_len: int, payload: bytes) -> bytes:
@@ -87,9 +90,32 @@ def unpack_np(packed: bytes, out_len: int, syms: np.ndarray) -> bytes:
     return syms[vals.reshape(-1)[:out_len]].tobytes()
 
 
-def _device_section_encode(datas: list[bytes]) -> list[bytes]:
-    """Best-of {O0, O1, PACK|O0, PACK|O1} x32 framed streams for many
-    sections, all walked on the device in two batched calls."""
+def stripe_split(data: bytes, N: int) -> list[bytes]:
+    """Byte-transpose into N sub-streams (rANS_static4x16pr.c stripe
+    layout): stripe j gets bytes j, j+N, j+2N, ...; the remainder goes
+    one byte each to the first ulen%N stripes."""
+    arr = np.frombuffer(data, np.uint8)
+    ulen = len(arr)
+    full = ulen - ulen % N
+    rect = arr[:full].reshape(-1, N).T
+    tail = arr[full:]
+    outs = []
+    for j in range(N):
+        if j < len(tail):
+            outs.append(np.concatenate([rect[j], tail[j:j + 1]])
+                        .tobytes())
+        else:
+            outs.append(rect[j].tobytes())
+    return outs
+
+
+def _device_section_encode(datas: list[bytes],
+                           fixed_lens: list[int] | None = None
+                           ) -> list[bytes]:
+    """Best-of {O0, O1, PACK|O0, PACK|O1, STRIPE(readlen)} x32 framed
+    streams for many sections, all walked on the device in two batched
+    calls.  fixed_lens[i] > 1 enables the STRIPE candidate (the
+    RANSXN1 analog: per-read-position sub-streams)."""
     big_idx = [i for i, d in enumerate(datas) if len(d) >= MIN_DEVICE]
     out: list[bytes] = [b""] * len(datas)
     big = set(big_idx)
@@ -107,9 +133,24 @@ def _device_section_encode(datas: list[bytes]) -> list[bytes]:
         if p is not None and len(p[1]) >= 32:
             pk_pos[k] = len(jobs)
             jobs.append(p[1])
+    st_pos = {}
+    st_stripes = {}
+    sjobs = []   # stripes batch separately: their lengths are ~1/N of
+    # the sections', so mixing them would pad everything to the
+    # longest job's step count
+    if fixed_lens is not None:
+        for k, i in enumerate(big_idx):
+            N = fixed_lens[i] if i < len(fixed_lens) else 0
+            if 1 < N <= 255 and len(datas[i]) // N >= 64:
+                stripes = stripe_split(datas[i], N)
+                st_pos[k] = len(sjobs)
+                st_stripes[k] = stripes
+                sjobs.extend(stripes)
     try:
         enc0 = encode_o0_batch(jobs)
         enc1 = encode_o1_batch(jobs)
+        senc0 = encode_o0_batch(sjobs) if sjobs else []
+        senc1 = encode_o1_batch(sjobs) if sjobs else []
     except RuntimeError:
         # device unavailable mid-run (tunnel drop): host path for this
         # wave keeps the output valid
@@ -135,6 +176,28 @@ def _device_section_encode(datas: list[bytes]) -> list[bytes]:
         else:
             out[i] = (bytes([order]) + varint.put_u32(len(d)) + pmeta
                       + payload)
+        if k in st_pos:
+            # assemble the stripe candidate: per stripe, the smaller of
+            # O0/O1 (CAT when neither compresses)
+            stripes = st_stripes[k]
+            base = st_pos[k]
+            inners = []
+            for j2, sd in enumerate(stripes):
+                c0 = senc0[base + j2]
+                c1 = senc1[base + j2]
+                i0 = bytes([X_32 | X_NOSZ | 0]) + c0
+                i1 = bytes([X_32 | X_NOSZ | 1]) + c1
+                best = i1 if len(i1) <= len(i0) else i0
+                if len(best) >= len(sd) + 1:
+                    best = bytes([X_CAT | X_NOSZ]) + sd
+                inners.append(best)
+            blob = (bytes([X_STRIPE | X_32 | 1])
+                    + varint.put_u32(len(d))
+                    + bytes([len(stripes)])
+                    + b"".join(varint.put_u32(len(x)) for x in inners)
+                    + b"".join(inners))
+            if len(blob) < len(out[i]):
+                out[i] = blob
     return out
 
 
@@ -148,9 +211,12 @@ def encode_stream_tpu(batches, out_fp: BinaryIO, arg: Options,
     def flush_wave(wave: list[fastq.FastqBatch]):
         if not wave:
             return
-        seqs = _device_section_encode([fq.seq_buf for fq in wave])
+        seqs = _device_section_encode(
+            [fq.seq_buf for fq in wave],
+            [fq.fixed_len for fq in wave])
         quals = _device_section_encode(
-            [fq.qual_buf for fq in wave if not fq.is_fasta])
+            [fq.qual_buf for fq in wave if not fq.is_fasta],
+            [fq.fixed_len for fq in wave if not fq.is_fasta])
         qi = 0
         for w, fq in enumerate(wave):
             out = bytearray()
@@ -240,6 +306,51 @@ def encode_paired_tpu(in1, in2, out_fp: BinaryIO, arg: Options,
 # ---------------------------------------------------------------------
 # Decode: wave-batched device rANS for plain O0/O1 sections.
 
+def _parse_stripe_job(payload: bytes):
+    """Parse a STRIPE section into device-decodable sub-jobs.
+    Returns (ulen, [(order01_or_None, body, osize), ...]) where
+    order01 None marks a CAT stripe (body = raw bytes); returns None
+    for anything the device can't take (host path)."""
+    if len(payload) < 4 or not (payload[0] & X_STRIPE):
+        return None
+    ulen, nb = varint.get_u32(payload, 1)
+    off = 1 + nb
+    if off >= len(payload):
+        return None
+    N = payload[off]
+    off += 1
+    if N < 1:
+        return None
+    clens = []
+    for _ in range(N):
+        c, nb = varint.get_u32(payload, off)
+        off += nb
+        clens.append(c)
+    ulenN = [ulen // N + (1 if (ulen % N) > i else 0) for i in range(N)]
+    subs = []
+    for i in range(N):
+        sub = payload[off:off + clens[i]]
+        off += clens[i]
+        if not sub:
+            return None
+        inner = sub[0]
+        if inner == (X_CAT | X_NOSZ):
+            subs.append((None, sub[1:], ulenN[i]))
+        elif (inner & ~1) == (X_32 | X_NOSZ) and len(sub) > 130:
+            subs.append((inner & 1, sub[1:], ulenN[i]))
+        else:
+            return None  # non-X32/tiny inner: host decodes the section
+    return ulen, subs
+
+
+def _unstripe(parts: list[bytes], ulen: int) -> bytes:
+    N = len(parts)
+    out = np.empty(ulen, np.uint8)
+    for j, p in enumerate(parts):
+        out[j::N] = np.frombuffer(p, np.uint8)
+    return out.tobytes()
+
+
 def _parse_device_job(payload: bytes):
     """Parse a section payload the device decoder can handle: plain or
     PACK'd X32 rANS.  Returns (order01, body, body_out_size, post) or
@@ -285,7 +396,9 @@ def decode_file_tpu(in_fp: BinaryIO, writer, arg: Options,
             return
         # decode each block on the host, except plain/PACK X32 rANS
         # seq/qual payloads which run batched on the device
-        jobs0, jobs1 = [], []   # (block_idx, section, body, osize, post)
+        jobs0, jobs1 = [], []   # (key, body, osize, post)
+        stripe_parts = {}        # (i, sec) -> [None|bytes per stripe]
+        stripe_ulen = {}
         metas = [None] * len(wave)
         for i, raw in enumerate(wave):
             metas[i] = _split_block(raw, file_version)
@@ -294,18 +407,38 @@ def decode_file_tpu(in_fp: BinaryIO, writer, arg: Options,
                 strat, ulen, payload = m[sec]
                 if strat != 0:
                     continue
+                st = _parse_stripe_job(payload)
+                if st is not None:
+                    s_ulen, subs = st
+                    stripe_ulen[(i, sec)] = s_ulen
+                    parts = [None] * len(subs)
+                    for j2, (o01, body, osize) in enumerate(subs):
+                        if o01 is None:
+                            parts[j2] = body  # CAT stripe
+                        else:
+                            (jobs1 if o01 else jobs0).append(
+                                ((i, sec, j2), body, osize, None))
+                    stripe_parts[(i, sec)] = parts
+                    continue
                 job = _parse_device_job(payload)
                 if job is None:
                     continue
                 o01, body, osize, post = job
                 (jobs1 if o01 else jobs0).append(
-                    (i, sec, body, osize, post))
+                    ((i, sec), body, osize, post))
         dev_results = {}
         for jobs, dec in ((jobs0, decode_o0_batch), (jobs1, decode_o1_batch)):
             if jobs:
-                res = dec([j[2] for j in jobs], [j[3] for j in jobs])
+                res = dec([j[1] for j in jobs], [j[2] for j in jobs])
                 for j, r in zip(jobs, res):
-                    dev_results[(j[0], j[1])] = j[4](r) if j[4] else r
+                    key = j[0]
+                    if len(key) == 3:  # stripe sub-stream
+                        stripe_parts[key[:2]][key[2]] = r
+                    else:
+                        dev_results[key] = j[3](r) if j[3] else r
+        for key, parts in stripe_parts.items():
+            if all(p is not None for p in parts):
+                dev_results[key] = _unstripe(parts, stripe_ulen[key])
         for i, raw in enumerate(wave):
             pre = {k[1]: v for k, v in dev_results.items() if k[0] == i}
             bt = Timings()

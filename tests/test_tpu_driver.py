@@ -140,3 +140,50 @@ def test_tpu_engine_paired(tmp_path, data_dir=None):
         (data / "paired_R1_nosuffix.fastq").read_bytes()
     assert o2.read_bytes() == \
         (data / "paired_R2_nosuffix.fastq").read_bytes()
+
+
+def test_tpu_engine_stripe_path(tmp_path):
+    """Fixed-length position-dependent qualities make the STRIPE
+    candidate win (the RANSXN1 analog); the file must round-trip
+    through both decoders."""
+    import io
+
+    from fqzcomp5_tpu import container, tpu_driver
+    from fqzcomp5_tpu.drivers import Timings, decode_file, \
+        make_fastq_writer
+    from fqzcomp5_tpu.options import Options
+
+    rng = np.random.default_rng(8)
+    L = 100
+    recs = []
+    # quality depends strongly on read position -> per-position stripes
+    # are near-constant while the interleaved stream looks random
+    pos_mean = np.clip(40 - (np.arange(L) // 4), 10, 40)
+    for i in range(2000):
+        q = np.clip(pos_mean + rng.integers(-1, 2, L), 2, 45) + 33
+        seq = rng.choice(list(b"ACGT"), L).astype(np.uint8)
+        recs.append(b"@r%d\n" % i + seq.tobytes() + b"\n+\n"
+                    + q.astype(np.uint8).tobytes() + b"\n")
+    data = b"".join(recs)
+    src = tmp_path / "s.fastq"
+    src.write_bytes(data)
+
+    arg = Options()
+    arg.apply_preset(1)
+    arg.blk_size = 1 << 20
+    arg.verbose = -1
+    out = io.BytesIO()
+    tpu_driver.encode_file_tpu(str(src), out, arg, Timings())
+    blob = out.getvalue()
+
+    fp = io.BytesIO(blob)
+    ver, idx_off = container.read_header(fp)
+    qorders = [tpu_driver._split_block(raw, ver)["qual"][2][0]
+               for raw in container.iter_raw_blocks(fp, idx_off)]
+    assert any(o & tpu_driver.X_STRIPE for o in qorders), qorders
+
+    for dec in (tpu_driver.decode_file_tpu, decode_file):
+        res = io.BytesIO()
+        dec(io.BytesIO(blob), make_fastq_writer(res, arg), arg,
+            Timings())
+        assert res.getvalue() == data
