@@ -35,3 +35,37 @@ int64_t fqz5_rans_uncompress(const uint8_t* in, uint32_t in_size,
 }
 
 }  // extern "C"
+
+#include "rc.h"
+
+extern "C" {
+
+// Drive the range coder over raw (cum, freq, tot) triples — the test
+// oracle for the batched device walk (ops/rc_jax.py).
+int64_t fqz5_rc_encode_raw(const uint32_t* cum, const uint32_t* freq,
+                           const uint32_t* tot, uint32_t n,
+                           uint8_t* out, uint32_t out_cap) {
+    if (out_cap < n * 5 + 16) return -1;
+    fqz5::RangeCoder rc;
+    rc.start_encode(out);
+    for (uint32_t i = 0; i < n; i++)
+        rc.encode(cum[i], freq[i], tot[i]);
+    rc.finish_encode();
+    return int64_t(rc.out_size());
+}
+
+int64_t fqz5_rc_decode_raw(const uint8_t* in, uint32_t in_size,
+                           const uint32_t* cum, const uint32_t* freq,
+                           const uint32_t* tot, uint32_t n,
+                           uint32_t* dec_freq_out) {
+    fqz5::RangeCoder rc;
+    rc.start_decode(in, in + in_size);
+    for (uint32_t i = 0; i < n; i++) {
+        dec_freq_out[i] = rc.get_freq(tot[i]);
+        rc.decode(cum[i], freq[i], tot[i]);
+        if (rc.error()) return -1;
+    }
+    return int64_t(rc.in_consumed(in));
+}
+
+}  // extern "C"
