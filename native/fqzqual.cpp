@@ -868,6 +868,111 @@ int read_parameters(GParams* gp, const uint8_t* in, size_t in_size) {
 // seq: concatenated decoded bases (or nullptr); seq_lens: per-record
 // lengths used to index seq (the FQZ stream itself codes quality
 // lengths, which must agree for USE_SEQ streams).
+// Pass-1 introspection for the device decomposition
+// (docs/DEVICE_ADAPTIVE_CODECS.md): runs parameter picking and the
+// exact per-byte context walk of fqz_compress_impl, but instead of
+// range-coding it records each quality byte's (context, mapped
+// symbol) and serializes the tables the device walk needs.
+int64_t fqz_dump_ctx_impl(const uint8_t* in, size_t in_size, Slice* s,
+                          int strat, uint32_t* ctx_out, uint8_t* qm_out,
+                          uint32_t* par_out, size_t par_cap,
+                          uint32_t* sel_out) {
+    GParams gp;
+    if (pick_parameters(&gp, 4, strat, s, in, in_size) < 0) return -1;
+    for (int j = 0; j < gp.nparam; j++)
+        gp.p[j].bbits = gp.p[j].bloc = 0;   // no-seq path
+    gp.gflags &= ~kGUseSeq;
+
+    for (int j = 0; j < gp.nparam; j++) {
+        Param& pm = gp.p[j];
+        for (int i = 0; i < 1024; i++) pm.ptab[i] <<= pm.ploc;
+        for (int i = 0; i < 256; i++) pm.dtab[i] <<= pm.dloc;
+    }
+
+    // serialize: header + stab + per-param tables
+    size_t need = 4 + 256 + size_t(gp.nparam) * (10 + 256 + 256 + 1024
+                                                 + 256);
+    if (par_cap < need) return -1;
+    uint32_t* pp = par_out;
+    *pp++ = uint32_t(gp.nparam);
+    *pp++ = uint32_t(gp.gflags);
+    *pp++ = uint32_t(gp.max_sel);
+    *pp++ = uint32_t(gp.max_sym);
+    for (int i = 0; i < 256; i++) *pp++ = gp.stab[i];
+    for (int j = 0; j < gp.nparam; j++) {
+        Param& pm = gp.p[j];
+        *pp++ = uint32_t(pm.qshift);
+        *pp++ = uint32_t(pm.qmask);
+        *pp++ = uint32_t(pm.qloc);
+        *pp++ = uint32_t(pm.sloc);
+        *pp++ = uint32_t(pm.context);
+        *pp++ = uint32_t(pm.do_sel);
+        *pp++ = uint32_t(pm.do_dedup);
+        *pp++ = uint32_t(pm.fixed_len);
+        *pp++ = uint32_t(pm.do_qa);
+        *pp++ = uint32_t(pm.do_r2);
+        for (int i = 0; i < 256; i++) *pp++ = pm.qmap[i];
+        for (int i = 0; i < 256; i++) *pp++ = pm.qtab[i];
+        for (int i = 0; i < 1024; i++) *pp++ = pm.ptab[i];
+        for (int i = 0; i < 256; i++) *pp++ = pm.dtab[i];
+    }
+
+    QState st;
+    Param* pm = &gp.p[0];
+    unsigned last = 0;
+    size_t last_len = 0;
+    int64_t rec = 0;
+
+    for (size_t i = 0; i < in_size; i++) {
+        if (st.p == 0) {
+            if (pm->do_sel || (gp.gflags & kGMultiParam)) {
+                st.s = rec < s->num_records ? s->flags[rec] >> 16 : 0;
+            } else {
+                st.s = 0;
+            }
+            int x = (gp.gflags & kGHaveSTab) ? int(gp.stab[st.s])
+                                             : int(st.s);
+            pm = &gp.p[x];
+
+            unsigned len = s->len[rec];
+            if (!pm->fixed_len || st.first_len) st.first_len = 0;
+
+            st.p = len;
+            st.delta = 0;
+            st.qctx = 0;
+            st.prevq = 0;
+            st.seq = 0;
+            rec++;
+            last = pm->context;
+
+            if (pm->do_dedup) {
+                if (i && len == last_len &&
+                    !memcmp(in + i - last_len, in + i, len)) {
+                    for (unsigned k = 0; k < len; k++) {
+                        ctx_out[i + k] = 0xFFFFFFFFu;
+                        qm_out[i + k] = 0;
+                    }
+                    i += len - 1;
+                    st.p = 0;
+                    continue;
+                }
+                last_len = len;
+            }
+        }
+
+        uint8_t q = in[i];
+        uint8_t qm = uint8_t(pm->qmap[q]);
+        ctx_out[i] = last;
+        qm_out[i] = qm;
+        last = update_ctx(*pm, st, qm, 0);
+    }
+    for (int r = 0; r < s->num_records; r++) {
+        if (sel_out) sel_out[r] = s->flags[r] >> 16;
+        s->flags[r] &= 0xffff;
+    }
+    return int64_t(pp - par_out);
+}
+
 int64_t fqz_decompress_impl(const uint8_t* in, size_t in_size, uint8_t* out,
                             size_t out_cap, const uint8_t* seq) {
     uint32_t len = 0;
@@ -1008,5 +1113,19 @@ int64_t fqz5_fqz_compress(const uint8_t* in, uint64_t in_size,
 int64_t fqz5_fqz_decompress(const uint8_t* in, uint64_t in_size, uint8_t* out,
                             uint64_t out_cap, const uint8_t* seq) {
     return fqz5::fqz_decompress_impl(in, in_size, out, out_cap, seq);
+}
+
+int64_t fqz5_fqz_dump_ctx(const uint8_t* in, uint64_t in_size,
+                          const uint32_t* lens, uint32_t* flags,
+                          int num_records, int strat, uint32_t* ctx_out,
+                          uint8_t* qm_out, uint32_t* par_out,
+                          uint64_t par_cap, uint32_t* sel_out) {
+    fqz5::Slice s;
+    s.num_records = num_records;
+    s.len = lens;
+    s.flags = flags;
+    s.seq = nullptr;
+    return fqz5::fqz_dump_ctx_impl(in, in_size, &s, strat, ctx_out,
+                                   qm_out, par_out, par_cap, sel_out);
 }
 }
