@@ -1,0 +1,141 @@
+"""Pass 2 of the fqz-qual device decomposition: per-context model
+evolution.
+
+The SIMPLE_MODEL recurrence (c_simple_model.h:63-171; native/rc.h
+AdaptiveModel) looked sequential — the bubble reordering makes each
+occurrence's cumulative frequency depend on the whole history — but it
+vectorises along a different axis: the model's symbol ARRAY lives on
+the 128 lanes (position-major: lane j holds (sym, freq) of array slot
+j), and thousands of independent CONTEXTS batch along rows.  Each step
+then processes occurrence t of every context at once:
+
+  find     pos of the encoded symbol   -> lane compare + index reduce
+  cum      sum of freqs before pos     -> masked lane reduce
+  bump     freq += STEP at pos         -> masked add
+  norm     f -= f>>1 when tot overflows-> elementwise (zeros stay zero,
+                                          so the reference's stop-at-
+                                          zero loop is equivalent)
+  bubble   adjacent swap when the bumped freq passes its neighbour
+                                       -> two masked selects
+
+Occurrences are grouped per context beforehand (a stable sort of the
+pass-1 context plane); contexts with fewer occurrences than the step
+index are masked.  Work is O(total_bytes * 128 lanes) — the lane
+blowup buys full vectorisation of a branch-and-pointer CPU loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K_MAX_FREQ = (1 << 16) - 17
+
+
+@jax.jit
+def evolve(symplane, counts, max_sym, step_inc):
+    """Evolve C independent AdaptiveModels.
+
+    symplane: (C, T) int32 — context c's t-th encoded symbol (padded);
+    counts: (C,) int32 occurrence counts; max_sym: scalar int32 (model
+    init size, same for every context in an fqz block); step_inc:
+    scalar int32 (STEP).
+
+    Returns (cum, freq, tot): (C, T) uint32 planes of the triples each
+    encode uses (garbage past counts[c])."""
+    C, T = symplane.shape
+    lanes = 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+
+    sym0 = jnp.broadcast_to(lane, (C, lanes)).astype(jnp.int32)
+    freq0 = jnp.where(lane < max_sym, 1, 0).astype(jnp.int32)
+    freq0 = jnp.broadcast_to(freq0, (C, lanes))
+    tot0 = jnp.full((C, 1), max_sym, jnp.int32)
+
+    def stepf(carry, t):
+        symv, freqv, tot = carry
+        s = jax.lax.dynamic_slice_in_dim(symplane, t, 1, 1)  # (C,1)
+        active = (t < counts)[:, None]
+
+        onpos = symv == s                      # (C, lanes) one-hot
+        pos = jnp.sum(jnp.where(onpos, lane, 0), axis=1, keepdims=True)
+        cum = jnp.sum(jnp.where(lane < pos, freqv, 0), axis=1,
+                      keepdims=True)
+        f = jnp.sum(jnp.where(onpos, freqv, 0), axis=1, keepdims=True)
+
+        # bump
+        freq2 = freqv + jnp.where(onpos, step_inc, 0)
+        tot2 = tot + step_inc
+        # normalize on overflow (zeros stay zero)
+        over = tot2 > K_MAX_FREQ
+        fn = freq2 - (freq2 >> 1)
+        freq2 = jnp.where(over, fn, freq2)
+        tot2 = jnp.where(over,
+                         jnp.sum(freq2, axis=1, keepdims=True), tot2)
+        # bubble: swap pos-1 <-> pos when freq[pos] > freq[pos-1]
+        fval = jnp.sum(jnp.where(onpos, freq2, 0), axis=1,
+                       keepdims=True)
+        onprev = lane == (pos - 1)
+        fprev = jnp.sum(jnp.where(onprev, freq2, 0), axis=1,
+                        keepdims=True)
+        sprev = jnp.sum(jnp.where(onprev, symv, 0), axis=1,
+                        keepdims=True)
+        do = (pos > 0) & (fval > fprev)
+        symv2 = jnp.where(do & onpos, sprev,
+                          jnp.where(do & onprev, s, symv))
+        freq3 = jnp.where(do & onpos, fprev,
+                          jnp.where(do & onprev, fval, freq2))
+
+        symv2 = jnp.where(active, symv2, symv)
+        freq3 = jnp.where(active, freq3, freqv)
+        tot2 = jnp.where(active, tot2, tot)
+        return (symv2, freq3, tot2), (cum[:, 0], f[:, 0], tot[:, 0])
+
+    (_, _, _), (cums, freqs, tots) = jax.lax.scan(
+        stepf, (sym0, freq0, tot0), jnp.arange(T, dtype=jnp.int32))
+    return (jnp.swapaxes(cums, 0, 1).astype(jnp.uint32),
+            jnp.swapaxes(freqs, 0, 1).astype(jnp.uint32),
+            jnp.swapaxes(tots, 0, 1).astype(jnp.uint32))
+
+
+def group_by_context(ctx: np.ndarray, qm: np.ndarray):
+    """Stable-group a stream's (ctx, sym) sequence by context.
+
+    Returns (uniq_ctx, symplane (C, Tmax), counts (C,), order) where
+    `order` maps plane cell (c, t) back to the stream position (for
+    un-sorting the triples)."""
+    order = np.argsort(ctx, kind="stable")
+    sorted_ctx = ctx[order]
+    uniq, starts, counts = np.unique(sorted_ctx, return_index=True,
+                                     return_counts=True)
+    C = len(uniq)
+    Tmax = int(counts.max()) if C else 0
+    symplane = np.zeros((C, Tmax), np.int32)
+    posplane = np.full((C, Tmax), -1, np.int64)
+    # occurrence index within each context
+    occ = np.arange(len(ctx)) - np.repeat(starts, counts)
+    rows = np.repeat(np.arange(C), counts)
+    symplane[rows, occ] = qm[order]
+    posplane[rows, occ] = order
+    return uniq, symplane, counts.astype(np.int32), posplane
+
+
+def triples_for_stream(ctx: np.ndarray, qm: np.ndarray, max_sym: int,
+                       step_inc: int = 16):
+    """Convenience: full pass-2 for one stream — group, evolve,
+    un-sort.  Returns (cum, freq, tot) uint32 arrays in stream order."""
+    uniq, symplane, counts, posplane = group_by_context(ctx, qm)
+    cums, freqs, tots = evolve(jnp.asarray(symplane),
+                               jnp.asarray(counts),
+                               jnp.int32(max_sym), jnp.int32(step_inc))
+    cums, freqs, tots = map(np.asarray, (cums, freqs, tots))
+    n = len(ctx)
+    out_c = np.zeros(n, np.uint32)
+    out_f = np.zeros(n, np.uint32)
+    out_t = np.zeros(n, np.uint32)
+    valid = posplane >= 0
+    out_c[posplane[valid]] = cums[valid]
+    out_f[posplane[valid]] = freqs[valid]
+    out_t[posplane[valid]] = tots[valid]
+    return out_c, out_f, out_t

@@ -68,4 +68,28 @@ int64_t fqz5_rc_decode_raw(const uint8_t* in, uint32_t in_size,
     return int64_t(rc.in_consumed(in));
 }
 
+// Replay one AdaptiveModel over a symbol sequence, dumping the
+// (cum, freq, tot) triple each encode would use — the oracle for the
+// vectorised per-context model evolution (ops/fqz_model_jax.py).
+int64_t fqz5_adaptive_replay(int max_sym, int step, const uint16_t* syms,
+                             uint32_t n, uint32_t* cum_out,
+                             uint32_t* freq_out, uint32_t* tot_out) {
+    if (step == 16) {
+        fqz5::AdaptiveModel<256, 16> m;
+        m.init(max_sym);
+        for (uint32_t i = 0; i < n; i++)
+            m.encode_dump(syms[i], &cum_out[i], &freq_out[i],
+                          &tot_out[i]);
+        return n;
+    } else if (step == 8) {
+        fqz5::AdaptiveModel<256, 8> m;
+        m.init(max_sym);
+        for (uint32_t i = 0; i < n; i++)
+            m.encode_dump(syms[i], &cum_out[i], &freq_out[i],
+                          &tot_out[i]);
+        return n;
+    }
+    return -1;
+}
+
 }  // extern "C"

@@ -141,6 +141,19 @@ class AdaptiveModel {
         bump(i);
     }
 
+    // encode() minus the coder: dump the triple (test oracle for the
+    // vectorised model-evolution kernel)
+    void encode_dump(uint16_t s, uint32_t* cum, uint32_t* freq,
+                     uint32_t* tot) {
+        int i = 0;
+        uint32_t acc = 0;
+        while (sym_[i] != s) acc += freq_[i++];
+        *cum = acc;
+        *freq = freq_[i];
+        *tot = tot_;
+        bump(i);
+    }
+
     uint16_t decode(RangeCoder& rc) {
         uint32_t f = rc.get_freq(tot_);
         if (f > kMaxFreq) return 0;
