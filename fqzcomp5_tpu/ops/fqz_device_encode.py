@@ -1,0 +1,163 @@
+"""End-to-end device encode for the fqz quality codec: passes 1+2+3
+of the context-sorted decomposition composed into a byte-exact
+replacement for the native range-coder payload.
+
+Pipeline (docs/DEVICE_ADAPTIVE_CODECS.md):
+
+  host   parameter picking + selector assignment (fqz5_fqz_dump_ctx's
+         serialized blob — stats-heavy, by design host work)
+  pass 1 per-byte model contexts, records along rows
+         (ops/fqz_ctx_jax.compute_contexts)
+  merge  host: interleave the per-record overhead symbols (sel,
+         4 x len byte, dup bit — native/fqzqual.cpp:698-756) with the
+         quality symbols in stream order, as (model_id, symbol) pairs
+  pass 2 group by model id; evolve every touched AdaptiveModel in one
+         batch — per-row alphabets mix the 96-ish-symbol qual models
+         with the 256/2-symbol overhead models
+         (ops/fqz_model_jax.evolve)
+  pass 3 un-sort the (cum, freq, tot) triples to stream order and run
+         the batched range-coder walk (ops/rc_jax)
+
+The result byte-matches the native fqz_compress payload after the
+parameter header (tests/test_fqz_device_encode.py).  Decode stays
+host-native: contexts depend on decoded output, so the decomposition
+has no decode analogue.
+
+Known padding cost: the pass-2 plane is (models, max occurrences); a
+block dominated by one hot context pads the cold rows.  Worst case is
+bounded by (streams x longest-context run), same order as the byte
+count for fqz's 16-bit context space on real data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import fqz_ctx_jax, fqz_model_jax, rc_jax
+
+K_G_MULTI_PARAM = 1   # native/fqzqual.cpp:29
+K_G_HAVE_STAB = 2
+
+# pseudo model ids above the 16-bit qual context space
+MID_LEN0 = 1 << 16
+MID_SEL = MID_LEN0 + 4
+MID_DUP = MID_SEL + 1
+
+
+def _dup_flags(quals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """dup[r] = record r byte-equals record r-1 (fqzqual.cpp:738-745)."""
+    nrec = len(lens)
+    dup = np.zeros(nrec, bool)
+    ends = np.cumsum(lens.astype(np.int64))
+    starts = ends - lens
+    for r in range(1, nrec):
+        if lens[r] == lens[r - 1]:
+            a = quals[starts[r - 1]:ends[r - 1]]
+            b = quals[starts[r]:ends[r]]
+            dup[r] = bool((a == b).all())
+    return dup
+
+
+def build_stream(qual: bytes, lens, sels, P):
+    """Merge overhead + quality symbols into one (model_id, symbol)
+    stream in the native encoder's order.  Returns (mids int64,
+    syms int32, n_overhead)."""
+    qa = np.frombuffer(qual, np.uint8)
+    lens = np.asarray(lens, np.uint32)
+    sels = np.asarray(sels, np.uint32)
+    nrec = len(lens)
+
+    pidx = (P.stab[sels] if (P.gflags & K_G_HAVE_STAB)
+            else sels).astype(np.int64)
+    multi = bool(P.gflags & K_G_MULTI_PARAM)
+    do_sel = P.do_sel.astype(bool)
+    do_dedup = P.do_dedup.astype(bool)
+    fixed_len = P.fixed_len.astype(bool)
+    dup = (_dup_flags(qa, lens)
+           if do_dedup.any() else np.zeros(nrec, bool))
+
+    # pass 1 on device: per-byte contexts for every record
+    Lmax = int(lens.max()) if nrec else 0
+    quals2d = np.zeros((nrec, Lmax), np.uint8)
+    ends = np.cumsum(lens.astype(np.int64))
+    starts = ends - lens
+    for r in range(nrec):
+        quals2d[r, :lens[r]] = qa[starts[r]:ends[r]]
+    cj, qj = fqz_ctx_jax.compute_contexts(
+        quals2d, lens, pidx.astype(np.int32), sels,
+        P.qmap, P.qtab, P.ptab, P.dtab,
+        P.qshift, P.qmask, P.qloc, P.sloc, P.context)
+    cj = np.asarray(cj)
+    qj = np.asarray(qj)
+
+    mids = np.empty(len(qa) + nrec * 6, np.int64)
+    syms = np.empty(len(qa) + nrec * 6, np.int32)
+    w = 0
+    first_len = True
+    prev_p = 0  # the encoder tests do_sel on the PREVIOUS record's pm
+    for r in range(nrec):
+        if do_sel[prev_p] or multi:
+            mids[w] = MID_SEL
+            syms[w] = sels[r]
+            w += 1
+        p = pidx[r]
+        ln = int(lens[r])
+        if not fixed_len[p] or first_len:
+            for k in range(4):
+                mids[w] = MID_LEN0 + k
+                syms[w] = (ln >> (8 * k)) & 0xFF
+                w += 1
+            first_len = False
+        if do_dedup[p]:
+            mids[w] = MID_DUP
+            syms[w] = int(dup[r])
+            w += 1
+        if not dup[r]:
+            mids[w:w + ln] = cj[r, :ln]
+            syms[w:w + ln] = qj[r, :ln]
+            w += ln
+        prev_p = p
+    n_qual = int(lens[~dup].sum()) if dup.any() else len(qa)
+    return mids[:w], syms[:w], w - n_qual
+
+
+def encode_payload(qual: bytes, lens, sels, P) -> bytes:
+    """Device range-coder payload for one fqz block (everything after
+    the native header: put_uv(in_size) + store_parameters)."""
+    mids, syms, _ = build_stream(qual, lens, sels, P)
+
+    # per-model alphabet sizes (Models::init, fqzqual.cpp:185-192)
+    uniq, symplane, counts, posplane = fqz_model_jax.group_by_context(
+        mids, syms)
+    ms = np.where(uniq < MID_LEN0, P.max_sym + 1,
+                  np.where(uniq < MID_SEL, 256,
+                           np.where(uniq == MID_SEL, P.max_sel + 1,
+                                    2))).astype(np.int32)
+    import jax.numpy as jnp
+
+    n = len(mids)
+    cum = np.zeros(n, np.uint32)
+    freq = np.zeros(n, np.uint32)
+    tot = np.zeros(n, np.uint32)
+    # the 256-symbol length-byte models need the wide (256-lane)
+    # variant; everything else fits the single-register 128-lane one
+    for wide in (False, True):
+        rows = (ms > 128) == wide
+        if not rows.any():
+            continue
+        cums, freqs, tots = fqz_model_jax.evolve(
+            jnp.asarray(symplane[rows]), jnp.asarray(counts[rows]),
+            jnp.asarray(ms[rows]), jnp.int32(16),
+            lanes=256 if wide else 128)
+        cums, freqs, tots = map(np.asarray, (cums, freqs, tots))
+        pp = posplane[rows]
+        valid = pp >= 0
+        cum[pp[valid]] = cums[valid]
+        freq[pp[valid]] = freqs[valid]
+        tot[pp[valid]] = tots[valid]
+
+    state, (fl, ca, ff, cy) = rc_jax.encode_scan(
+        cum[None, :], freq[None, :], tot[None, :])
+    tails = rc_jax.finish_events(state)
+    fl, ca, ff, cy = map(np.asarray, (fl, ca, ff, cy))
+    return rc_jax.assemble_stream(fl[0], ca[0], ff[0], cy[0], tails[0])

@@ -26,6 +26,8 @@ blowup buys full vectorisation of a branch-and-pointer CPU loop.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,25 +35,28 @@ import numpy as np
 K_MAX_FREQ = (1 << 16) - 17
 
 
-@jax.jit
-def evolve(symplane, counts, max_sym, step_inc):
+@partial(jax.jit, static_argnames=("lanes",))
+def evolve(symplane, counts, max_sym, step_inc, lanes=128):
     """Evolve C independent AdaptiveModels.
 
     symplane: (C, T) int32 — context c's t-th encoded symbol (padded);
-    counts: (C,) int32 occurrence counts; max_sym: scalar int32 (model
-    init size, same for every context in an fqz block); step_inc:
-    scalar int32 (STEP).
+    counts: (C,) int32 occurrence counts; max_sym: scalar int32 or
+    (C,) vector (model init size — per-row so one batch can mix the
+    qual models with the len/sel/dup overhead models); step_inc:
+    scalar int32 (STEP); lanes: model array capacity — 128 covers the
+    qual/sel/dup models, the AdaptiveModel<256> length-byte models
+    need 256 (two lane registers per row).
 
     Returns (cum, freq, tot): (C, T) uint32 planes of the triples each
     encode uses (garbage past counts[c])."""
     C, T = symplane.shape
-    lanes = 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
 
+    ms = jnp.broadcast_to(jnp.reshape(jnp.asarray(max_sym, jnp.int32),
+                                      (-1, 1)), (C, 1))
     sym0 = jnp.broadcast_to(lane, (C, lanes)).astype(jnp.int32)
-    freq0 = jnp.where(lane < max_sym, 1, 0).astype(jnp.int32)
-    freq0 = jnp.broadcast_to(freq0, (C, lanes))
-    tot0 = jnp.full((C, 1), max_sym, jnp.int32)
+    freq0 = jnp.where(lane < ms, 1, 0).astype(jnp.int32)
+    tot0 = ms
 
     def stepf(carry, t):
         symv, freqv, tot = carry

@@ -1,0 +1,94 @@
+"""End-to-end device fqz-qual encode (passes 1+2+3 composed,
+ops/fqz_device_encode.py): the device range-coder payload must
+byte-match the native fqz_compress output after the parameter header
+(native/fqzqual.cpp:663-762)."""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from fqzcomp5_tpu.codecs import host, native
+from fqzcomp5_tpu.ops import fqz_ctx_jax, fqz_device_encode
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+
+
+def _reg():
+    L = native.lib()
+    if not hasattr(L, "_dump_reg"):
+        L.fqz5_fqz_dump_ctx.restype = ctypes.c_int64
+        L.fqz5_fqz_dump_ctx.argtypes = [
+            _u8p, ctypes.c_uint64, _u32p, _u32p, ctypes.c_int,
+            ctypes.c_int, _u32p, _u8p, _u32p, ctypes.c_uint64, _u32p]
+        L._dump_reg = True
+    return L
+
+
+def _params(q, lens, flags, strat):
+    L = _reg()
+    total = len(q)
+    nrec = len(lens)
+    fl = np.array(flags, np.uint32)
+    ctx = np.zeros(total, np.uint32)
+    qm = np.zeros(total, np.uint8)
+    par = np.zeros(400000, np.uint32)
+    sels = np.zeros(nrec, np.uint32)
+    qa = np.frombuffer(q, np.uint8)
+    la = np.ascontiguousarray(lens, np.uint32)
+    rc = L.fqz5_fqz_dump_ctx(
+        qa.ctypes.data_as(_u8p), total, la.ctypes.data_as(_u32p),
+        fl.ctypes.data_as(_u32p), nrec, strat,
+        ctx.ctypes.data_as(_u32p), qm.ctypes.data_as(_u8p),
+        par.ctypes.data_as(_u32p), len(par),
+        sels.ctypes.data_as(_u32p))
+    assert rc > 0
+    return fqz_ctx_jax.FqzParams.parse(par[:rc]), sels
+
+
+def _case(kind, nrec=300):
+    rng = np.random.default_rng(hash(kind) % 2**31)
+    if kind in ("fixed", "dups"):
+        lens = np.full(nrec, 100, np.uint32)
+    else:
+        lens = rng.integers(40, 180, nrec).astype(np.uint32)
+    total = int(lens.sum())
+    if kind == "binned":
+        q = rng.choice(np.array([2, 12, 22, 37], np.uint8), total)
+    else:
+        q = np.clip(np.cumsum(rng.integers(-2, 3, total)) % 40 + 3,
+                    0, 45).astype(np.uint8)
+    if kind == "dups":
+        # byte-identical neighbours to arm any dedup path
+        for r in range(2, nrec, 7):
+            q[r * 100:(r + 1) * 100] = q[(r - 1) * 100:r * 100]
+    flags = np.zeros(nrec, np.uint32)
+    if kind == "r2":
+        flags[1::2] = 128
+    return bytes(q), lens, flags
+
+
+@pytest.mark.parametrize("strat", [0, 1, 2, 3])
+@pytest.mark.parametrize("kind", ["var", "fixed", "binned", "r2",
+                                  "dups"])
+def test_fqz_device_encode_payload_parity(strat, kind):
+    q, lens, flags = _case(kind)
+    P, sels = _params(q, lens, flags, strat)
+    got = fqz_device_encode.encode_payload(q, lens, sels, P)
+    want = host.fqz_compress(q, lens, flags, None, strat)
+    # got is everything after put_uv(in_size) + store_parameters
+    assert len(got) > len(want) // 2, (len(got), len(want))
+    assert want.endswith(got), f"{kind} strat {strat}"
+
+
+def test_fqz_device_encode_decodes_back():
+    """The composed payload is the real stream: native decode of the
+    spliced (header + device payload) must reproduce the input."""
+    q, lens, flags = _case("var")
+    P, sels = _params(q, lens, flags, 1)
+    got = fqz_device_encode.encode_payload(q, lens, sels, P)
+    want = host.fqz_compress(q, lens, flags, None, 1)
+    spliced = want[:len(want) - len(got)] + got
+    back = host.fqz_decompress(spliced, len(q))
+    assert back == q
