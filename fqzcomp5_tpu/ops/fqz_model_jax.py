@@ -104,6 +104,44 @@ def evolve(symplane, counts, max_sym, step_inc, lanes=128):
             jnp.swapaxes(tots, 0, 1).astype(jnp.uint32))
 
 
+@partial(jax.jit, static_argnames=("nsym",))
+def tiny_evolve(symplane, counts, nsym=4):
+    """Evolve C independent TinyModels (native/rc.h TinyModel; the
+    seq codec's per-k-mer and state models).
+
+    Far simpler than the AdaptiveModel: no reordering, STEP 1,
+    normalisation when the PRE-bump total reaches 255.  Contexts ride
+    the lanes; the nsym-wide freq vector is a tiny leading axis.
+    Update-only events (the both-strands shadow walk) mutate state
+    identically to encodes, so callers simply ignore their triples.
+
+    symplane: (C, T) int32; counts: (C,) int32.  Returns (cum, freq,
+    tot) uint32 (C, T) planes."""
+    C, T = symplane.shape
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (nsym, 1), 0)
+    freq0 = jnp.ones((nsym, C), jnp.int32)
+    symT = jnp.swapaxes(symplane, 0, 1)  # (T, C)
+
+    def stepf(freqv, inp):
+        s, t = inp
+        active = (t < counts)[None, :]
+        onpos = sidx == s[None, :]
+        tot = jnp.sum(freqv, axis=0)
+        cum = jnp.sum(jnp.where(sidx < s[None, :], freqv, 0), axis=0)
+        f = jnp.sum(jnp.where(onpos, freqv, 0), axis=0)
+        freq2 = freqv + jnp.where(onpos, 1, 0)
+        freq2 = jnp.where(tot[None, :] >= 255, freq2 - (freq2 >> 1),
+                          freq2)
+        freq2 = jnp.where(active, freq2, freqv)
+        return freq2, (cum, f, tot)
+
+    _, (cums, freqs, tots) = jax.lax.scan(
+        stepf, freq0, (symT, jnp.arange(T, dtype=jnp.int32)))
+    return (jnp.swapaxes(cums, 0, 1).astype(jnp.uint32),
+            jnp.swapaxes(freqs, 0, 1).astype(jnp.uint32),
+            jnp.swapaxes(tots, 0, 1).astype(jnp.uint32))
+
+
 def group_by_context(ctx: np.ndarray, qm: np.ndarray):
     """Stable-group a stream's (ctx, sym) sequence by context.
 

@@ -92,4 +92,46 @@ int64_t fqz5_adaptive_replay(int max_sym, int step, const uint16_t* syms,
     return -1;
 }
 
+// Replay one TinyModel over an encode/update event sequence (upd[i]
+// nonzero = adapt-only, the seq codec's both-strands shadow update) —
+// the oracle for the vectorised tiny-model evolution
+// (ops/fqz_model_jax.tiny_evolve).  Triples are dumped for every
+// event; update events reuse encode_dump-style probing before the
+// bump so callers can simply ignore them.
+int64_t fqz5_tiny_replay(int nsym, const uint16_t* syms,
+                         const uint8_t* upd, uint32_t n,
+                         uint32_t* cum_out, uint32_t* freq_out,
+                         uint32_t* tot_out) {
+    if (nsym == 4) {
+        fqz5::TinyModel<4> m;
+        m.init();
+        for (uint32_t i = 0; i < n; i++) {
+            if (syms[i] >= 4) return -1;
+            if (upd && upd[i]) {
+                m.update(syms[i]);
+                cum_out[i] = freq_out[i] = tot_out[i] = 0;
+            } else {
+                m.encode_dump(syms[i], &cum_out[i], &freq_out[i],
+                              &tot_out[i]);
+            }
+        }
+        return n;
+    } else if (nsym == 2) {
+        fqz5::TinyModel<2> m;
+        m.init();
+        for (uint32_t i = 0; i < n; i++) {
+            if (syms[i] >= 2) return -1;
+            if (upd && upd[i]) {
+                m.update(syms[i]);
+                cum_out[i] = freq_out[i] = tot_out[i] = 0;
+            } else {
+                m.encode_dump(syms[i], &cum_out[i], &freq_out[i],
+                              &tot_out[i]);
+            }
+        }
+        return n;
+    }
+    return -1;
+}
+
 }  // extern "C"

@@ -228,6 +228,20 @@ class TinyModel {
         if (tot >= kMaxFreq) normalize();
     }
 
+    // encode() minus the coder: dump the triple (test oracle for the
+    // vectorised tiny-model evolution kernel)
+    void encode_dump(int s, uint32_t* cum, uint32_t* freq,
+                     uint32_t* tot) {
+        uint32_t t = 0, acc = 0;
+        for (int i = 0; i < NSYM; i++) t += freq_[i];
+        for (int i = 0; i < s; i++) acc += freq_[i];
+        *cum = acc;
+        *freq = freq_[s];
+        *tot = t;
+        freq_[s] += kStep;
+        if (t >= kMaxFreq) normalize();
+    }
+
     int decode(RangeCoder& rc) {
         uint32_t tot = 0;
         for (int i = 0; i < NSYM; i++) tot += freq_[i];

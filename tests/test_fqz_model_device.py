@@ -93,6 +93,71 @@ def test_model_evolution_single_symbol():
     _compare(symp, counts, 96, 16)
 
 
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _reg_tiny():
+    L = native.lib()
+    if not hasattr(L, "_tiny_reg"):
+        L.fqz5_tiny_replay.restype = ctypes.c_int64
+        L.fqz5_tiny_replay.argtypes = [
+            ctypes.c_int, _u16p, _u8p, ctypes.c_uint32,
+            _u32p, _u32p, _u32p]
+        L._tiny_reg = True
+    return L
+
+
+def tiny_replay_native(nsym, syms, upd=None):
+    L = _reg_tiny()
+    n = len(syms)
+    s = np.ascontiguousarray(syms, np.uint16)
+    u = np.ascontiguousarray(
+        upd if upd is not None else np.zeros(n, np.uint8), np.uint8)
+    cum = np.zeros(n, np.uint32)
+    freq = np.zeros(n, np.uint32)
+    tot = np.zeros(n, np.uint32)
+    rc = L.fqz5_tiny_replay(
+        nsym, s.ctypes.data_as(_u16p), u.ctypes.data_as(_u8p), n,
+        cum.ctypes.data_as(_u32p), freq.ctypes.data_as(_u32p),
+        tot.ctypes.data_as(_u32p))
+    assert rc == n
+    return cum, freq, tot
+
+
+@pytest.mark.parametrize("nsym", [2, 4])
+@pytest.mark.parametrize("T", [50, 2000])
+def test_tiny_model_evolution(nsym, T):
+    """tiny_evolve vs the native TinyModel replay — STEP 1, normalise
+    at pre-bump tot >= 255 (native/rc.h TinyModel)."""
+    rng = np.random.default_rng(nsym * 100 + T)
+    C = 7
+    counts = rng.integers(1, T + 1, C).astype(np.int32)
+    counts[0] = T
+    symp = rng.integers(0, nsym, (C, T)).astype(np.int32)
+    cums, freqs, tots = map(np.asarray, fqz_model_jax.tiny_evolve(
+        symp, counts, nsym=nsym))
+    for c in range(C):
+        n = int(counts[c])
+        wc, wf, wt = tiny_replay_native(nsym, symp[c, :n])
+        assert np.array_equal(cums[c, :n], wc)
+        assert np.array_equal(freqs[c, :n], wf)
+        assert np.array_equal(tots[c, :n], wt)
+
+
+def test_tiny_model_skewed_normalisation():
+    """Single hot symbol drives the 255 normalisation repeatedly."""
+    symp = np.zeros((2, 3000), np.int32)
+    symp[1, :] = 3
+    counts = np.array([3000, 3000], np.int32)
+    cums, freqs, tots = map(np.asarray, fqz_model_jax.tiny_evolve(
+        symp, counts, nsym=4))
+    for c in range(2):
+        wc, wf, wt = tiny_replay_native(4, symp[c])
+        assert np.array_equal(cums[c], wc)
+        assert np.array_equal(freqs[c], wf)
+        assert np.array_equal(tots[c], wt)
+
+
 def test_triples_for_stream_roundtrip():
     """Group-by-context + evolve + un-sort against a per-context
     native replay driven in stream order."""
