@@ -41,6 +41,9 @@ class FqzParams:
     do_sel: np.ndarray
     do_dedup: np.ndarray
     fixed_len: np.ndarray
+    bbits: np.ndarray         # sequence-conditioning (kGUseSeq)
+    bloc: np.ndarray
+    boff: np.ndarray
     qmap: np.ndarray          # (P, 256)
     qtab: np.ndarray          # (P, 256)
     ptab: np.ndarray          # (P, 1024) pre-shifted by ploc
@@ -57,7 +60,7 @@ class FqzParams:
         scalars = {k: np.zeros(nparam, np.uint32) for k in
                    ("qshift", "qmask", "qloc", "sloc", "context",
                     "do_sel", "do_dedup", "fixed_len", "do_qa",
-                    "do_r2")}
+                    "do_r2", "bbits", "bloc", "boff")}
         qmap = np.zeros((nparam, 256), np.uint32)
         qtab = np.zeros((nparam, 256), np.uint32)
         ptab = np.zeros((nparam, 1024), np.uint32)
@@ -79,21 +82,38 @@ class FqzParams:
                    scalars["qshift"], scalars["qmask"], scalars["qloc"],
                    scalars["sloc"], scalars["context"],
                    scalars["do_sel"], scalars["do_dedup"],
-                   scalars["fixed_len"], qmap, qtab, ptab, dtab)
+                   scalars["fixed_len"], scalars["bbits"],
+                   scalars["bloc"], scalars["boff"],
+                   qmap, qtab, ptab, dtab)
 
 
 @jax.jit
 def compute_contexts(quals, lens, pidx, sels, qmap, qtab, ptab, dtab,
-                     qshift, qmask, qloc, sloc, context0):
+                     qshift, qmask, qloc, sloc, context0,
+                     bases=None, seq0=None, bbits=None, bloc=None):
     """Per-byte fqz contexts for R records at once.
 
     quals: (R, L) raw quality bytes (padded); lens: (R,); pidx: (R,)
     parameter index per record (stab[sel]); sels: (R,) selector
-    values; tables indexed by pidx.  Returns (ctx (R, L) uint32,
-    qm (R, L) uint8); entries past each record's length are garbage.
+    values; tables indexed by pidx.  Sequence conditioning (kGUseSeq,
+    fqzcomp_qual.c:386-388; native/fqzqual.cpp:214-215): bases (R, L)
+    base codes consumed at each quality byte (seq[boff+k], 0 past the
+    record end), seq0 (R,) the boff-base seed of the shift register,
+    bbits/bloc indexed by pidx.  Returns (ctx (R, L) uint32, qm (R, L)
+    uint8); entries past each record's length are garbage.
     """
     R, L = quals.shape
     pidx = pidx.astype(jnp.int32)
+    if bases is None:
+        bases = jnp.zeros_like(quals, dtype=jnp.int32)
+        seq0 = jnp.zeros((R,), jnp.uint32)
+        bmask_r = jnp.zeros((R,), jnp.uint32)
+        bloc_r = jnp.zeros((R,), jnp.uint32)
+    else:
+        bmask_r = ((jnp.uint32(1) << bbits[pidx].astype(jnp.uint32))
+                   - jnp.uint32(1))
+        bloc_r = bloc[pidx].astype(jnp.uint32)
+        seq0 = seq0.astype(jnp.uint32)
 
     qmap_r = qmap[pidx]           # (R, 256) — gathers once per batch
     qtab_r = qtab[pidx]
@@ -108,11 +128,13 @@ def compute_contexts(quals, lens, pidx, sels, qmap, qtab, ptab, dtab,
     lens = lens.astype(jnp.uint32)
 
     def step(carry, k):
-        qctx, delta, prevq = carry
+        qctx, delta, prevq, seqreg = carry
         q = jnp.take_along_axis(quals, jnp.full((R, 1), k, jnp.int32),
                                 axis=1)[:, 0]
         qm = jnp.take_along_axis(qmap_r, q[:, None].astype(jnp.int32),
                                  axis=1)[:, 0].astype(jnp.uint32)
+        b = jnp.take_along_axis(bases, jnp.full((R, 1), k, jnp.int32),
+                                axis=1)[:, 0].astype(jnp.uint32)
         # context for byte k+1 (byte 0 uses ctx0)
         qctx = (qctx << qshift_r) + jnp.take_along_axis(
             qtab_r, qm[:, None].astype(jnp.int32), axis=1)[:, 0]
@@ -123,15 +145,16 @@ def compute_contexts(quals, lens, pidx, sels, qmap, qtab, ptab, dtab,
         dterm = jnp.take_along_axis(
             dtab_r, jnp.minimum(delta, 255)[:, None].astype(jnp.int32),
             axis=1)[:, 0]
-        ctx = (((qctx & qmask_r) << qloc_r) + pterm + dterm + sterm) \
-            & jnp.uint32(K_CTX_MASK)
+        seqreg = ((seqreg << 2) | b) & bmask_r
+        ctx = (((qctx & qmask_r) << qloc_r) + pterm + dterm + sterm
+               + (seqreg << bloc_r)) & jnp.uint32(K_CTX_MASK)
         delta = delta + (prevq != qm).astype(jnp.uint32)
         prevq = qm
-        return (qctx, delta, prevq), (ctx, qm)
+        return (qctx, delta, prevq, seqreg), (ctx, qm)
 
     z = jnp.zeros((R,), jnp.uint32)
-    (_, _, _), (ctxs, qms) = jax.lax.scan(
-        step, (z, z, z), jnp.arange(L, dtype=jnp.int32))
+    (_, _, _, _), (ctxs, qms) = jax.lax.scan(
+        step, (z, z, z, seq0), jnp.arange(L, dtype=jnp.int32))
     # ctxs[k] is the context for byte k+1; byte 0 takes context0
     ctxs = jnp.swapaxes(ctxs, 0, 1)       # (R, L)
     qms = jnp.swapaxes(qms, 0, 1)

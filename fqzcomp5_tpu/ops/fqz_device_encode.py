@@ -58,10 +58,17 @@ def _dup_flags(quals: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return dup
 
 
-def build_stream(qual: bytes, lens, sels, P):
+_BASE_LUT = np.zeros(256, np.int32)  # fqzqual.cpp:195-206
+for _i, _cs in enumerate((b"Cc", b"Gg", b"TtUu")):
+    for _c in _cs:
+        _BASE_LUT[_c] = _i + 1
+
+
+def build_stream(qual: bytes, lens, sels, P, seq: bytes | None = None):
     """Merge overhead + quality symbols into one (model_id, symbol)
     stream in the native encoder's order.  Returns (mids int64,
-    syms int32, n_overhead)."""
+    syms int32, n_overhead).  seq enables the kGUseSeq base-
+    conditioned contexts (bbits/bloc/boff params)."""
     qa = np.frombuffer(qual, np.uint8)
     lens = np.asarray(lens, np.uint32)
     sels = np.asarray(sels, np.uint32)
@@ -83,10 +90,27 @@ def build_stream(qual: bytes, lens, sels, P):
     starts = ends - lens
     for r in range(nrec):
         quals2d[r, :lens[r]] = qa[starts[r]:ends[r]]
+    seqkw = {}
+    if seq is not None and P.bbits.any():
+        codes = _BASE_LUT[np.frombuffer(seq, np.uint8)]
+        bases2d = np.zeros((nrec, Lmax), np.int32)
+        seq0 = np.zeros(nrec, np.uint32)
+        boff_r = P.boff[pidx].astype(np.int64)
+        for r in range(nrec):
+            ln = int(lens[r])
+            bo = int(boff_r[r])
+            nb = max(ln - bo, 0)
+            bases2d[r, :nb] = codes[starts[r] + bo:starts[r] + ln]
+            s0 = 0
+            for bcode in codes[starts[r]:starts[r] + min(bo, ln)]:
+                s0 = (s0 << 2) | int(bcode)
+            seq0[r] = s0
+        seqkw = dict(bases=bases2d, seq0=seq0,
+                     bbits=P.bbits, bloc=P.bloc)
     cj, qj = fqz_ctx_jax.compute_contexts(
         quals2d, lens, pidx.astype(np.int32), sels,
         P.qmap, P.qtab, P.ptab, P.dtab,
-        P.qshift, P.qmask, P.qloc, P.sloc, P.context)
+        P.qshift, P.qmask, P.qloc, P.sloc, P.context, **seqkw)
     cj = np.asarray(cj)
     qj = np.asarray(qj)
 
@@ -121,10 +145,11 @@ def build_stream(qual: bytes, lens, sels, P):
     return mids[:w], syms[:w], w - n_qual
 
 
-def encode_payload(qual: bytes, lens, sels, P) -> bytes:
+def encode_payload(qual: bytes, lens, sels, P,
+                   seq: bytes | None = None) -> bytes:
     """Device range-coder payload for one fqz block (everything after
     the native header: put_uv(in_size) + store_parameters)."""
-    mids, syms, _ = build_stream(qual, lens, sels, P)
+    mids, syms, _ = build_stream(qual, lens, sels, P, seq=seq)
 
     # per-model alphabet sizes (Models::init, fqzqual.cpp:185-192)
     uniq, symplane, counts, posplane = fqz_model_jax.group_by_context(

@@ -879,9 +879,14 @@ int64_t fqz_dump_ctx_impl(const uint8_t* in, size_t in_size, Slice* s,
                           uint32_t* sel_out) {
     GParams gp;
     if (pick_parameters(&gp, 4, strat, s, in, in_size) < 0) return -1;
-    for (int j = 0; j < gp.nparam; j++)
-        gp.p[j].bbits = gp.p[j].bloc = 0;   // no-seq path
-    gp.gflags &= ~kGUseSeq;
+    if (!s->seq) {
+        for (int j = 0; j < gp.nparam; j++)
+            gp.p[j].bbits = gp.p[j].bloc = 0;   // no-seq path
+        gp.gflags &= ~kGUseSeq;
+    } else {
+        for (int j = 0; j < gp.nparam; j++)
+            if (gp.p[j].bbits) gp.gflags |= kGUseSeq;
+    }
 
     for (int j = 0; j < gp.nparam; j++) {
         Param& pm = gp.p[j];
@@ -890,7 +895,7 @@ int64_t fqz_dump_ctx_impl(const uint8_t* in, size_t in_size, Slice* s,
     }
 
     // serialize: header + stab + per-param tables
-    size_t need = 4 + 256 + size_t(gp.nparam) * (10 + 256 + 256 + 1024
+    size_t need = 4 + 256 + size_t(gp.nparam) * (13 + 256 + 256 + 1024
                                                  + 256);
     if (par_cap < need) return -1;
     uint32_t* pp = par_out;
@@ -911,10 +916,23 @@ int64_t fqz_dump_ctx_impl(const uint8_t* in, size_t in_size, Slice* s,
         *pp++ = uint32_t(pm.fixed_len);
         *pp++ = uint32_t(pm.do_qa);
         *pp++ = uint32_t(pm.do_r2);
+        *pp++ = uint32_t(pm.bbits);
+        *pp++ = uint32_t(pm.bloc);
+        *pp++ = uint32_t(pm.boff);
         for (int i = 0; i < 256; i++) *pp++ = pm.qmap[i];
         for (int i = 0; i < 256; i++) *pp++ = pm.qtab[i];
         for (int i = 0; i < 1024; i++) *pp++ = pm.ptab[i];
         for (int i = 0; i < 256; i++) *pp++ = pm.dtab[i];
+    }
+
+    std::vector<size_t> seq_off;
+    if (s->seq) {
+        seq_off.resize(s->num_records);
+        size_t off = 0;
+        for (int r = 0; r < s->num_records; r++) {
+            seq_off[r] = off;
+            off += s->len[r];
+        }
     }
 
     QState st;
@@ -922,6 +940,8 @@ int64_t fqz_dump_ctx_impl(const uint8_t* in, size_t in_size, Slice* s,
     unsigned last = 0;
     size_t last_len = 0;
     int64_t rec = 0;
+    const uint8_t* seqp = nullptr;
+    const uint8_t* seq_end = nullptr;
 
     for (size_t i = 0; i < in_size; i++) {
         if (st.p == 0) {
@@ -941,7 +961,19 @@ int64_t fqz_dump_ctx_impl(const uint8_t* in, size_t in_size, Slice* s,
             st.delta = 0;
             st.qctx = 0;
             st.prevq = 0;
-            st.seq = 0;
+
+            if (s->seq) {
+                seqp = s->seq + seq_off[rec] + pm->boff;
+                seq_end = s->seq + seq_off[rec] + len;
+                st.seq = 0;
+                for (unsigned b = 0; b < pm->boff; b++)
+                    st.seq = (st.seq << 2) |
+                             unsigned(kBaseLut[s->seq[seq_off[rec] + b]]);
+            } else {
+                seqp = seq_end = nullptr;
+                st.seq = 0;
+            }
+
             rec++;
             last = pm->context;
 
@@ -962,9 +994,10 @@ int64_t fqz_dump_ctx_impl(const uint8_t* in, size_t in_size, Slice* s,
 
         uint8_t q = in[i];
         uint8_t qm = uint8_t(pm->qmap[q]);
+        int base = (seqp && seqp < seq_end) ? kBaseLut[*seqp++] : 0;
         ctx_out[i] = last;
         qm_out[i] = qm;
-        last = update_ctx(*pm, st, qm, 0);
+        last = update_ctx(*pm, st, qm, base);
     }
     for (int r = 0; r < s->num_records; r++) {
         if (sel_out) sel_out[r] = s->flags[r] >> 16;
@@ -1119,12 +1152,13 @@ int64_t fqz5_fqz_dump_ctx(const uint8_t* in, uint64_t in_size,
                           const uint32_t* lens, uint32_t* flags,
                           int num_records, int strat, uint32_t* ctx_out,
                           uint8_t* qm_out, uint32_t* par_out,
-                          uint64_t par_cap, uint32_t* sel_out) {
+                          uint64_t par_cap, uint32_t* sel_out,
+                          const uint8_t* seq) {
     fqz5::Slice s;
     s.num_records = num_records;
     s.len = lens;
     s.flags = flags;
-    s.seq = nullptr;
+    s.seq = seq;
     return fqz5::fqz_dump_ctx_impl(in, in_size, &s, strat, ctx_out,
                                    qm_out, par_out, par_cap, sel_out);
 }

@@ -23,7 +23,8 @@ def _reg():
         L.fqz5_fqz_dump_ctx.restype = ctypes.c_int64
         L.fqz5_fqz_dump_ctx.argtypes = [
             _u8p, ctypes.c_uint64, _u32p, _u32p, ctypes.c_int,
-            ctypes.c_int, _u32p, _u8p, _u32p, ctypes.c_uint64, _u32p]
+            ctypes.c_int, _u32p, _u8p, _u32p, ctypes.c_uint64, _u32p,
+            _u8p]
         L._dump_reg = True
     return L
 
@@ -44,7 +45,7 @@ def _dump(q, lens, flags, strat):
         fl.ctypes.data_as(_u32p), nrec, strat,
         ctx.ctypes.data_as(_u32p), qm.ctypes.data_as(_u8p),
         par.ctypes.data_as(_u32p), len(par),
-        sels.ctypes.data_as(_u32p))
+        sels.ctypes.data_as(_u32p), None)
     assert rc > 0
     return ctx, qm, fqz_ctx_jax.FqzParams.parse(par[:rc]), sels
 

@@ -21,12 +21,13 @@ def _reg():
         L.fqz5_fqz_dump_ctx.restype = ctypes.c_int64
         L.fqz5_fqz_dump_ctx.argtypes = [
             _u8p, ctypes.c_uint64, _u32p, _u32p, ctypes.c_int,
-            ctypes.c_int, _u32p, _u8p, _u32p, ctypes.c_uint64, _u32p]
+            ctypes.c_int, _u32p, _u8p, _u32p, ctypes.c_uint64, _u32p,
+            _u8p]
         L._dump_reg = True
     return L
 
 
-def _params(q, lens, flags, strat):
+def _params(q, lens, flags, strat, seq=None):
     L = _reg()
     total = len(q)
     nrec = len(lens)
@@ -37,12 +38,17 @@ def _params(q, lens, flags, strat):
     sels = np.zeros(nrec, np.uint32)
     qa = np.frombuffer(q, np.uint8)
     la = np.ascontiguousarray(lens, np.uint32)
+    if seq is None:
+        seqp = None
+    else:
+        sa = np.frombuffer(seq, np.uint8)
+        seqp = sa.ctypes.data_as(_u8p)
     rc = L.fqz5_fqz_dump_ctx(
         qa.ctypes.data_as(_u8p), total, la.ctypes.data_as(_u32p),
         fl.ctypes.data_as(_u32p), nrec, strat,
         ctx.ctypes.data_as(_u32p), qm.ctypes.data_as(_u8p),
         par.ctypes.data_as(_u32p), len(par),
-        sels.ctypes.data_as(_u32p))
+        sels.ctypes.data_as(_u32p), seqp)
     assert rc > 0
     return fqz_ctx_jax.FqzParams.parse(par[:rc]), sels
 
@@ -80,6 +86,24 @@ def test_fqz_device_encode_payload_parity(strat, kind):
     # got is everything after put_uv(in_size) + store_parameters
     assert len(got) > len(want) // 2, (len(got), len(want))
     assert want.endswith(got), f"{kind} strat {strat}"
+
+
+@pytest.mark.parametrize("strat", [3, 4])
+def test_fqz_device_encode_seq_conditioned(strat):
+    """kGUseSeq: strategies 3/4 condition the quality context on the
+    read bases (bbits/bloc/boff; fqzqual.cpp:502-504, update_ctx
+    lines 214-215)."""
+    q, lens, flags = _case("fixed")
+    rng = np.random.default_rng(21)
+    seq = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8),
+                           len(q), p=[0.3, 0.2, 0.2, 0.28, 0.02]))
+    P, sels = _params(q, lens, flags, strat, seq=seq)
+    assert P.bbits.any(), "strategy should enable seq conditioning"
+    got = fqz_device_encode.encode_payload(q, lens, sels, P, seq=seq)
+    want = host.fqz_compress(q, lens, flags, seq, strat)
+    assert want.endswith(got), f"strat {strat}"
+    spliced = want[:len(want) - len(got)] + got
+    assert host.fqz_decompress(spliced, len(q), seq_buf=seq) == q
 
 
 def test_fqz_device_encode_decodes_back():
