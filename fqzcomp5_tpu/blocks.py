@@ -11,6 +11,7 @@ Block layout (v1.1):
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -43,6 +44,38 @@ _TOK3_LEVEL = {  # (m - TOK3_3) * 2 + 3
 }
 
 
+def _device_adaptive() -> bool:
+    """Opt-in: run the adaptive codecs (SEQ*/FQZ*) through the
+    three-pass device decomposition (docs/DEVICE_ADAPTIVE_CODECS.md).
+    Output is byte-identical to the native engine; any device failure
+    falls back to the native path.  Capability-grade, not a speed
+    path: every distinct occurrence-plane shape retraces the jitted
+    evolution kernels, so cold processes spend minutes compiling."""
+    return os.environ.get("FQZ5_DEVICE_ADAPTIVE", "0") not in ("", "0")
+
+
+def _seq_encode(data, lens, both, slevel):
+    if _device_adaptive():
+        try:
+            from fqzcomp5_tpu.ops import seq_device_encode
+            return seq_device_encode.encode_payload(data, lens, both,
+                                                    slevel)
+        except Exception:
+            pass
+    return host.seq_encode(data, lens, both, slevel)
+
+
+def _fqz_compress(data, lens, flags, seq_buf, strat_n):
+    if _device_adaptive():
+        try:
+            from fqzcomp5_tpu.ops import fqz_device_encode
+            return fqz_device_encode.fqz_compress_device(
+                data, lens, flags, seq_buf, strat_n)
+        except Exception:
+            pass
+    return host.fqz_compress(data, lens, flags, seq_buf, strat_n)
+
+
 def _compress_one(m: int, arg: Options, fq: FastqBatch, sec: int,
                   data: bytes):
     """Run one codec method; returns (payload, strat) or None on N/A."""
@@ -66,16 +99,16 @@ def _compress_one(m: int, arg: Options, fq: FastqBatch, sec: int,
     if m in _SEQ_PARAMS:
         slevel, both = _SEQ_PARAMS[m]
         strat = (slevel << 4) | (both << 3) | 1
-        return host.seq_encode(data, fq.lens, both, slevel), strat
+        return _seq_encode(data, fq.lens, both, slevel), strat
     if m == Method.SEQ_CUSTOM:
         strat = (arg.slevel << 4) | (arg.both_strands << 3) | 1
-        return host.seq_encode(data, fq.lens, arg.both_strands,
-                               arg.slevel), strat
+        return _seq_encode(data, fq.lens, arg.both_strands,
+                           arg.slevel), strat
     if m in (Method.FQZ0, Method.FQZ1, Method.FQZ2, Method.FQZ3,
              Method.FQZ4):
         strat_n = int(m) - int(Method.FQZ0)
-        return host.fqz_compress(data, fq.lens, fq.flags, fq.seq_buf,
-                                 strat_n), 1
+        return _fqz_compress(data, fq.lens, fq.flags, fq.seq_buf,
+                             strat_n), 1
     raise ValueError(f"unsupported method {m}")
 
 

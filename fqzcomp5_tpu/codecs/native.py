@@ -70,6 +70,10 @@ def _register_optional(L: ctypes.CDLL) -> None:
           ctypes.c_int, u8p, ctypes.c_uint64]),
         ("fqz5_fqz_decompress", ctypes.c_int64,
          [u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, u8p]),
+        ("fqz5_fqz_prepare", ctypes.c_int64,
+         [u8p, ctypes.c_uint64, u32p, u32p, ctypes.c_int, ctypes.c_int,
+          u8p, u8p, ctypes.c_uint64, u32p, u32p, ctypes.c_uint64,
+          u32p]),
         ("fqz5_lzp", ctypes.c_int64,
          [u8p, ctypes.c_uint32, u8p, ctypes.c_uint32]),
         ("fqz5_unlzp", ctypes.c_int64,

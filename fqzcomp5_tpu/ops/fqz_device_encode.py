@@ -31,6 +31,8 @@ count for fqz's 16-bit context space on real data.
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 from . import fqz_ctx_jax, fqz_model_jax, rc_jax
@@ -186,3 +188,40 @@ def encode_payload(qual: bytes, lens, sels, P,
     tails = rc_jax.finish_events(state)
     fl, ca, ff, cy = map(np.asarray, (fl, ca, ff, cy))
     return rc_jax.assemble_stream(fl[0], ca[0], ff[0], cy[0], tails[0])
+
+
+def fqz_compress_device(qual: bytes, lens, flags,
+                        seq_buf: bytes | None, strat: int) -> bytes:
+    """Drop-in for codecs.host.fqz_compress with the range-coder
+    payload produced on device (byte-identical output).  The host
+    half — parameter picking, selector assignment, wire header —
+    comes from fqz5_fqz_prepare."""
+    from ..codecs import native
+
+    L = native.lib()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    qa = np.frombuffer(qual, np.uint8)
+    la = np.ascontiguousarray(lens, np.uint32)
+    fl = np.array(flags, np.uint32)  # mutated by stats; pass a copy
+    nrec = len(la)
+    hdr = np.zeros(4096, np.uint8)
+    hlen = np.zeros(1, np.uint32)
+    par = np.zeros(4 + 256 + 256 * (13 + 256 + 256 + 1024 + 256),
+                   np.uint32)
+    sels = np.zeros(max(nrec, 1), np.uint32)
+    if seq_buf is None:
+        seqp = None
+    else:
+        sa = np.frombuffer(seq_buf, np.uint8)
+        seqp = sa.ctypes.data_as(u8p)
+    rc = L.fqz5_fqz_prepare(
+        qa.ctypes.data_as(u8p), len(qa), la.ctypes.data_as(u32p),
+        fl.ctypes.data_as(u32p), nrec, strat, seqp,
+        hdr.ctypes.data_as(u8p), len(hdr), hlen.ctypes.data_as(u32p),
+        par.ctypes.data_as(u32p), len(par), sels.ctypes.data_as(u32p))
+    if rc < 0:
+        raise ValueError("fqz_prepare failed")
+    P = fqz_ctx_jax.FqzParams.parse(par[:rc])
+    payload = encode_payload(qual, la, sels[:nrec], P, seq=seq_buf)
+    return hdr[:int(hlen[0])].tobytes() + payload

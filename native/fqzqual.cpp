@@ -1006,6 +1006,75 @@ int64_t fqz_dump_ctx_impl(const uint8_t* in, size_t in_size, Slice* s,
     return int64_t(pp - par_out);
 }
 
+// Parameter picking + header serialization WITHOUT the encode walk:
+// the host half of the device encode path (ops/fqz_device_encode.py
+// produces the range-coder payload; header + payload is the full
+// native stream).  Emits the wire header (put_uv(in_size) +
+// store_parameters) and the same parameter blob as fqz_dump_ctx_impl.
+int64_t fqz_prepare_impl(const uint8_t* in, size_t in_size, Slice* s,
+                         int strat, uint8_t* hdr_out, size_t hdr_cap,
+                         uint32_t* hdr_len_out, uint32_t* par_out,
+                         size_t par_cap, uint32_t* sel_out) {
+    GParams gp;
+    if (pick_parameters(&gp, 4, strat, s, in, in_size) < 0) return -1;
+
+    if (!s->seq) {
+        for (int j = 0; j < gp.nparam; j++)
+            gp.p[j].bbits = gp.p[j].bloc = 0;
+        gp.gflags &= ~kGUseSeq;
+    } else {
+        for (int j = 0; j < gp.nparam; j++)
+            if (gp.p[j].bbits) gp.gflags |= kGUseSeq;
+    }
+
+    if (hdr_cap < 4096) return -1;
+    int hdr = put_uv(hdr_out, uint32_t(in_size));
+    hdr += store_parameters(gp, hdr_out + hdr);
+    *hdr_len_out = uint32_t(hdr);
+
+    for (int j = 0; j < gp.nparam; j++) {
+        Param& pm = gp.p[j];
+        for (int i = 0; i < 1024; i++) pm.ptab[i] <<= pm.ploc;
+        for (int i = 0; i < 256; i++) pm.dtab[i] <<= pm.dloc;
+    }
+
+    size_t need = 4 + 256 + size_t(gp.nparam) * (13 + 256 + 256 + 1024
+                                                 + 256);
+    if (par_cap < need) return -1;
+    uint32_t* pp = par_out;
+    *pp++ = uint32_t(gp.nparam);
+    *pp++ = uint32_t(gp.gflags);
+    *pp++ = uint32_t(gp.max_sel);
+    *pp++ = uint32_t(gp.max_sym);
+    for (int i = 0; i < 256; i++) *pp++ = gp.stab[i];
+    for (int j = 0; j < gp.nparam; j++) {
+        Param& pm = gp.p[j];
+        *pp++ = uint32_t(pm.qshift);
+        *pp++ = uint32_t(pm.qmask);
+        *pp++ = uint32_t(pm.qloc);
+        *pp++ = uint32_t(pm.sloc);
+        *pp++ = uint32_t(pm.context);
+        *pp++ = uint32_t(pm.do_sel);
+        *pp++ = uint32_t(pm.do_dedup);
+        *pp++ = uint32_t(pm.fixed_len);
+        *pp++ = uint32_t(pm.do_qa);
+        *pp++ = uint32_t(pm.do_r2);
+        *pp++ = uint32_t(pm.bbits);
+        *pp++ = uint32_t(pm.bloc);
+        *pp++ = uint32_t(pm.boff);
+        for (int i = 0; i < 256; i++) *pp++ = pm.qmap[i];
+        for (int i = 0; i < 256; i++) *pp++ = pm.qtab[i];
+        for (int i = 0; i < 1024; i++) *pp++ = pm.ptab[i];
+        for (int i = 0; i < 256; i++) *pp++ = pm.dtab[i];
+    }
+
+    for (int r = 0; r < s->num_records; r++) {
+        if (sel_out) sel_out[r] = s->flags[r] >> 16;
+        s->flags[r] &= 0xffff;
+    }
+    return int64_t(pp - par_out);
+}
+
 int64_t fqz_decompress_impl(const uint8_t* in, size_t in_size, uint8_t* out,
                             size_t out_cap, const uint8_t* seq) {
     uint32_t len = 0;
@@ -1161,5 +1230,21 @@ int64_t fqz5_fqz_dump_ctx(const uint8_t* in, uint64_t in_size,
     s.seq = seq;
     return fqz5::fqz_dump_ctx_impl(in, in_size, &s, strat, ctx_out,
                                    qm_out, par_out, par_cap, sel_out);
+}
+
+int64_t fqz5_fqz_prepare(const uint8_t* in, uint64_t in_size,
+                         const uint32_t* lens, uint32_t* flags,
+                         int num_records, int strat, const uint8_t* seq,
+                         uint8_t* hdr_out, uint64_t hdr_cap,
+                         uint32_t* hdr_len_out, uint32_t* par_out,
+                         uint64_t par_cap, uint32_t* sel_out) {
+    fqz5::Slice s;
+    s.num_records = num_records;
+    s.len = lens;
+    s.flags = flags;
+    s.seq = seq;
+    return fqz5::fqz_prepare_impl(in, in_size, &s, strat, hdr_out,
+                                  hdr_cap, hdr_len_out, par_out,
+                                  par_cap, sel_out);
 }
 }

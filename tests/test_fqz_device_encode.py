@@ -106,6 +106,38 @@ def test_fqz_device_encode_seq_conditioned(strat):
     assert host.fqz_decompress(spliced, len(q), seq_buf=seq) == q
 
 
+def test_fqz_compress_device_drop_in():
+    """fqz_compress_device (fqz5_fqz_prepare header + device payload)
+    equals host.fqz_compress byte-for-byte, with and without seq."""
+    q, lens, flags = _case("var")
+    rng = np.random.default_rng(31)
+    seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), len(q)))
+    for strat, sb in [(0, None), (1, None), (3, seq), (4, seq)]:
+        got = fqz_device_encode.fqz_compress_device(
+            q, lens, flags, sb, strat)
+        want = host.fqz_compress(q, lens, flags, sb, strat)
+        assert got == want, f"strat {strat} seq={sb is not None}"
+
+
+def test_cli_device_adaptive_matches_golden(tmp_path, monkeypatch):
+    """FQZ5_DEVICE_ADAPTIVE=1 routes -5's SEQ/FQZ sections through the
+    device decomposition; the archive must stay byte-identical to the
+    reference golden file."""
+    import pathlib
+
+    from fqzcomp5_tpu import cli
+
+    data_dir = pathlib.Path(__file__).parent / "data"
+    golden = data_dir / "golden" / "sample.L5.fqz5"
+    if not golden.exists():
+        pytest.skip("golden files not present")
+    monkeypatch.setenv("FQZ5_DEVICE_ADAPTIVE", "1")
+    comp = tmp_path / "c.fqz5"
+    assert cli.main(["-5", "-t", "2", str(data_dir / "sample.fastq"),
+                     str(comp)]) == 0
+    assert comp.read_bytes() == golden.read_bytes()
+
+
 def test_fqz_device_encode_decodes_back():
     """The composed payload is the real stream: native decode of the
     spliced (header + device payload) must reproduce the input."""
