@@ -48,16 +48,18 @@ def _device_adaptive() -> bool:
     """Opt-in: run the adaptive codecs (SEQ*/FQZ*) through the
     three-pass device decomposition (docs/DEVICE_ADAPTIVE_CODECS.md).
     Output is byte-identical to the native engine; any device failure
-    falls back to the native path.  Capability-grade, not a speed
-    path: every distinct occurrence-plane shape retraces the jitted
-    evolution kernels, so cold processes spend minutes compiling."""
+    falls back to the native path.  Shapes are bucketed (pow2 dims,
+    power-of-4 occurrence classes) so a cold process compiles each
+    bucket once (~1 min total) and stays warm via the persistent
+    cache; per-block work is then transfer/scan bound."""
     return os.environ.get("FQZ5_DEVICE_ADAPTIVE", "0") not in ("", "0")
 
 
 def _seq_encode(data, lens, both, slevel):
     if _device_adaptive():
         try:
-            from fqzcomp5_tpu.ops import seq_device_encode
+            from fqzcomp5_tpu.ops import backend, seq_device_encode
+            backend.ensure_compile_cache()
             return seq_device_encode.encode_payload(data, lens, both,
                                                     slevel)
         except Exception:
@@ -68,7 +70,8 @@ def _seq_encode(data, lens, both, slevel):
 def _fqz_compress(data, lens, flags, seq_buf, strat_n):
     if _device_adaptive():
         try:
-            from fqzcomp5_tpu.ops import fqz_device_encode
+            from fqzcomp5_tpu.ops import backend, fqz_device_encode
+            backend.ensure_compile_cache()
             return fqz_device_encode.fqz_compress_device(
                 data, lens, flags, seq_buf, strat_n)
         except Exception:

@@ -46,6 +46,23 @@ MID_SEL = MID_LEN0 + 4
 MID_DUP = MID_SEL + 1
 
 
+def _rc_scan_padded(cum, freq, tot):
+    """Pass-3 walk with the symbol count padded to a power of two so
+    the scan compiles once per bucket (inactive tail steps are
+    masked; tot=2/freq=1 keeps the divide well-defined)."""
+    n = len(cum)
+    n2 = fqz_model_jax.pow2(n)
+    if n2 != n:
+        pad = n2 - n
+        cum = np.pad(cum, (0, pad))
+        freq = np.pad(freq, (0, pad), constant_values=1)
+        tot = np.pad(tot, (0, pad), constant_values=2)
+    active = np.zeros((1, n2), bool)
+    active[0, :n] = True
+    return rc_jax.encode_scan(cum[None, :], freq[None, :],
+                              tot[None, :], active=active)
+
+
 def _dup_flags(quals: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """dup[r] = record r byte-equals record r-1 (fqzqual.cpp:738-745)."""
     nrec = len(lens)
@@ -85,18 +102,24 @@ def build_stream(qual: bytes, lens, sels, P, seq: bytes | None = None):
     dup = (_dup_flags(qa, lens)
            if do_dedup.any() else np.zeros(nrec, bool))
 
-    # pass 1 on device: per-byte contexts for every record
+    # pass 1 on device: per-byte contexts for every record; pow2
+    # padding keeps one compile per shape bucket
     Lmax = int(lens.max()) if nrec else 0
-    quals2d = np.zeros((nrec, Lmax), np.uint8)
+    R2 = fqz_model_jax.pow2(nrec)
+    L2 = fqz_model_jax.pow2(Lmax)
+    quals2d = np.zeros((R2, L2), np.uint8)
     ends = np.cumsum(lens.astype(np.int64))
     starts = ends - lens
     for r in range(nrec):
         quals2d[r, :lens[r]] = qa[starts[r]:ends[r]]
+    lens_p = np.pad(lens, (0, R2 - nrec))
+    pidx_p = np.pad(pidx, (0, R2 - nrec)).astype(np.int32)
+    sels_p = np.pad(sels, (0, R2 - nrec))
     seqkw = {}
     if seq is not None and P.bbits.any():
         codes = _BASE_LUT[np.frombuffer(seq, np.uint8)]
-        bases2d = np.zeros((nrec, Lmax), np.int32)
-        seq0 = np.zeros(nrec, np.uint32)
+        bases2d = np.zeros((R2, L2), np.int32)
+        seq0 = np.zeros(R2, np.uint32)
         boff_r = P.boff[pidx].astype(np.int64)
         for r in range(nrec):
             ln = int(lens[r])
@@ -110,11 +133,11 @@ def build_stream(qual: bytes, lens, sels, P, seq: bytes | None = None):
         seqkw = dict(bases=bases2d, seq0=seq0,
                      bbits=P.bbits, bloc=P.bloc)
     cj, qj = fqz_ctx_jax.compute_contexts(
-        quals2d, lens, pidx.astype(np.int32), sels,
+        quals2d, lens_p, pidx_p, sels_p,
         P.qmap, P.qtab, P.ptab, P.dtab,
         P.qshift, P.qmask, P.qloc, P.sloc, P.context, **seqkw)
-    cj = np.asarray(cj)
-    qj = np.asarray(qj)
+    cj = np.asarray(cj)[:nrec]
+    qj = np.asarray(qj)[:nrec]
 
     mids = np.empty(len(qa) + nrec * 6, np.int64)
     syms = np.empty(len(qa) + nrec * 6, np.int32)
@@ -172,19 +195,24 @@ def encode_payload(qual: bytes, lens, sels, P,
         rows = (ms > 128) == wide
         if not rows.any():
             continue
-        cums, freqs, tots = fqz_model_jax.evolve(
-            jnp.asarray(symplane[rows]), jnp.asarray(counts[rows]),
-            jnp.asarray(ms[rows]), jnp.int32(16),
-            lanes=256 if wide else 128)
-        cums, freqs, tots = map(np.asarray, (cums, freqs, tots))
+        sub_ms = ms[rows]
+
+        def run(sp, ct, ridx, _ms=sub_ms, _lanes=256 if wide else 128):
+            mr = np.full(len(ct), 2, np.int32)
+            mr[:len(ridx)] = _ms[ridx]
+            return fqz_model_jax.evolve(
+                jnp.asarray(sp), jnp.asarray(ct), jnp.asarray(mr),
+                jnp.int32(16), lanes=_lanes)
+
+        cums, freqs, tots = fqz_model_jax.evolve_by_count(
+            symplane[rows], counts[rows], run)
         pp = posplane[rows]
         valid = pp >= 0
         cum[pp[valid]] = cums[valid]
         freq[pp[valid]] = freqs[valid]
         tot[pp[valid]] = tots[valid]
 
-    state, (fl, ca, ff, cy) = rc_jax.encode_scan(
-        cum[None, :], freq[None, :], tot[None, :])
+    state, (fl, ca, ff, cy) = _rc_scan_padded(cum, freq, tot)
     tails = rc_jax.finish_events(state)
     fl, ca, ff, cy = map(np.asarray, (fl, ca, ff, cy))
     return rc_jax.assemble_stream(fl[0], ca[0], ff[0], cy[0], tails[0])

@@ -142,6 +142,50 @@ def tiny_evolve(symplane, counts, nsym=4):
             jnp.swapaxes(tots, 0, 1).astype(jnp.uint32))
 
 
+def pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def evolve_by_count(symplane, counts, run):
+    """Evolve with rows bucketed by occurrence count.
+
+    A skewed context distribution makes the naive (C, Tmax) plane
+    mostly padding (one hot context sets Tmax while thousands of cold
+    rows hold 1-2 events), so the scan does C x Tmax work for
+    sum(counts) useful cells.  Bucketing rows into power-of-4 count
+    classes bounds the padded area at ~4x the useful cells and keeps
+    a handful of compiled shapes.
+
+    run(sub_plane, sub_counts, row_idx) -> (cum, freq, tot) jnp
+    arrays; sub arrays arrive pow2-padded on both dims."""
+    C, T = symplane.shape
+    cum = np.zeros((C, T), np.uint32)
+    freq = np.zeros((C, T), np.uint32)
+    tot = np.zeros((C, T), np.uint32)
+    done = np.zeros(C, bool)
+    tb = 16
+    while True:
+        tb = min(tb, max(T, 1))
+        rows = np.flatnonzero(~done & (counts <= tb))
+        if len(rows):
+            C2 = pow2(len(rows))
+            sp = np.zeros((C2, tb), symplane.dtype)
+            sp[:len(rows)] = symplane[rows, :tb]
+            ct = np.zeros(C2, counts.dtype)
+            ct[:len(rows)] = counts[rows]
+            cs, fs, ts = run(sp, ct, rows)
+            cs, fs, ts = (np.asarray(x)[:len(rows)]
+                          for x in (cs, fs, ts))
+            cum[rows, :tb] = cs
+            freq[rows, :tb] = fs
+            tot[rows, :tb] = ts
+            done[rows] = True
+        if tb >= T or done.all():
+            break
+        tb *= 4
+    return cum, freq, tot
+
+
 def group_by_context(ctx: np.ndarray, qm: np.ndarray):
     """Stable-group a stream's (ctx, sym) sequence by context.
 

@@ -93,16 +93,19 @@ def build_events(seq_buf: bytes, lens, both_strands: int,
     code = _LUT[buf]
     cls = np.where(code < 4, 0, np.where(code >= 0x80, 1, 2))
 
-    # pass 1 on device, records along rows
+    # pass 1 on device, records along rows; pow2 padding keeps one
+    # compile per shape bucket (pad code 4 = non-base, contexts hold)
     nrec = len(lens)
     Lmax = int(lens.max()) if nrec else 0
+    R2 = fqz_model_jax.pow2(nrec)
+    L2 = fqz_model_jax.pow2(Lmax)
     ends = np.cumsum(lens.astype(np.int64))
     starts = ends - lens
-    codes2d = np.full((nrec, Lmax), 4, np.int32)
+    codes2d = np.full((R2, L2), 4, np.int32)
     for r in range(nrec):
         codes2d[r, :lens[r]] = code[starts[r]:ends[r]]
-    ctxf, b, ctxr, b2 = map(np.asarray,
-                            seq_contexts(codes2d, ctx_size))
+    ctxf, b, ctxr, b2 = (np.asarray(x)[:nrec, :Lmax] for x in
+                         seq_contexts(codes2d, ctx_size))
     # flatten back to stream order
     val = np.zeros((nrec, Lmax), bool)
     for r in range(nrec):
@@ -185,15 +188,18 @@ def encode_payload(seq_buf: bytes, lens, both_strands: int,
         uniq, symplane, counts, posplane = \
             fqz_model_jax.group_by_context(mid[sel], sym[sel])
         if f == FAM_WIDE:
-            ms = np.full(len(uniq), 256, np.int32)
-            cs, fs, ts = fqz_model_jax.evolve(
-                jnp.asarray(symplane), jnp.asarray(counts),
-                jnp.asarray(ms), jnp.int32(16), lanes=256)
+            def run(sp, ct, ridx):
+                mr = np.full(len(ct), 2, np.int32)
+                mr[:len(ridx)] = 256
+                return fqz_model_jax.evolve(
+                    jnp.asarray(sp), jnp.asarray(ct), jnp.asarray(mr),
+                    jnp.int32(16), lanes=256)
         else:
-            cs, fs, ts = fqz_model_jax.tiny_evolve(
-                jnp.asarray(symplane), jnp.asarray(counts),
-                nsym=4 if f == FAM_SEQ else 2)
-        cs, fs, ts = map(np.asarray, (cs, fs, ts))
+            def run(sp, ct, ridx, _n=4 if f == FAM_SEQ else 2):
+                return fqz_model_jax.tiny_evolve(
+                    jnp.asarray(sp), jnp.asarray(ct), nsym=_n)
+        cs, fs, ts = fqz_model_jax.evolve_by_count(symplane, counts,
+                                                   run)
         valid = posplane >= 0
         gpos = sel[posplane[valid]]
         cum[gpos] = cs[valid]
@@ -201,8 +207,9 @@ def encode_payload(seq_buf: bytes, lens, both_strands: int,
         tot[gpos] = ts[valid]
 
     enc = ~upd
-    state, (fl, ca, ff, cy) = rc_jax.encode_scan(
-        cum[enc][None, :], freq[enc][None, :], tot[enc][None, :])
+    from .fqz_device_encode import _rc_scan_padded
+    state, (fl, ca, ff, cy) = _rc_scan_padded(cum[enc], freq[enc],
+                                              tot[enc])
     tails = rc_jax.finish_events(state)
     fl, ca, ff, cy = map(np.asarray, (fl, ca, ff, cy))
     return rc_jax.assemble_stream(fl[0], ca[0], ff[0], cy[0], tails[0])
