@@ -139,35 +139,47 @@ def build_stream(qual: bytes, lens, sels, P, seq: bytes | None = None):
     cj = np.asarray(cj)[:nrec]
     qj = np.asarray(qj)[:nrec]
 
-    mids = np.empty(len(qa) + nrec * 6, np.int64)
-    syms = np.empty(len(qa) + nrec * 6, np.int32)
-    w = 0
-    first_len = True
-    prev_p = 0  # the encoder tests do_sel on the PREVIOUS record's pm
-    for r in range(nrec):
-        if do_sel[prev_p] or multi:
-            mids[w] = MID_SEL
-            syms[w] = sels[r]
-            w += 1
-        p = pidx[r]
-        ln = int(lens[r])
-        if not fixed_len[p] or first_len:
-            for k in range(4):
-                mids[w] = MID_LEN0 + k
-                syms[w] = (ln >> (8 * k)) & 0xFF
-                w += 1
-            first_len = False
-        if do_dedup[p]:
-            mids[w] = MID_DUP
-            syms[w] = int(dup[r])
-            w += 1
-        if not dup[r]:
-            mids[w:w + ln] = cj[r, :ln]
-            syms[w:w + ln] = qj[r, :ln]
-            w += ln
-        prev_p = p
-    n_qual = int(lens[~dup].sum()) if dup.any() else len(qa)
-    return mids[:w], syms[:w], w - n_qual
+    # vectorised merge: per-record event counts -> prefix offsets ->
+    # scatter each event class into its slots (the encoder tests
+    # do_sel on the PREVIOUS record's pm, fqzqual.cpp:700)
+    prev_p = np.concatenate(([0], pidx[:-1]))
+    sel_emit = do_sel[prev_p] | multi
+    len_emit = ~fixed_len[pidx]
+    if nrec:
+        len_emit[0] = True  # st.first_len
+    dup_emit = do_dedup[pidx]
+    qual_cnt = np.where(dup, 0, lens.astype(np.int64))
+    per_rec = (sel_emit + 4 * len_emit + dup_emit).astype(np.int64) \
+        + qual_cnt
+    offs = np.concatenate(([0], np.cumsum(per_rec)))
+    w = int(offs[-1])
+    mids = np.empty(w, np.int64)
+    syms = np.empty(w, np.int32)
+
+    pos = offs[:-1].copy()
+    ridx = np.flatnonzero(sel_emit)
+    mids[pos[ridx]] = MID_SEL
+    syms[pos[ridx]] = sels[ridx]
+    pos += sel_emit
+    ridx = np.flatnonzero(len_emit)
+    for k in range(4):
+        mids[pos[ridx] + k] = MID_LEN0 + k
+        syms[pos[ridx] + k] = (lens[ridx].astype(np.int64)
+                               >> (8 * k)) & 0xFF
+    pos += 4 * len_emit
+    ridx = np.flatnonzero(dup_emit)
+    mids[pos[ridx]] = MID_DUP
+    syms[pos[ridx]] = dup[ridx]
+    pos += dup_emit
+    # quality bytes: rows expand to ragged runs at each record's pos
+    ridx = np.repeat(np.arange(nrec), qual_cnt)
+    kidx = np.arange(len(ridx)) - np.repeat(
+        np.cumsum(qual_cnt) - qual_cnt, qual_cnt)
+    tgt = pos[ridx] + kidx
+    mids[tgt] = cj[ridx, kidx]
+    syms[tgt] = qj[ridx, kidx]
+    n_qual = int(qual_cnt.sum())
+    return mids, syms, w - n_qual
 
 
 def encode_payload(qual: bytes, lens, sels, P,
