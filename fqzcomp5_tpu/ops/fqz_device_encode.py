@@ -110,8 +110,9 @@ def build_stream(qual: bytes, lens, sels, P, seq: bytes | None = None):
     quals2d = np.zeros((R2, L2), np.uint8)
     ends = np.cumsum(lens.astype(np.int64))
     starts = ends - lens
-    for r in range(nrec):
-        quals2d[r, :lens[r]] = qa[starts[r]:ends[r]]
+    rows_f = np.repeat(np.arange(nrec), lens)
+    cols_f = np.arange(len(qa)) - np.repeat(starts, lens)
+    quals2d[rows_f, cols_f] = qa
     lens_p = np.pad(lens, (0, R2 - nrec))
     pidx_p = np.pad(pidx, (0, R2 - nrec)).astype(np.int32)
     sels_p = np.pad(sels, (0, R2 - nrec))
@@ -119,17 +120,19 @@ def build_stream(qual: bytes, lens, sels, P, seq: bytes | None = None):
     if seq is not None and P.bbits.any():
         codes = _BASE_LUT[np.frombuffer(seq, np.uint8)]
         bases2d = np.zeros((R2, L2), np.int32)
-        seq0 = np.zeros(R2, np.uint32)
         boff_r = P.boff[pidx].astype(np.int64)
-        for r in range(nrec):
-            ln = int(lens[r])
-            bo = int(boff_r[r])
-            nb = max(ln - bo, 0)
-            bases2d[r, :nb] = codes[starts[r] + bo:starts[r] + ln]
-            s0 = 0
-            for bcode in codes[starts[r]:starts[r] + min(bo, ln)]:
-                s0 = (s0 << 2) | int(bcode)
-            seq0[r] = s0
+        nb = np.maximum(lens.astype(np.int64) - boff_r, 0)
+        rows_b = np.repeat(np.arange(nrec), nb)
+        intra = np.arange(int(nb.sum())) - np.repeat(
+            np.cumsum(nb) - nb, nb)
+        bases2d[rows_b, intra] = codes[
+            np.repeat(starts + boff_r, nb) + intra]
+        seq0 = np.zeros(R2, np.uint32)
+        for k in range(int(boff_r.max(initial=0))):
+            upd = (k < boff_r) & (k < lens)
+            bc = codes[np.minimum(starts + k, len(codes) - 1)]
+            seq0[:nrec] = np.where(upd, (seq0[:nrec] << 2) | bc,
+                                   seq0[:nrec])
         seqkw = dict(bases=bases2d, seq0=seq0,
                      bbits=P.bbits, bloc=P.bloc)
     cj, qj = fqz_ctx_jax.compute_contexts(

@@ -102,18 +102,16 @@ def build_events(seq_buf: bytes, lens, both_strands: int,
     ends = np.cumsum(lens.astype(np.int64))
     starts = ends - lens
     codes2d = np.full((R2, L2), 4, np.int32)
-    for r in range(nrec):
-        codes2d[r, :lens[r]] = code[starts[r]:ends[r]]
+    rows_f = np.repeat(np.arange(nrec), lens)
+    cols_f = np.arange(n) - np.repeat(starts, lens)
+    codes2d[rows_f, cols_f] = code
     ctxf, b, ctxr, b2 = (np.asarray(x)[:nrec, :Lmax] for x in
                          seq_contexts(codes2d, ctx_size))
-    # flatten back to stream order
-    val = np.zeros((nrec, Lmax), bool)
-    for r in range(nrec):
-        val[r, :lens[r]] = True
-    ctxf_f = ctxf[val].astype(np.int64)
-    b_f = b[val].astype(np.int32)
-    ctxr_f = ctxr[val].astype(np.int64)
-    b2_f = b2[val].astype(np.int32)
+    # flatten back to stream order via the same ragged index
+    ctxf_f = ctxf[rows_f, cols_f].astype(np.int64)
+    b_f = b[rows_f, cols_f].astype(np.int32)
+    ctxr_f = ctxr[rows_f, cols_f].astype(np.int64)
+    b2_f = b2[rows_f, cols_f].astype(np.int32)
 
     # maximal class runs over the FLAT buffer (they cross records)
     bounds = np.flatnonzero(np.diff(cls)) + 1
