@@ -106,6 +106,30 @@ def test_fqz_device_encode_seq_conditioned(strat):
     assert host.fqz_decompress(spliced, len(q), seq_buf=seq) == q
 
 
+def test_fqz_device_encode_edge_shapes():
+    """Long records (> the 1024-entry ptab, clamped at st.p=1023 —
+    fqzqual.cpp:212), single-record blocks and length-1 records."""
+    rng = np.random.default_rng(17)
+    cases = []
+    # 2000-byte records: position clamp fires for most of each read
+    lens = np.full(20, 2000, np.uint32)
+    q = np.clip(np.cumsum(rng.integers(-2, 3, int(lens.sum())))
+                % 40 + 3, 0, 45).astype(np.uint8)
+    cases.append((bytes(q), lens))
+    # one record only
+    cases.append((bytes(q[:500]), np.array([500], np.uint32)))
+    # length-1 records
+    lens1 = np.ones(64, np.uint32)
+    cases.append((bytes(q[:64]), lens1))
+    for qual, ln in cases:
+        flags = np.zeros(len(ln), np.uint32)
+        for strat in (0, 1):
+            P, sels = _params(qual, ln, flags, strat)
+            got = fqz_device_encode.encode_payload(qual, ln, sels, P)
+            want = host.fqz_compress(qual, ln, flags, None, strat)
+            assert want.endswith(got), (len(ln), int(ln[0]), strat)
+
+
 def test_fqz_compress_device_drop_in():
     """fqz_compress_device (fqz5_fqz_prepare header + device payload)
     equals host.fqz_compress byte-for-byte, with and without seq."""

@@ -53,6 +53,24 @@ def test_seq_device_encode_opens_nonupper():
             assert got == want, (head, both)
 
 
+def test_seq_device_encode_edge_shapes():
+    """Length-1 records, a single record, an all-N record mid-batch
+    and a 255-multiple run length (the chunked run_len emitter,
+    seq.cpp:98-104)."""
+    cases = []
+    cases.append((b"A" * 64, np.ones(64, np.uint32)))          # len-1
+    cases.append((b"ACGT" * 200, np.array([800], np.uint32)))  # single
+    mid = b"ACGT" * 30 + b"N" * 120 + b"ACGT" * 30             # all-N rec
+    cases.append((mid, np.array([120, 120, 120], np.uint32)))
+    r255 = b"A" * 255 + b"n" + b"C" * 510 + b"n" + b"G" * 254
+    cases.append((r255, np.array([len(r255)], np.uint32)))
+    for seq, lens in cases:
+        for both in (0, 1):
+            got = seq_device_encode.encode_payload(seq, lens, both, 6)
+            want = host.seq_encode(seq, lens, both, 6)
+            assert got == want, (lens.tolist()[:3], both)
+
+
 def test_seq_device_encode_decodes_back():
     seq, lens = _reads("case", seed=3)
     got = seq_device_encode.encode_payload(seq, lens, 1, 10)
