@@ -39,7 +39,10 @@ Options:
     -V            Silent mode
     -e ENGINE     Compute engine: host (native C++; the default --
                   "auto" resolves to it) or tpu (wave-batched device
-                  rANS encode+decode for seq+qual sections)
+                  rANS encode+decode for seq+qual sections).
+                  FQZ5_DEVICE_ADAPTIVE=1 additionally routes the
+                  adaptive SEQ/FQZ sections through the device
+                  pipeline (byte-identical output)
 
     -n INT        Name encoding method (0=rANS, 1=tok3, 2=tok3+LZP)
     -N INT        Name encoding strategy.
