@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import struct
+import sys
 import zlib
 
 import numpy as np
@@ -55,15 +56,44 @@ def _device_adaptive() -> bool:
     return os.environ.get("FQZ5_DEVICE_ADAPTIVE", "0") not in ("", "0")
 
 
+_device_warned = False
+
+
+def _device_fell_back(exc: BaseException) -> None:
+    """Device-adaptive failures fall back to the native codec, but
+    never silently: warn once per process so real bugs stay visible
+    (round-1 advisor finding)."""
+    global _device_warned
+    if not _device_warned:
+        _device_warned = True
+        print("WARNING: device adaptive encode failed "
+              f"({type(exc).__name__}: {exc}); falling back to the "
+              "native codec for this and further failures",
+              file=sys.stderr)
+
+
+def _device_verify() -> bool:
+    """FQZ5_DEVICE_ADAPTIVE_VERIFY=1: decode each device payload back
+    through the native decoder before trusting it (guards against
+    wrong-but-non-raising device output; debug aid)."""
+    return os.environ.get("FQZ5_DEVICE_ADAPTIVE_VERIFY",
+                          "0") not in ("", "0")
+
+
 def _seq_encode(data, lens, both, slevel):
     if _device_adaptive():
         try:
             from fqzcomp5_tpu.ops import backend, seq_device_encode
             backend.ensure_compile_cache()
-            return seq_device_encode.encode_payload(data, lens, both,
-                                                    slevel)
-        except Exception:
-            pass
+            out = seq_device_encode.encode_payload(data, lens, both,
+                                                   slevel)
+            if _device_verify() and host.seq_decode(
+                    out, lens, both, slevel, len(data)) != data:
+                raise ValueError("device SEQ payload failed native "
+                                 "decode-back")
+            return out
+        except Exception as e:
+            _device_fell_back(e)
     return host.seq_encode(data, lens, both, slevel)
 
 
@@ -72,10 +102,15 @@ def _fqz_compress(data, lens, flags, seq_buf, strat_n):
         try:
             from fqzcomp5_tpu.ops import backend, fqz_device_encode
             backend.ensure_compile_cache()
-            return fqz_device_encode.fqz_compress_device(
+            out = fqz_device_encode.fqz_compress_device(
                 data, lens, flags, seq_buf, strat_n)
-        except Exception:
-            pass
+            if _device_verify() and host.fqz_decompress(
+                    out, len(data), seq_buf=seq_buf) != data:
+                raise ValueError("device FQZ payload failed native "
+                                 "decode-back")
+            return out
+        except Exception as e:
+            _device_fell_back(e)
     return host.fqz_compress(data, lens, flags, seq_buf, strat_n)
 
 

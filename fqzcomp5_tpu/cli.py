@@ -12,6 +12,7 @@ Same flag surface as the reference binary (fqzcomp5.c:4697-5302):
 from __future__ import annotations
 
 import gzip
+import struct
 import sys
 
 from fqzcomp5_tpu import inspect_tool
@@ -183,7 +184,11 @@ def main(argv=None) -> int:
     (reference behavior, fqzcomp5.c decode drivers + test_error_handling.sh)."""
     try:
         return _main(argv)
-    except (ValueError, OSError) as e:
+    except (ValueError, OSError, struct.error, IndexError, KeyError,
+            MemoryError) as e:
+        # corrupt/truncated archives surface as struct.error or
+        # Index/Key/MemoryError from bad offsets and sizes; the
+        # reference prints ERROR: and exits 1, never a traceback
         print(f"ERROR: {e}", file=sys.stderr)
         return 1
 

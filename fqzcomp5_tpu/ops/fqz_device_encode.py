@@ -127,9 +127,14 @@ def build_stream(qual: bytes, lens, sels, P, seq: bytes | None = None):
             np.cumsum(nb) - nb, nb)
         bases2d[rows_b, intra] = codes[
             np.repeat(starts + boff_r, nb) + intra]
+        # native seeds from seq[off+b] for ALL b < boff, even when the
+        # record is shorter than boff (it reads into the next record's
+        # bases in the concatenated buffer) — native/fqzqual.cpp:727.
+        # Mirror that exactly; clamp only at the end of the whole
+        # buffer (the one case native leaves undefined).
         seq0 = np.zeros(R2, np.uint32)
         for k in range(int(boff_r.max(initial=0))):
-            upd = (k < boff_r) & (k < lens)
+            upd = k < boff_r
             bc = codes[np.minimum(starts + k, len(codes) - 1)]
             seq0[:nrec] = np.where(upd, (seq0[:nrec] << 2) | bc,
                                    seq0[:nrec])

@@ -113,17 +113,20 @@ int64_t fqz5_derive_flags(const uint8_t* name_buf, int64_t buf_len,
     const uint8_t* p = name_buf;
     const uint8_t* end = name_buf + buf_len;
     const uint8_t* last_name = nullptr;
+    size_t last_len = 0;
     for (int64_t i = 0; i < nrec; i++) {
         if (p >= end) return -1;
+        // names come from decompression: a crafted final entry may
+        // lack its NUL, so every compare must stay inside the buffer
         size_t len = strnlen((const char*)p, size_t(end - p));
         uint32_t flag = 0;
         if (len > 1 && p[len - 1] == '2' && p[len - 2] == '/')
             flag = 128;  // FQZ_FREAD2
-        else if (last_name && strcmp((const char*)p,
-                                     (const char*)last_name) == 0)
+        else if (last_name && len == last_len &&
+                 memcmp(p, last_name, len) == 0)
             flag = 128;
         flags[i] = flag;
-        if (!flag) last_name = p;
+        if (!flag) { last_name = p; last_len = len; }
         p += len + 1;
     }
     return nrec;

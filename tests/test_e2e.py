@@ -139,6 +139,29 @@ def test_check_corruption(tmp_path, data_dir, capsys):
     assert "ERROR:" in err
 
 
+def test_decode_truncated_and_oversized(tmp_path, data_dir, capsys):
+    """Truncated archives (struct.error) and oversized section lengths
+    (IndexError) must print ERROR: + exit 1, never a traceback
+    (round-1 advisor finding; reference prints ERROR: and aborts)."""
+    comp = roundtrip(tmp_path, data_dir / "sample.fastq", 1)
+    raw = comp.read_bytes()
+
+    trunc = tmp_path / "trunc.fqz5"
+    trunc.write_bytes(raw[:12])
+    assert cli.main(["-d", "-V", str(trunc),
+                     str(tmp_path / "t.fastq")]) == 1
+    assert "ERROR:" in capsys.readouterr().err
+
+    # stomp a plausible length field with a huge value
+    big = bytearray(raw)
+    big[40:44] = (0x7FFFFFFF).to_bytes(4, "little")
+    bad = tmp_path / "big.fqz5"
+    bad.write_bytes(bytes(big))
+    assert cli.main(["-d", "-V", str(bad),
+                     str(tmp_path / "b.fastq")]) == 1
+    assert "ERROR:" in capsys.readouterr().err
+
+
 def test_check_legacy_no_crc(data_dir, capsys):
     assert run_cli(["--check", str(data_dir / "sample.fqz5")]) == 1
 

@@ -130,6 +130,36 @@ def test_fqz_device_encode_edge_shapes():
             assert want.endswith(got), (len(ln), int(ln[0]), strat)
 
 
+@pytest.mark.parametrize("strat", [3, 4])
+def test_fqz_device_encode_short_records_seq(strat):
+    """Records shorter than boff: native seeds st.seq from seq[off+b]
+    for ALL b < boff, reading into the next record's bases
+    (fqzqual.cpp:727) — the device path must mirror that, not mask at
+    the record length (round-1 advisor finding: the masked variant
+    emitted byte-divergent payloads that fail native decode)."""
+    rng = np.random.default_rng(51)
+    # mix of len-1/len-2 records among normal ones so boff (2 at
+    # strat 3) exceeds some records' lengths
+    lens = rng.integers(40, 120, 200).astype(np.uint32)
+    lens[5::17] = 1
+    lens[11::23] = 2
+    total = int(lens.sum())
+    q = np.clip(np.cumsum(rng.integers(-2, 3, total)) % 40 + 3,
+                0, 45).astype(np.uint8)
+    qb = bytes(q)
+    seq = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), total,
+                           p=[0.3, 0.2, 0.2, 0.28, 0.02]))
+    flags = np.zeros(len(lens), np.uint32)
+    P, sels = _params(qb, lens, flags, strat, seq=seq)
+    if not P.bbits.any():
+        pytest.skip("strategy did not enable seq conditioning")
+    got = fqz_device_encode.encode_payload(qb, lens, sels, P, seq=seq)
+    want = host.fqz_compress(qb, lens, flags, seq, strat)
+    assert want.endswith(got), f"strat {strat}"
+    spliced = want[:len(want) - len(got)] + got
+    assert host.fqz_decompress(spliced, len(qb), seq_buf=seq) == qb
+
+
 def test_fqz_compress_device_drop_in():
     """fqz_compress_device (fqz5_fqz_prepare header + device payload)
     equals host.fqz_compress byte-for-byte, with and without seq."""
