@@ -1,0 +1,212 @@
+"""Cross-block batched device encode for the adaptive codecs.
+
+The three-pass context-sorted decomposition (docs/
+DEVICE_ADAPTIVE_CODECS.md) was designed for the B>1 regime: many
+blocks' SEQ/FQZ sections share ONE bucketed pass-2 batch and ONE
+batched pass-3 range-coder walk per wave, so the per-step lane
+utilisation scales with the number of blocks in flight instead of
+running B=1 walks per block.  This module is that regime: the
+`-e tpu` wave driver hands a wave's worth of sections here
+(tpu_driver.encode_stream_tpu), and the FQZ5_DEVICE_ADAPTIVE host
+path routes through it with a single job.
+
+Jobs are namespaced into one event stream:
+
+  job j, model id m   ->  global row key  j * JOB_OFF + m
+
+and grouped into four model families, each evolved in one
+evolve_by_count batch across ALL jobs:
+
+  T4    TinyModel<4>        seq codec k-mer models
+  T2    TinyModel<2>        seq codec state models
+  N128  AdaptiveModel<=128  fqz qual / sel / dup models
+  W256  AdaptiveModel<256>  fqz length-byte + seq run/literal models
+
+Pass 3 stacks every job's encode-event triples into (B, T) planes
+(pow2-bucketed by length) and walks them in chunked encode_scan
+calls, carrying the coder state across chunks so arbitrarily long
+sections stream through bounded device memory.
+
+Payloads are byte-identical to the native codecs
+(native/fqzqual.cpp:663-762, native/seq.cpp:39-157); the wave driver
+splices them into ordinary FQZ5 sections that the reference binary
+decodes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import fqz_model_jax, rc_jax
+from .fqz_device_encode import (MID_LEN0, MID_SEL, build_stream,
+                                prepare_fqz)
+from .seq_device_encode import FAM_SEQ, FAM_STATE, build_events
+
+JOB_OFF = 1 << 32        # > any local model id (4^14 seq ctx, 2^16+6 fqz)
+CHUNK_T = 1 << 21        # pass-3 steps per device call (bounds planes)
+
+# global model families
+F_T4, F_T2, F_N128, F_W256 = 0, 1, 2, 3
+
+
+def _prep_job(job):
+    """Expand one job into (kind, header, events, enc_mask, fam, mid,
+    sym) host arrays.  kind 'fqz' jobs carry a native wire header."""
+    if job[0] == "fqz":
+        _, qual, lens, flags, seq_buf, strat = job
+        hdr, P, sels = prepare_fqz(qual, lens, flags, seq_buf, strat)
+        la = np.ascontiguousarray(lens, np.uint32)
+        mids, syms, _ = build_stream(qual, la, sels, P, seq=seq_buf)
+        is_w256 = (mids >= MID_LEN0) & (mids < MID_SEL)
+        fam = np.where(is_w256, F_W256, F_N128).astype(np.int8)
+        enc = np.ones(len(mids), bool)
+        meta = (int(P.max_sym) + 1, int(P.max_sel) + 1)
+        return hdr, fam, mids, syms, enc, meta
+    _, seq_buf, lens, both, slevel = job
+    sfam, mid, sym, upd = build_events(seq_buf, lens, both, slevel)
+    fam = np.where(sfam == FAM_SEQ, F_T4,
+                   np.where(sfam == FAM_STATE, F_T2,
+                            F_W256)).astype(np.int8)
+    return b"", fam, mid, sym, ~upd, None
+
+
+def _evolve_families(jobvec, fam, mid, sym, metas, n_total):
+    """Pass 2 for the whole batch: group rows per family across jobs,
+    evolve, scatter (cum, freq, tot) back to event order."""
+    import jax.numpy as jnp
+
+    cum = np.zeros(n_total, np.uint32)
+    freq = np.zeros(n_total, np.uint32)
+    tot = np.zeros(n_total, np.uint32)
+    gmid = jobvec * JOB_OFF + mid
+
+    for F in (F_T4, F_T2, F_N128, F_W256):
+        sel = np.flatnonzero(fam == F)
+        if not len(sel):
+            continue
+        uniq, symplane, counts, posplane = \
+            fqz_model_jax.group_by_context(gmid[sel], sym[sel])
+        if F in (F_T4, F_T2):
+            def run(sp, ct, ridx, _n=4 if F == F_T4 else 2):
+                return fqz_model_jax.tiny_evolve(
+                    jnp.asarray(sp), jnp.asarray(ct), nsym=_n)
+        elif F == F_W256:
+            def run(sp, ct, ridx):
+                mr = np.full(len(ct), 2, np.int32)
+                mr[:len(ridx)] = 256
+                return fqz_model_jax.evolve(
+                    jnp.asarray(sp), jnp.asarray(ct), jnp.asarray(mr),
+                    jnp.int32(16), lanes=256)
+        else:
+            # per-row alphabet: qual models use the job's max_sym+1,
+            # the sel model max_sel+1, the dup model 2
+            ujob = (uniq // JOB_OFF).astype(np.int64)
+            ulm = uniq % JOB_OFF
+            msym = np.array([metas[j][0] if metas[j] else 2
+                             for j in range(len(metas))], np.int32)
+            msel = np.array([metas[j][1] if metas[j] else 2
+                             for j in range(len(metas))], np.int32)
+            ms_rows = np.where(ulm < MID_LEN0, msym[ujob],
+                               np.where(ulm == MID_SEL, msel[ujob],
+                                        2)).astype(np.int32)
+
+            def run(sp, ct, ridx, _ms=ms_rows):
+                mr = np.full(len(ct), 2, np.int32)
+                mr[:len(ridx)] = _ms[ridx]
+                return fqz_model_jax.evolve(
+                    jnp.asarray(sp), jnp.asarray(ct), jnp.asarray(mr),
+                    jnp.int32(16), lanes=128)
+        cs, fs, ts = fqz_model_jax.evolve_by_count(symplane, counts,
+                                                   run)
+        valid = posplane >= 0
+        gpos = sel[posplane[valid]]
+        cum[gpos] = cs[valid]
+        freq[gpos] = fs[valid]
+        tot[gpos] = ts[valid]
+    return cum, freq, tot
+
+
+def rc_walk_batch(streams):
+    """Pass 3: walk many (cum, freq, tot) streams as batched range
+    coders.  Streams bucket by pow2 length (padding stays < 2x) and
+    long buckets walk in CHUNK_T-step device calls with the state
+    carried across chunks.  Returns list of payload bytes."""
+    import jax.numpy as jnp
+
+    outs = [b""] * len(streams)
+    buckets: dict[int, list[int]] = {}
+    for i, (c, _f, _t) in enumerate(streams):
+        if len(c) == 0:
+            # empty stream still runs finish_encode: 5 shift_lows from
+            # the initial state
+            z = np.zeros(1, np.uint32)
+            st = (z, np.full(1, 0xFFFFFFFF, np.uint32), z, z, z)
+            outs[i] = rc_jax.finish_events(st)[0]
+            continue
+        buckets.setdefault(fqz_model_jax.pow2(len(c)), []).append(i)
+
+    for T2, idxs in sorted(buckets.items()):
+        B = len(idxs)
+        B2 = fqz_model_jax.pow2(B)
+        cum = np.zeros((B2, T2), np.uint32)
+        freq = np.ones((B2, T2), np.uint32)
+        tot = np.full((B2, T2), 2, np.uint32)
+        active = np.zeros((B2, T2), bool)
+        for r, i in enumerate(idxs):
+            c, f, t = streams[i]
+            n = len(c)
+            cum[r, :n], freq[r, :n], tot[r, :n] = c, f, t
+            active[r, :n] = True
+
+        state = None
+        parts: list[list[bytes]] = [[] for _ in idxs]
+        for t0 in range(0, T2, CHUNK_T):
+            t1 = min(t0 + CHUNK_T, T2)
+            state, (fl, ca, ff, cy) = rc_jax.encode_scan(
+                jnp.asarray(cum[:, t0:t1]), jnp.asarray(freq[:, t0:t1]),
+                jnp.asarray(tot[:, t0:t1]),
+                active=jnp.asarray(active[:, t0:t1]), state0=state)
+            fl, ca, ff, cy = map(np.asarray, (fl, ca, ff, cy))
+            for r, i in enumerate(idxs):
+                parts[r].append(rc_jax.assemble_stream(
+                    fl[r], ca[r], ff[r], cy[r], b""))
+        tails = rc_jax.finish_events(state)
+        for r, i in enumerate(idxs):
+            outs[i] = b"".join(parts[r]) + tails[r]
+    return outs
+
+
+def encode_adaptive_batch(jobs) -> list[bytes]:
+    """Encode many adaptive-codec jobs in one batched three-pass run.
+
+    jobs: list of ('fqz', qual, lens, flags, seq_buf, strat) or
+    ('seq', seq_buf, lens, both, slevel) tuples.  Returns the complete
+    section payload per job (fqz jobs include the native wire header),
+    byte-identical to the host codecs."""
+    if not jobs:
+        return []
+    preps = [_prep_job(j) for j in jobs]
+    hdrs = [p[0] for p in preps]
+    metas = [p[5] for p in preps]
+    n_ev = np.array([len(p[2]) for p in preps], np.int64)
+    base = np.concatenate(([0], np.cumsum(n_ev)))
+    total = int(base[-1])
+
+    jobvec = np.repeat(np.arange(len(jobs), dtype=np.int64), n_ev)
+    fam = np.concatenate([p[1] for p in preps]) if total else \
+        np.zeros(0, np.int8)
+    mid = np.concatenate([p[2] for p in preps]) if total else \
+        np.zeros(0, np.int64)
+    sym = np.concatenate([p[3] for p in preps]) if total else \
+        np.zeros(0, np.int32)
+
+    cum, freq, tot = _evolve_families(jobvec, fam, mid, sym, metas,
+                                      total)
+
+    streams = []
+    for j, p in enumerate(preps):
+        sl = slice(base[j], base[j + 1])
+        enc = p[4]
+        streams.append((cum[sl][enc], freq[sl][enc], tot[sl][enc]))
+    payloads = rc_walk_batch(streams)
+    return [hdrs[j] + payloads[j] for j in range(len(jobs))]

@@ -238,12 +238,11 @@ def encode_payload(qual: bytes, lens, sels, P,
     return rc_jax.assemble_stream(fl[0], ca[0], ff[0], cy[0], tails[0])
 
 
-def fqz_compress_device(qual: bytes, lens, flags,
-                        seq_buf: bytes | None, strat: int) -> bytes:
-    """Drop-in for codecs.host.fqz_compress with the range-coder
-    payload produced on device (byte-identical output).  The host
-    half — parameter picking, selector assignment, wire header —
-    comes from fqz5_fqz_prepare."""
+def prepare_fqz(qual: bytes, lens, flags, seq_buf: bytes | None,
+                strat: int):
+    """Host half of the fqz device encode: parameter picking, selector
+    assignment and wire header via fqz5_fqz_prepare.  Returns
+    (header_bytes, FqzParams, sels)."""
     from ..codecs import native
 
     L = native.lib()
@@ -271,5 +270,16 @@ def fqz_compress_device(qual: bytes, lens, flags,
     if rc < 0:
         raise ValueError("fqz_prepare failed")
     P = fqz_ctx_jax.FqzParams.parse(par[:rc])
-    payload = encode_payload(qual, la, sels[:nrec], P, seq=seq_buf)
-    return hdr[:int(hlen[0])].tobytes() + payload
+    return hdr[:int(hlen[0])].tobytes(), P, sels[:nrec]
+
+
+def fqz_compress_device(qual: bytes, lens, flags,
+                        seq_buf: bytes | None, strat: int) -> bytes:
+    """Drop-in for codecs.host.fqz_compress with the range-coder
+    payload produced on device (byte-identical output).  Routed
+    through the cross-block batch machinery with a single job so one
+    implementation serves both the host driver and the wave engine."""
+    from .adaptive_batch import encode_adaptive_batch
+
+    return encode_adaptive_batch(
+        [("fqz", qual, lens, flags, seq_buf, strat)])[0]

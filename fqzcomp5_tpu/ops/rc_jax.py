@@ -80,12 +80,15 @@ def _shift_low(state):
 
 
 @jax.jit
-def encode_scan(cum, freq, tot, active=None):
+def encode_scan(cum, freq, tot, active=None, state0=None):
     """Walk B range coders over T symbols each.
 
     cum/freq/tot: (B, T) uint32 with tot < 2^16 (inactive steps: pass
     freq=tot so range is unchanged... or use `active`).  active:
     optional (B, T) bool; inactive steps leave the state untouched.
+    state0: optional carried state from a previous chunk (the 5-tuple
+    this function returns), enabling long streams to walk in T-chunks
+    with the event planes drained between chunks.
 
     Returns (final_state tuple of (B,) arrays,
              events: (flush (B,T,2) bool, cache (B,T,2) u32,
@@ -122,8 +125,9 @@ def encode_scan(cum, freq, tot, active=None):
                        for k in range(4))
         return s2, out_ev
 
-    z = jnp.zeros((B,), jnp.uint32)
-    state0 = (z, jnp.full((B,), 0xFFFFFFFF, jnp.uint32), z, z, z)
+    if state0 is None:
+        z = jnp.zeros((B,), jnp.uint32)
+        state0 = (z, jnp.full((B,), 0xFFFFFFFF, jnp.uint32), z, z, z)
     xs = (jnp.swapaxes(cum.astype(jnp.uint32), 0, 1),
           jnp.swapaxes(freq.astype(jnp.uint32), 0, 1),
           jnp.swapaxes(tot.astype(jnp.uint32), 0, 1),

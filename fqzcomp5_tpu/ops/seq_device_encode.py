@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import fqz_model_jax, rc_jax
+from . import fqz_model_jax
 
 SEED_FWD = 0x007616C7
 SEED_REV = 0x2C6B62FF
@@ -90,6 +90,9 @@ def build_events(seq_buf: bytes, lens, both_strands: int,
     buf = np.frombuffer(seq_buf, np.uint8)
     lens = np.asarray(lens, np.uint32)
     n = len(buf)
+    if n == 0:
+        return (np.zeros(0, np.int8), np.zeros(0, np.int64),
+                np.zeros(0, np.int32), np.zeros(0, bool))
     code = _LUT[buf]
     cls = np.where(code < 4, 0, np.where(code >= 0x80, 1, 2))
 
@@ -171,43 +174,10 @@ def build_events(seq_buf: bytes, lens, both_strands: int,
 def encode_payload(seq_buf: bytes, lens, both_strands: int,
                    ctx_size: int) -> bytes:
     """Device range-coder payload for one SEQ block — byte-identical
-    to native fqz5_seq_encode."""
-    fam, mid, sym, upd = build_events(seq_buf, lens, both_strands,
-                                      ctx_size)
-    n = len(fam)
-    cum = np.zeros(n, np.uint32)
-    freq = np.zeros(n, np.uint32)
-    tot = np.zeros(n, np.uint32)
+    to native fqz5_seq_encode.  Routed through the cross-block batch
+    machinery with a single job so one implementation serves both the
+    host driver and the wave engine."""
+    from .adaptive_batch import encode_adaptive_batch
 
-    for f in (FAM_SEQ, FAM_STATE, FAM_WIDE):
-        sel = np.flatnonzero(fam == f)
-        if not len(sel):
-            continue
-        uniq, symplane, counts, posplane = \
-            fqz_model_jax.group_by_context(mid[sel], sym[sel])
-        if f == FAM_WIDE:
-            def run(sp, ct, ridx):
-                mr = np.full(len(ct), 2, np.int32)
-                mr[:len(ridx)] = 256
-                return fqz_model_jax.evolve(
-                    jnp.asarray(sp), jnp.asarray(ct), jnp.asarray(mr),
-                    jnp.int32(16), lanes=256)
-        else:
-            def run(sp, ct, ridx, _n=4 if f == FAM_SEQ else 2):
-                return fqz_model_jax.tiny_evolve(
-                    jnp.asarray(sp), jnp.asarray(ct), nsym=_n)
-        cs, fs, ts = fqz_model_jax.evolve_by_count(symplane, counts,
-                                                   run)
-        valid = posplane >= 0
-        gpos = sel[posplane[valid]]
-        cum[gpos] = cs[valid]
-        freq[gpos] = fs[valid]
-        tot[gpos] = ts[valid]
-
-    enc = ~upd
-    from .fqz_device_encode import _rc_scan_padded
-    state, (fl, ca, ff, cy) = _rc_scan_padded(cum[enc], freq[enc],
-                                              tot[enc])
-    tails = rc_jax.finish_events(state)
-    fl, ca, ff, cy = map(np.asarray, (fl, ca, ff, cy))
-    return rc_jax.assemble_stream(fl[0], ca[0], ff[0], cy[0], tails[0])
+    return encode_adaptive_batch(
+        [("seq", seq_buf, lens, both_strands, ctx_size)])[0]

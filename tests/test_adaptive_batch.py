@@ -1,0 +1,98 @@
+"""Cross-block batched adaptive encode (ops/adaptive_batch.py): many
+SEQ/FQZ jobs share one pass-2 batch and one pass-3 walk, and every
+payload must stay byte-identical to the host codecs
+(native/fqzqual.cpp, native/seq.cpp)."""
+
+import numpy as np
+import pytest
+
+from fqzcomp5_tpu.codecs import host
+from fqzcomp5_tpu.ops import adaptive_batch
+
+
+def _fqz_case(seed, nrec=120, fixed=False, with_seq=False, strat=1):
+    rng = np.random.default_rng(seed)
+    lens = (np.full(nrec, 100, np.uint32) if fixed
+            else rng.integers(40, 160, nrec).astype(np.uint32))
+    total = int(lens.sum())
+    q = np.clip(np.cumsum(rng.integers(-2, 3, total)) % 40 + 3,
+                0, 45).astype(np.uint8)
+    flags = np.zeros(nrec, np.uint32)
+    seq = (bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), total))
+           if with_seq else None)
+    return ("fqz", bytes(q), lens, flags, seq, strat)
+
+
+def _seq_case(seed, nrec=80, both=0, slevel=10):
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(50, 150, nrec).astype(np.uint32)
+    total = int(lens.sum())
+    seq = bytes(rng.choice(np.frombuffer(b"ACGTNacgt", np.uint8),
+                           total,
+                           p=[.24, .24, .24, .22, .02, .01, .01, .01,
+                              .01]))
+    return ("seq", seq, lens, both, slevel)
+
+
+def _host_encode(job):
+    if job[0] == "fqz":
+        _, q, lens, flags, seq, strat = job
+        return host.fqz_compress(q, lens, flags, seq, strat)
+    _, seq, lens, both, slevel = job
+    return host.seq_encode(seq, lens, both, slevel)
+
+
+def test_batch_matches_host_per_job():
+    """A mixed 6-job batch (fqz varied strats, seq both-strands on and
+    off) must reproduce every host payload byte-for-byte."""
+    jobs = [
+        _fqz_case(1),
+        _fqz_case(2, fixed=True, strat=0),
+        _seq_case(3),
+        _fqz_case(4, with_seq=True, strat=3),
+        _seq_case(5, both=1, slevel=12),
+        _fqz_case(6, strat=2),
+    ]
+    got = adaptive_batch.encode_adaptive_batch(jobs)
+    for i, job in enumerate(jobs):
+        assert got[i] == _host_encode(job), f"job {i} ({job[0]})"
+
+
+def test_batch_equals_single_job_runs():
+    """Batching must not perturb any job: results equal the one-job
+    path (which the round-1 parity suite already pins to native)."""
+    jobs = [_fqz_case(11), _seq_case(12), _fqz_case(13, fixed=True)]
+    batched = adaptive_batch.encode_adaptive_batch(jobs)
+    singles = [adaptive_batch.encode_adaptive_batch([j])[0]
+               for j in jobs]
+    assert batched == singles
+
+
+def test_chunked_walk(monkeypatch):
+    """The pass-3 walk carries coder state across CHUNK_T-step device
+    calls; force tiny chunks and require identical output."""
+    jobs = [_fqz_case(21), _seq_case(22)]
+    want = [_host_encode(j) for j in jobs]
+    monkeypatch.setattr(adaptive_batch, "CHUNK_T", 256)
+    got = adaptive_batch.encode_adaptive_batch(jobs)
+    assert got == want
+
+
+def test_empty_and_tiny_jobs():
+    jobs = [
+        ("seq", b"", np.zeros(0, np.uint32), 0, 10),
+        _fqz_case(31, nrec=1),
+    ]
+    got = adaptive_batch.encode_adaptive_batch(jobs)
+    assert got[0] == _host_encode(jobs[0])
+    assert got[1] == _host_encode(jobs[1])
+
+
+def test_uneven_lengths_bucket_separately():
+    """Jobs of very different sizes must not corrupt each other when
+    they land in different pow2 buckets of the walk."""
+    jobs = [_fqz_case(41, nrec=8), _fqz_case(42, nrec=400),
+            _seq_case(43, nrec=4), _seq_case(44, nrec=300)]
+    got = adaptive_batch.encode_adaptive_batch(jobs)
+    for i, job in enumerate(jobs):
+        assert got[i] == _host_encode(job), f"job {i}"
