@@ -56,6 +56,18 @@ class MethodLearner:
         with self._lock:
             return self._trial[sec] > 0
 
+    def trial_remaining(self, sec: int) -> int:
+        """Trial blocks still outstanding (0 when locked).  Lets the
+        wave driver size a trial segment without peeking mid-batch."""
+        with self._lock:
+            return max(self._trial[sec], 0)
+
+    def will_reopen(self, sec: int) -> bool:
+        """True when the NEXT methods_for call re-opens the trial
+        (review counter exhausted) — a wave segment boundary."""
+        with self._lock:
+            return self._review[sec] <= 0
+
     def record_trial(self, sec: int, sizes: dict[int, tuple[int, int]]) -> None:
         """Accumulate per-method (usize, csize) of one trial block."""
         with self._lock:

@@ -201,6 +201,138 @@ def _device_section_encode(datas: list[bytes],
     return out
 
 
+def _adaptive_jobs_host(jobs):
+    """Host-codec execution of adaptive jobs (device fallback and the
+    small-section path — payloads are byte-identical either way)."""
+    outs = []
+    for j in jobs:
+        if j[0] == "seq":
+            outs.append(host.seq_encode(j[1], j[2], j[3], j[4]))
+        else:
+            outs.append(host.fqz_compress(j[1], j[2], j[3], j[4],
+                                          j[5]))
+    return outs
+
+
+def _adaptive_batch_safe(jobs):
+    """Adaptive jobs via the cross-block device batch; sections below
+    MIN_DEVICE (and any device failure) take the host codecs."""
+    big = [k for k, j in enumerate(jobs) if len(j[1]) >= MIN_DEVICE]
+    outs = [None] * len(jobs)
+    small = [k for k in range(len(jobs)) if k not in set(big)]
+    for k, pay in zip(small, _adaptive_jobs_host([jobs[k]
+                                                  for k in small])):
+        outs[k] = pay
+    if big:
+        try:
+            from fqzcomp5_tpu.ops import adaptive_batch, backend
+            backend.ensure_compile_cache()
+            pays = adaptive_batch.encode_adaptive_batch(
+                [jobs[k] for k in big])
+        except Exception:
+            pays = _adaptive_jobs_host([jobs[k] for k in big])
+        for k, pay in zip(big, pays):
+            outs[k] = pay
+    return outs
+
+
+_RANS_FAMILY = 0x3FE  # method bits 1..9: RANS0..RANSXN1
+
+
+def _encode_segment_wave(learner, arg, blocks, sec, datas, seg, mask,
+                         trial, results):
+    """Encode one wave segment (blocks sharing a method mask): device
+    rANS best-of covers the rANS-family bits, SEQ*/FQZ* run through
+    ONE cross-block adaptive batch, LZP3 on host.  Best method per
+    block wins with the host's ascending-method tie-break
+    (fqzcomp5.c:2106 strictly-greater)."""
+    from fqzcomp5_tpu.blocks import _SEQ_PARAMS
+    from fqzcomp5_tpu.constants import bit
+
+    cands = {i: [] for i in seg}  # (method_id, strat, payload)
+    rans_mask = mask & _RANS_FAMILY
+    if rans_mask:
+        # the STRIPE candidate runs for every fixed-length block
+        # (beyond parity: it is one more batched device walk, and at
+        # -1/-3 it often wins on position-correlated qualities)
+        fl = [blocks[i].fixed_len for i in seg]
+        rpay = _device_section_encode([datas[i] for i in seg], fl)
+        rep = (rans_mask & -rans_mask).bit_length() - 1
+        for k, i in enumerate(seg):
+            cands[i].append((rep, 0, rpay[k]))
+    if mask & bit(Method.LZP3):
+        for i in seg:
+            pay = host.rans_compress(host.lzp(datas[i]), 5)
+            cands[i].append((int(Method.LZP3), int(Method.LZP3), pay))
+
+    jobs, jobmeta = [], []
+
+    def add_seq(m, slevel, both):
+        strat = (slevel << 4) | (both << 3) | 1
+        for i in seg:
+            jobs.append(("seq", datas[i], blocks[i].lens, both,
+                         slevel))
+            jobmeta.append((i, int(m), strat))
+
+    for m, (slevel, both) in _SEQ_PARAMS.items():
+        if mask & bit(m):
+            add_seq(m, slevel, both)
+    if mask & bit(Method.SEQ_CUSTOM):
+        add_seq(Method.SEQ_CUSTOM, arg.slevel, arg.both_strands)
+    for m in (Method.FQZ0, Method.FQZ1, Method.FQZ2, Method.FQZ3,
+              Method.FQZ4):
+        if mask & bit(m):
+            strat_n = int(m) - int(Method.FQZ0)
+            for i in seg:
+                jobs.append(("fqz", datas[i], blocks[i].lens,
+                             blocks[i].flags, blocks[i].seq_buf,
+                             strat_n))
+                jobmeta.append((i, int(m), 1))
+    if jobs:
+        pays = _adaptive_batch_safe(jobs)
+        for (i, m, strat), pay in zip(jobmeta, pays):
+            cands[i].append((m, strat, pay))
+
+    for i in seg:
+        cl = sorted(cands[i], key=lambda c: c[0])
+        best = min(cl, key=lambda c: len(c[2]))
+        results[i] = (best[1], best[2])
+        if trial:
+            learner.record_trial(
+                sec, {m: (len(datas[i]), len(p)) for m, _s, p in cl})
+
+
+def _encode_section_wave(learner, arg, blocks, sec, datas):
+    """Method-learned wave encode of one section across blocks:
+    replicates the trial/lock/review state machine block-by-block
+    (learning.py), but batches each segment's codec work on device.
+    Returns [(strat_byte, payload)] aligned with `blocks`."""
+    n = len(blocks)
+    results: list = [None] * n
+    bi = 0
+    while bi < n:
+        mask = learner.methods_for(sec)
+        if learner.in_trial(sec):
+            take = min(learner.trial_remaining(sec), n - bi)
+            for _ in range(take - 1):
+                learner.methods_for(sec)
+            seg = list(range(bi, bi + take))
+            trial = True
+        else:
+            seg = [bi]
+            while (bi + len(seg) < n
+                   and not learner.will_reopen(sec)):
+                m2 = learner.methods_for(sec)
+                if m2 != mask:
+                    break
+                seg.append(bi + len(seg))
+            trial = False
+        _encode_segment_wave(learner, arg, blocks, sec, datas, seg,
+                             mask, trial, results)
+        bi = seg[-1] + 1
+    return results
+
+
 def encode_stream_tpu(batches, out_fp: BinaryIO, arg: Options,
                       t: Timings) -> None:
     container.write_header(out_fp)
@@ -211,12 +343,13 @@ def encode_stream_tpu(batches, out_fp: BinaryIO, arg: Options,
     def flush_wave(wave: list[fastq.FastqBatch]):
         if not wave:
             return
-        seqs = _device_section_encode(
-            [fq.seq_buf for fq in wave],
-            [fq.fixed_len for fq in wave])
-        quals = _device_section_encode(
-            [fq.qual_buf for fq in wave if not fq.is_fasta],
-            [fq.fixed_len for fq in wave if not fq.is_fasta])
+        seqs = _encode_section_wave(learner, arg, wave, Section.SEQ,
+                                    [fq.seq_buf for fq in wave])
+        qual_blocks = [fq for fq in wave if not fq.is_fasta]
+        quals = _encode_section_wave(learner, arg, qual_blocks,
+                                     Section.QUAL,
+                                     [fq.qual_buf
+                                      for fq in qual_blocks])
         qi = 0
         for w, fq in enumerate(wave):
             out = bytearray()
@@ -237,11 +370,13 @@ def encode_stream_tpu(batches, out_fp: BinaryIO, arg: Options,
                 blob = varint.put_array_u32(fq.lens)
                 out += bytes([0]) + struct.pack("<I", len(blob)) + blob
                 len_csize = 5 + len(blob)
-            out += struct.pack("<BII", 0, len(fq.seq_buf),
-                               len(seqs[w])) + seqs[w]
+            sstrat, spay = seqs[w]
+            out += struct.pack("<BII", sstrat, len(fq.seq_buf),
+                               len(spay)) + spay
             if not fq.is_fasta:
-                out += struct.pack("<BII", 0, len(fq.qual_buf),
-                                   len(quals[qi])) + quals[qi]
+                qstrat, qpay = quals[qi]
+                out += struct.pack("<BII", qstrat, len(fq.qual_buf),
+                                   len(qpay)) + qpay
                 qi += 1
             else:
                 out += struct.pack("<BII", 0, 0, 0)
@@ -254,9 +389,9 @@ def encode_stream_tpu(batches, out_fp: BinaryIO, arg: Options,
             bt = Timings()
             bt.update(0, len(fq.name_buf), len(npay), 0.0)
             bt.update(3, 4 * fq.num_records, len_csize, 0.0)
-            bt.update(1, len(fq.seq_buf), len(seqs[w]) + 9, 0.0)
+            bt.update(1, len(fq.seq_buf), len(spay) + 9, 0.0)
             if not fq.is_fasta:
-                bt.update(2, len(fq.qual_buf), len(quals[qi - 1]) + 9, 0.0)
+                bt.update(2, len(fq.qual_buf), len(qpay) + 9, 0.0)
             t.append_block(bt, arg.verbose)
 
     wave: list[fastq.FastqBatch] = []

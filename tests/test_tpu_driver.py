@@ -187,3 +187,73 @@ def test_tpu_engine_stripe_path(tmp_path):
         dec(io.BytesIO(blob), make_fastq_writer(res, arg), arg,
             Timings())
         assert res.getvalue() == data
+
+
+def test_tpu_engine_high_preset_matches_host(tmp_path):
+    """-e tpu -5: SEQ/FQZ sections run through the cross-block device
+    batch and must byte-match the host -5 encoder's sections (the
+    adaptive payloads are native-identical, and the wave learner locks
+    the same methods)."""
+    import io
+
+    from fqzcomp5_tpu import container, tpu_driver
+    from fqzcomp5_tpu.drivers import Timings, encode_file
+    from fqzcomp5_tpu.options import Options
+
+    rng = np.random.default_rng(77)
+    recs = []
+    # genome-like: sample reads from one synthetic chromosome so the
+    # order-k SEQ model beats plain rANS, and Illumina-like qualities
+    # (positional decay + strong previous-qual correlation) so fqz
+    # beats rANS/STRIPE on the qual section — the regime -5 targets
+    chrom = rng.choice(np.frombuffer(b"ACGT", np.uint8), 20000,
+                       p=[0.3, 0.2, 0.2, 0.3])
+    base = np.clip(40 - (np.arange(100) // 12) * 2, 22, 40)
+    for i in range(1200):
+        off = int(rng.integers(0, len(chrom) - 100))
+        seq = chrom[off:off + 100].tobytes()
+        dips = rng.random(100) < 0.03
+        q = np.where(dips, 11, base + rng.choice([-2, 0, 0, 0, 2],
+                                                 100))
+        q = (q + 33).astype(np.uint8).tobytes()
+        recs.append(b"@r%d\n" % i + seq + b"\n+\n" + q + b"\n")
+    data = b"".join(recs)
+    src = tmp_path / "in.fastq"
+    src.write_bytes(data)
+
+    def sections(blob):
+        fp = io.BytesIO(blob)
+        ver, idx_off = container.read_header(fp)
+        out = []
+        for raw in container.iter_raw_blocks(fp, idx_off):
+            m = tpu_driver._split_block(raw, ver)
+            out.append((m["seq"], m["qual"]))
+        return out
+
+    arg = Options()
+    arg.apply_preset(5)
+    arg.blk_size = 40 << 10  # several blocks -> trial + locked waves
+    arg.verbose = -1
+
+    host_out = io.BytesIO()
+    arg.nthreads = 1
+    encode_file(str(src), host_out, arg, Timings())
+    tpu_out = io.BytesIO()
+    tpu_driver.encode_file_tpu(str(src), tpu_out, arg, Timings())
+
+    hsec = sections(host_out.getvalue())
+    tsec = sections(tpu_out.getvalue())
+    assert len(hsec) == len(tsec) and len(hsec) >= 3
+    for b, (h, tt) in enumerate(zip(hsec, tsec)):
+        for si, name in ((0, "seq"), (1, "qual")):
+            hstrat, hulen, hpay = h[si]
+            tstrat, tulen, tpay = tt[si]
+            assert (hstrat, hulen) == (tstrat, tulen), (b, name)
+            assert hpay == tpay, (b, name, len(hpay), len(tpay))
+    # the archive decodes on both engines
+    from fqzcomp5_tpu.drivers import decode_file, make_fastq_writer
+    for dec in (tpu_driver.decode_file_tpu, decode_file):
+        res = io.BytesIO()
+        dec(io.BytesIO(tpu_out.getvalue()),
+            make_fastq_writer(res, arg), arg, Timings())
+        assert res.getvalue() == data
