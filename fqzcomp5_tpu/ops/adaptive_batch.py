@@ -131,8 +131,6 @@ def rc_walk_batch(streams):
     coders.  Streams bucket by pow2 length (padding stays < 2x) and
     long buckets walk in CHUNK_T-step device calls with the state
     carried across chunks.  Returns list of payload bytes."""
-    import jax.numpy as jnp
-
     outs = [b""] * len(streams)
     buckets: dict[int, list[int]] = {}
     for i, (c, _f, _t) in enumerate(streams):
@@ -145,9 +143,12 @@ def rc_walk_batch(streams):
             continue
         buckets.setdefault(fqz_model_jax.pow2(len(c)), []).append(i)
 
+    from . import backend
+
     for T2, idxs in sorted(buckets.items()):
         B = len(idxs)
         B2 = fqz_model_jax.pow2(B)
+        B2 += backend.pad_rows(B2)  # mesh-divisible walk batch
         cum = np.zeros((B2, T2), np.uint32)
         freq = np.ones((B2, T2), np.uint32)
         tot = np.full((B2, T2), 2, np.uint32)
@@ -163,9 +164,11 @@ def rc_walk_batch(streams):
         for t0 in range(0, T2, CHUNK_T):
             t1 = min(t0 + CHUNK_T, T2)
             state, (fl, ca, ff, cy) = rc_jax.encode_scan(
-                jnp.asarray(cum[:, t0:t1]), jnp.asarray(freq[:, t0:t1]),
-                jnp.asarray(tot[:, t0:t1]),
-                active=jnp.asarray(active[:, t0:t1]), state0=state)
+                backend.shard_rows(cum[:, t0:t1], 1),
+                backend.shard_rows(freq[:, t0:t1], 1),
+                backend.shard_rows(tot[:, t0:t1], 1),
+                active=backend.shard_rows(active[:, t0:t1], 1),
+                state0=state)
             fl, ca, ff, cy = map(np.asarray, (fl, ca, ff, cy))
             for r, i in enumerate(idxs):
                 parts[r].append(rc_jax.assemble_stream(

@@ -24,6 +24,47 @@ def _bucket(n: int, lo: int = 64) -> int:
     return b
 
 
+_mesh = None
+
+
+def set_mesh(mesh) -> None:
+    """Install a jax.sharding.Mesh for the batched walks: leading
+    (row) dims of the device batches shard over ALL mesh axes
+    (dp x sp flattened — every row is an independent stream, the
+    reference's thread-pool data parallelism).  Stripe sub-streams are
+    laid out contiguously per section by the wave driver, so the N
+    stripes of one section land on adjacent devices — the sp-axis
+    neighbours (SURVEY.md §5 long-context analog).  Pass None to go
+    back to single-device placement."""
+    global _mesh
+    _mesh = mesh
+
+
+def current_mesh():
+    return _mesh
+
+
+def shard_rows(arr, extra_dims: int = 0):
+    """device_put with the leading dim sharded over the mesh (no-op
+    without one).  The caller must have padded dim 0 to a multiple of
+    mesh.size (see pad_rows)."""
+    if _mesh is None:
+        return arr
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = PartitionSpec(_mesh.axis_names, *([None] * extra_dims))
+    return jax.device_put(arr, NamedSharding(_mesh, spec))
+
+
+def pad_rows(n: int) -> int:
+    """Rows needed so dim 0 divides the mesh (0 without a mesh)."""
+    if _mesh is None:
+        return 0
+    m = _mesh.size
+    return (-n) % m
+
+
 _cache_ready = False
 
 
@@ -127,7 +168,26 @@ def encode_flat(flat: np.ndarray, freqs: np.ndarray, shift: int,
     bias = app(tt[3], 0)
     cmpl = app(tt[4], 0)
     R0j = None if R0 is None else np.asarray(R0, np.uint32)
+
+    pad = pad_rows(B)
+    if pad:
+        # sentinel rows (nop index everywhere) so the row count
+        # divides the mesh; their walks emit nothing and are dropped
+        S = x_max.shape[1] - 1  # nop table row
+        flat = np.concatenate(
+            [flat, np.full((pad,) + flat.shape[1:], S, flat.dtype)])
+        x_max, rcp, rsh, bias, cmpl = (
+            np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+            for a in (x_max, rcp, rsh, bias, cmpl))
+        if R0j is not None:
+            R0j = np.concatenate(
+                [R0j, np.full((pad,) + R0j.shape[1:],
+                              rans_jax.RANS_L, R0j.dtype)])
+    flat_d = shard_rows(flat.astype(np.int32), extra_dims=2)
+    tabs_d = [shard_rows(a, extra_dims=1)
+              for a in (x_max, rcp, rsh, bias, cmpl)]
+    R0d = None if R0j is None else shard_rows(R0j, extra_dims=1)
     Rf, words, mask = rans_jax.encode_scan_flat(
-        flat.astype(np.int32), x_max, rcp, rsh, bias, cmpl, R0j)
-    return (np.asarray(Rf), np.asarray(words).astype(np.uint32),
-            np.asarray(mask).astype(bool))
+        flat_d, *tabs_d, R0d)
+    return (np.asarray(Rf)[:B], np.asarray(words)[:B].astype(np.uint32),
+            np.asarray(mask)[:B].astype(bool))

@@ -168,12 +168,16 @@ def evolve_by_count(symplane, counts, run):
         tb = min(tb, max(T, 1))
         rows = np.flatnonzero(~done & (counts <= tb))
         if len(rows):
+            from fqzcomp5_tpu.ops import backend
+
             C2 = pow2(len(rows))
+            C2 += backend.pad_rows(C2)  # mesh-divisible row count
             sp = np.zeros((C2, tb), symplane.dtype)
             sp[:len(rows)] = symplane[rows, :tb]
             ct = np.zeros(C2, counts.dtype)
             ct[:len(rows)] = counts[rows]
-            cs, fs, ts = run(sp, ct, rows)
+            cs, fs, ts = run(backend.shard_rows(sp, extra_dims=1),
+                             backend.shard_rows(ct), rows)
             cs, fs, ts = (np.asarray(x)[:len(rows)]
                           for x in (cs, fs, ts))
             cum[rows, :tb] = cs

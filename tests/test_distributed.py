@@ -1,0 +1,85 @@
+"""Multi-process distributed encode (parallel/distributed.py): two
+jax.distributed CPU processes round-robin the blocks, all-gather the
+payloads to the writer, and the file must be byte-identical to the
+single-process encoder."""
+
+import io
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _make_fastq(path, n=3000):
+    rng = np.random.default_rng(5)
+    chrom = rng.choice(np.frombuffer(b"ACGT", np.uint8), 30000)
+    recs = []
+    for i in range(n):
+        off = int(rng.integers(0, len(chrom) - 90))
+        q = (np.clip(rng.normal(32, 4, 90), 2, 40) + 33).astype(
+            np.uint8)
+        recs.append(b"@blk%d\n" % i + chrom[off:off + 90].tobytes()
+                    + b"\n+\n" + q.tobytes() + b"\n")
+    data = b"".join(recs)
+    path.write_bytes(data)
+    return data
+
+
+def test_two_process_encode_matches_single(tmp_path):
+    src = tmp_path / "in.fastq"
+    _make_fastq(src)
+
+    # single-process oracle (host driver, same preset/blocking)
+    from fqzcomp5_tpu.drivers import Timings, encode_file
+    from fqzcomp5_tpu.options import Options
+
+    arg = Options()
+    arg.apply_preset(3)
+    arg.blk_size = 64 << 10
+    arg.verbose = -1
+    arg.nthread = 1
+    ref = io.BytesIO()
+    encode_file(str(src), ref, arg, Timings())
+
+    port = _free_port()
+    out = tmp_path / "dist.fqz5"
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "",
+            "FQZ5_DIST_COORD": f"127.0.0.1:{port}",
+            "FQZ5_DIST_NPROCS": "2",
+            "FQZ5_DIST_PID": str(pid),
+            "PYTHONPATH": os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "fqzcomp5_tpu.parallel.distributed",
+             "-3", "-b", str(64 << 10), str(src), str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    assert out.read_bytes() == ref.getvalue(), \
+        "2-process output differs from single-process encoder"
+
+    # and it decodes
+    from fqzcomp5_tpu.drivers import decode_file, make_fastq_writer
+    res = io.BytesIO()
+    decode_file(io.BytesIO(out.read_bytes()),
+                make_fastq_writer(res, arg), arg, Timings())
+    assert res.getvalue() == src.read_bytes()
