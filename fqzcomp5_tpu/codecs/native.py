@@ -96,6 +96,9 @@ def _register_optional(L: ctypes.CDLL) -> None:
         ("fqz5_parse_fastq_chunk", ctypes.c_int64,
          [u8p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
           i64p, i64p, i64p, i64p]),
+        ("fqz5_build_soa", ctypes.c_int64,
+         [u8p, ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p,
+          u8p, u8p, u8p, u32p, u32p]),
         ("fqz5_split_names", ctypes.c_int64,
          [u8p, ctypes.c_int64, u8p, i64p, u8p, u8p, i64p]),
         ("fqz5_join_names", ctypes.c_int64,
@@ -213,6 +216,62 @@ def scatter_ranges(dst: np.ndarray, dst_starts: np.ndarray,
     L.fqz5_scatter_ranges(
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         _i64p(dst_starts), sp, _i64p(lens), len(lens))
+
+
+def build_soa(data: np.ndarray, name_s, name_e, core_len, seq_s,
+              seq_e, qual_s):
+    """One-pass SoA materialisation (name/seq/qual buffers, lens,
+    FREAD2 flags) from parsed record ranges.  Returns
+    (name_buf bytes, seq_buf bytes, qual_buf bytes, lens u32,
+    flags u32)."""
+    L = lib()
+    n = len(name_s)
+    name_s = np.ascontiguousarray(name_s, np.int64)
+    name_e = np.ascontiguousarray(name_e, np.int64)
+    core_len = np.ascontiguousarray(core_len, np.int64)
+    seq_s = np.ascontiguousarray(seq_s, np.int64)
+    seq_e = np.ascontiguousarray(seq_e, np.int64)
+    qual_s = np.ascontiguousarray(qual_s, np.int64)
+    nb_total = int((name_e - name_s).sum()) + n
+    sq_total = int((seq_e - seq_s).sum())
+    # C++ fills fresh PyBytes buffers in place: no numpy scratch +
+    # tobytes double copy.  Safe because the objects are brand new,
+    # unhashed and solely owned — EXCEPT len<=1 bytes, which CPython
+    # interns (mutating those would corrupt shared singletons).
+    def _fresh(nbytes):
+        return bytes(nbytes) if nbytes > 1 else bytearray(nbytes)
+
+    name_buf = _fresh(nb_total)
+    seq_buf = _fresh(sq_total)
+    qual_buf = _fresh(sq_total)
+    lens = np.empty(max(n, 1), np.uint32)
+    flags = np.empty(max(n, 1), np.uint32)
+    data = np.ascontiguousarray(data)
+    _, dp = _u8(data)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    u32 = ctypes.POINTER(ctypes.c_uint32)
+
+    def _wp(buf):
+        if isinstance(buf, bytes):
+            return ctypes.cast(ctypes.c_char_p(buf), u8)
+        if len(buf) == 0:
+            return ctypes.cast(1, u8)
+        return ctypes.cast((ctypes.c_uint8 * len(buf))
+                           .from_buffer(buf), u8)
+
+    rc = L.fqz5_build_soa(
+        dp, n, _i64p(name_s), _i64p(name_e), _i64p(core_len),
+        _i64p(seq_s), _i64p(seq_e), _i64p(qual_s),
+        _wp(name_buf), _wp(seq_buf), _wp(qual_buf),
+        lens.ctypes.data_as(u32), flags.ctypes.data_as(u32))
+    assert rc == nb_total, (rc, nb_total)
+    return (bytes(name_buf) if isinstance(name_buf, bytearray)
+            else name_buf,
+            bytes(seq_buf) if isinstance(seq_buf, bytearray)
+            else seq_buf,
+            bytes(qual_buf) if isinstance(qual_buf, bytearray)
+            else qual_buf,
+            lens[:n], flags[:n])
 
 
 def parse_fastq_chunk(data: np.ndarray):

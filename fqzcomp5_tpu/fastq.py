@@ -225,6 +225,9 @@ class Parser:
             if not self._eof and len(self._buf) - self._pos < self._CHUNK:
                 chunk = self._fp.read(self._CHUNK)
                 if chunk:
+                    # NB: must build a NEW buffer (not resize in
+                    # place): earlier segments hold numpy views into
+                    # the old one until their build_batch runs
                     self._buf = self._buf[self._pos:] + chunk
                     self._pos = 0
                 else:
@@ -347,10 +350,18 @@ def _merge_batches(parts: list[FastqBatch],
     # previous part's final name (not applicable to interleaved parts,
     # whose flags are positional)
     for i in range(1, len(parts) if dup_rule else 0):
-        prev_names = parts[i - 1].names()
-        cur_names = parts[i].names()
-        if (prev_names and cur_names and not flags[i][0]
-                and prev_names[-1] == cur_names[0]):
+        # only the previous part's LAST name and this part's FIRST
+        # name matter: scan the NUL framing directly instead of
+        # splitting whole multi-MB name buffers
+        pb = parts[i - 1].name_buf
+        cb = parts[i].name_buf
+        if not pb or not cb or flags[i][0]:
+            continue
+        last_start = pb.rfind(b"\x00", 0, len(pb) - 1) + 1
+        first_end = cb.find(b"\x00")
+        if first_end < 0:
+            first_end = len(cb)
+        if pb[last_start:len(pb) - 1] == cb[:first_end]:
             flags[i][0] = FQZ_FREAD2
     lens = np.concatenate([p.lens for p in parts])
     first = int(lens[0]) if lens.size else 0

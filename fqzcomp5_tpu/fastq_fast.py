@@ -209,11 +209,22 @@ def compute_flags(data: np.ndarray, recs: ParsedRecords) -> np.ndarray:
         sums = np.where(lens > 0, sums[:n], 0)
         cand = np.flatnonzero((lens[1:] == lens[:-1])
                               & (sums[1:] == sums[:-1]))
-        for i in cand:
-            a = data[recs.name_s[i]:recs.name_e[i]]
-            b = data[recs.name_s[i + 1]:recs.name_e[i + 1]]
-            if np.array_equal(a, b):
-                flags[i + 1] = FQZ_FREAD2
+        if cand.size:
+            # exact verification, still vectorised: gather both names
+            # of every candidate pair and segment-reduce the mismatch
+            L = lens[cand].astype(np.int64)
+            a_cat = concat_ranges(data, recs.name_s[cand],
+                                  recs.name_e[cand])
+            b_cat = concat_ranges(data, recs.name_s[cand + 1],
+                                  recs.name_e[cand + 1])
+            neq = (a_cat != b_cat).astype(np.int32)
+            offs2 = np.cumsum(L) - L
+            nz = L > 0
+            seg = np.add.reduceat(
+                neq, np.minimum(offs2, max(len(neq) - 1, 0))) \
+                if len(neq) else np.zeros(len(cand), np.int32)
+            seg = np.where(nz, seg[:len(cand)], 0)
+            flags[cand[seg == 0] + 1] = FQZ_FREAD2
     return flags
 
 
@@ -223,6 +234,18 @@ def build_batch(recs: ParsedRecords):
 
     data = recs.data
     n = recs.n
+    if n and _have_native() and data.dtype == np.uint8:
+        # one C++ pass builds all three buffers + lens + flags
+        from fqzcomp5_tpu.codecs import native
+
+        nb, sb, qb, lens32, flags = native.build_soa(
+            data, recs.name_s, recs.name_e, recs.core_len,
+            recs.seq_s, recs.seq_e, recs.qual_s)
+        first = int(lens32[0])
+        fixed = first if bool((lens32 == first).all()) else 0
+        return FastqBatch(name_buf=nb, seq_buf=sb, qual_buf=qb,
+                          lens=lens32, flags=flags, fixed_len=fixed,
+                          is_fasta=False)
     name_lens = (recs.name_e - recs.name_s).astype(np.int64)
     # name buffer with NUL separators
     nb_total = int(name_lens.sum()) + n

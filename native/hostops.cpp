@@ -230,4 +230,50 @@ int64_t fqz5_join_names(const uint8_t* ids, int64_t ids_len,
     return op - out;
 }
 
+// Single-pass SoA builder: materialise the name/seq/qual buffers,
+// record lengths and FREAD2 flags from parsed record ranges in one
+// walk over the chunk (replaces four numpy gather/scatter passes in
+// fastq_fast.build_batch — the kseq-loop analog, fqzcomp5.c:423-623).
+// name_buf gets NUL separators and the kseq tab->space normalisation;
+// qual bytes are rebased to q-33.  Returns the name_buf length.
+int64_t fqz5_build_soa(const uint8_t* data, int64_t nrec,
+                       const int64_t* name_s, const int64_t* name_e,
+                       const int64_t* core_len,
+                       const int64_t* seq_s, const int64_t* seq_e,
+                       const int64_t* qual_s,
+                       uint8_t* name_buf, uint8_t* seq_buf,
+                       uint8_t* qual_buf, uint32_t* lens,
+                       uint32_t* flags) {
+    uint8_t* np_ = name_buf;
+    uint8_t* sp = seq_buf;
+    uint8_t* qp = qual_buf;
+    const uint8_t* prev_name = nullptr;
+    int64_t prev_len = 0;
+    for (int64_t i = 0; i < nrec; i++) {
+        int64_t nl = name_e[i] - name_s[i];
+        memcpy(np_, data + name_s[i], size_t(nl));
+        if (core_len[i] < nl && np_[core_len[i]] == '\t')
+            np_[core_len[i]] = ' ';
+        uint32_t flag = 0;
+        if (nl > 1 && np_[nl - 1] == '2' && np_[nl - 2] == '/')
+            flag = 128;  // FQZ_FREAD2
+        else if (i && nl == prev_len &&
+                 memcmp(np_, prev_name, size_t(nl)) == 0)
+            flag = 128;
+        prev_name = np_;
+        prev_len = nl;
+        np_ += nl;
+        *np_++ = 0;
+        int64_t L = seq_e[i] - seq_s[i];
+        memcpy(sp, data + seq_s[i], size_t(L));
+        sp += L;
+        const uint8_t* q = data + qual_s[i];
+        for (int64_t k = 0; k < L; k++) qp[k] = uint8_t(q[k] - 33);
+        qp += L;
+        lens[i] = uint32_t(L);
+        flags[i] = flag;
+    }
+    return np_ - name_buf;
+}
+
 }  // extern "C"
