@@ -450,22 +450,61 @@ def encode_o1_batch(datas: list[bytes]) -> list[bytes]:
             d = datas[i]
             arr = np.frombuffer(d, np.uint8)
             n = len(arr)
-            tt = rans_jax.build_enc_tables(preps[i][1], group_shift)
-            flat5 = _with_nop_row(tt)
             isz = n // 32
-            # host-walk lane 31's tail
+            # host-walk lane 31's tail: build encoder entries ONLY for
+            # the <=31 (ctx, sym) pairs the tail touches — the full
+            # 65536-entry table build was the dominant per-stream prep
+            # cost at large waves
             R31 = rans_jax.RANS_L
             tail_words: list[int] = []
-            lsym = int(arr[n - 1])
-            for j in range(n - 2, 32 * isz - 2, -1):
-                fl = (int(arr[j]) * 256 + lsym)
-                if R31 > int(flat5[0][fl]):
-                    tail_words.append(R31 & 0xFFFF)
-                    R31 >>= 16
-                q = (R31 * int(flat5[1][fl])) >> (32 + int(flat5[2][fl]))
-                R31 = (R31 + int(flat5[3][fl])
-                       + q * int(flat5[4][fl])) & 0xFFFFFFFF
-                lsym = int(arr[j])
+            lo = 32 * isz - 1
+            if isz == 0 and n:
+                # degenerate tiny stream: keep the original scalar
+                # walk (incl. its j=-1 wrap step) via full tables
+                flat5 = _with_nop_row(
+                    rans_jax.build_enc_tables(preps[i][1],
+                                              group_shift))
+                lsym = int(arr[n - 1])
+                for j in range(n - 2, -2, -1):
+                    fl = (int(arr[j]) * 256 + lsym)
+                    if R31 > int(flat5[0][fl]):
+                        tail_words.append(R31 & 0xFFFF)
+                        R31 >>= 16
+                    q = ((R31 * int(flat5[1][fl]))
+                         >> (32 + int(flat5[2][fl])))
+                    R31 = (R31 + int(flat5[3][fl])
+                           + q * int(flat5[4][fl])) & 0xFFFFFFFF
+                    lsym = int(arr[j])
+            elif n - 1 > lo:
+                ctxs = arr[lo:n - 1].astype(np.int64)
+                syms = arr[lo + 1:n].astype(np.int64)
+                fr = preps[i][1]
+                cs = np.cumsum(fr.astype(np.uint64), axis=-1)
+                f = fr[ctxs, syms].astype(np.uint64)
+                start = cs[ctxs, syms] - f
+                x_max = (((rans_jax.RANS_L >> group_shift) << 16) * f
+                         - 1).astype(np.int64)
+                cmpl = ((1 << group_shift) - f).astype(np.int64)
+                big = f >= 2
+                fg = np.maximum(f, 1).astype(np.float64)
+                sh = np.ceil(np.log2(fg)).astype(np.uint64)
+                sh = np.where((np.uint64(1) << sh) < f, sh + 1, sh)
+                rcp = np.where(
+                    big,
+                    ((np.uint64(1) << (sh + np.uint64(31))) + f
+                     - np.uint64(1)) // np.maximum(f, 1),
+                    np.uint64(0xFFFFFFFF)).astype(np.int64)
+                rsh = np.where(big, sh - 1, 0).astype(np.int64)
+                bias = np.where(
+                    big, start,
+                    start + (1 << group_shift) - 1).astype(np.int64)
+                for k in range(len(ctxs) - 1, -1, -1):
+                    if R31 > int(x_max[k]):
+                        tail_words.append(R31 & 0xFFFF)
+                        R31 >>= 16
+                    q = (R31 * int(rcp[k])) >> (32 + int(rsh[k]))
+                    R31 = (R31 + int(bias[k])
+                           + q * int(cmpl[k])) & 0xFFFFFFFF
             R0 = np.full(32, rans_jax.RANS_L, np.uint32)
             R0[31] = R31
             R0s.append(R0)

@@ -45,29 +45,30 @@ def build_enc_tables(freqs: np.ndarray, shift: int):
     for absent order-1 contexts).  Mirrors RansEncSymbolInit
     (rANS_word.h:195-260).
     """
-    freqs = freqs.astype(np.uint64)
-    start = np.cumsum(freqs, axis=-1) - freqs
-    x_max = (((RANS_L >> shift) << 16) * freqs - 1).astype(np.uint32)
-    cmpl = ((1 << shift) - freqs).astype(np.uint32)
-
-    rcp = np.full(freqs.shape, 0xFFFFFFFF, np.uint64)
-    rcp_shift = np.zeros(freqs.shape, np.uint32)
+    f64 = np.ascontiguousarray(freqs, np.int64)
+    start = np.cumsum(f64, axis=-1) - f64
+    x_max = (((RANS_L >> shift) << 16) * f64 - 1).astype(np.uint32)
+    cmpl = ((1 << shift) - f64).astype(np.uint32)
+    rcp = np.full(f64.shape, 0xFFFFFFFF, np.uint32)
+    rcp_shift = np.zeros(f64.shape, np.uint32)
     bias = (start + (1 << shift) - 1).astype(np.uint32)
 
-    big = freqs >= 2
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sh = np.zeros(freqs.shape, np.uint32)
-        f = freqs.copy()
-        f[f == 0] = 1
-        sh = np.ceil(np.log2(f.astype(np.float64))).astype(np.uint64)
+    # the log/divide reciprocal setup only applies to freq >= 2 —
+    # order-1 tables are ~98% zeros, so compute it sparsely (this is
+    # the dominant host prep cost at large waves otherwise)
+    flat_f = f64.reshape(-1)
+    nz = np.flatnonzero(flat_f >= 2)
+    if nz.size:
+        fv = flat_f[nz].astype(np.uint64)
+        sh = np.ceil(np.log2(fv.astype(np.float64))).astype(np.uint64)
         # exact: smallest sh with freq <= 1<<sh
-        sh = np.where((np.uint64(1) << sh) < f, sh + 1, sh)
-        r = ((np.uint64(1) << (sh + np.uint64(31))) + f - np.uint64(1)) // f
-    rcp = np.where(big, r, rcp).astype(np.uint32)
-    rcp_shift = np.where(big, (sh - 1).astype(np.uint32), rcp_shift)
-    bias = np.where(big, start.astype(np.uint32), bias)
-    return (x_max, rcp.astype(np.uint32), rcp_shift.astype(np.uint32),
-            bias, cmpl)
+        sh = np.where((np.uint64(1) << sh) < fv, sh + 1, sh)
+        r = ((np.uint64(1) << (sh + np.uint64(31))) + fv
+             - np.uint64(1)) // fv
+        rcp.reshape(-1)[nz] = r.astype(np.uint32)
+        rcp_shift.reshape(-1)[nz] = (sh - 1).astype(np.uint32)
+        bias.reshape(-1)[nz] = start.reshape(-1)[nz].astype(np.uint32)
+    return x_max, rcp, rcp_shift, bias, cmpl
 
 
 def build_s3(freqs: np.ndarray, shift: int) -> np.ndarray:
