@@ -197,13 +197,25 @@ int64_t seq_decode(const uint8_t* in, uint32_t in_size, const uint32_t* lens,
     int nseq = 0;
     int64_t seq_len = nseq < nrecords ? int64_t(lens[nseq++]) : 0;
 
+    int zero_runs = 0;  // corrupt-stream progress guard
     for (uint32_t i = 0; i < out_size;) {
         uint32_t run = 0, r2;
         do {
             r2 = run_len[state].decode(rc);
             run += r2;
+            // a valid stream's run never exceeds the remaining output
+            // (corrupt data at coder exhaustion can loop on 255s)
+            if (run > out_size) return -1;
         } while (r2 == 255);
         if (i + run > out_size) run = out_size - i;
+        // zero-length runs are legal only as the opening prelude; a
+        // corrupt stream cycling the state machine without emitting
+        // output would otherwise never terminate
+        if (run == 0) {
+            if (++zero_runs > 2) return -1;
+        } else {
+            zero_runs = 0;
+        }
 
         if (state == kUpper || state == kLower) {
             const char* bases = state == kLower ? "acgt" : "ACGT";

@@ -1,0 +1,184 @@
+"""Deterministic byte-flip fuzz sweeps over every decoder entry point.
+
+For each codec family a small corpus of VALID payloads is built with
+the encoder, then systematically corrupted (single-byte flips at a
+seeded position sample, plus truncations) and fed to the decoder.
+The contract: decoders either succeed (a flip may land in slack) or
+fail cleanly with ValueError/IndexError-class errors — never crash,
+never hang (each call runs under a SIGALRM deadline).
+
+Covers: rANS 4x16/32x16 all order-byte modes (O0/O1, PACK, RLE, CAT,
+STRIPE), arith_dynamic, tok3, name wrapper strategies, LZP, fqz-qual,
+SEQ context codec, and the container/block walk via the CLI.
+"""
+
+import signal
+
+import numpy as np
+import pytest
+
+from fqzcomp5_tpu import cli, names
+from fqzcomp5_tpu.codecs import host
+
+ACCEPT = (ValueError, IndexError, KeyError, OverflowError,
+          MemoryError, struct_error := __import__("struct").error)
+
+
+class Deadline:
+    """SIGALRM guard: a decoder that spins > seconds fails the test."""
+
+    def __init__(self, seconds=10):
+        self.seconds = seconds
+
+    def __enter__(self):
+        def _raise(sig, frm):
+            raise AssertionError("decoder hang (deadline expired)")
+
+        self._old = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(self.seconds)
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+
+
+def _flip_positions(rng, n, k=40):
+    """Deterministic sample of flip positions covering head, tail and
+    body of an n-byte payload."""
+    if n == 0:
+        return []
+    head = list(range(min(8, n)))
+    tail = list(range(max(n - 4, 0), n))
+    body = list(rng.integers(0, n, min(k, n)))
+    return sorted(set(head + tail + [int(x) for x in body]))
+
+
+def _sweep(payload: bytes, decode, rng):
+    """Run decode over single-byte corruptions + truncations."""
+    for pos in _flip_positions(rng, len(payload)):
+        bad = bytearray(payload)
+        bad[pos] ^= int(rng.integers(1, 256))
+        with Deadline():
+            try:
+                decode(bytes(bad))
+            except ACCEPT:
+                pass
+    for cut in {0, 1, len(payload) // 2, max(len(payload) - 1, 0)}:
+        with Deadline():
+            try:
+                decode(payload[:cut])
+            except ACCEPT:
+                pass
+
+
+def _qual_block(rng, nrec=60):
+    lens = rng.integers(1, 120, nrec).astype(np.uint32)
+    total = int(lens.sum())
+    q = np.clip(np.cumsum(rng.integers(-2, 3, total)) % 40 + 3,
+                0, 45).astype(np.uint8)
+    return bytes(q), lens
+
+
+@pytest.mark.parametrize("order", [0, 1, 0x40, 0x41, 0x80, 0x81,
+                                   0xC0, 0xC1, 0x04, 0x05, 0x20,
+                                   (8 << 8) | 9])
+def test_fuzz_rans_orders(order):
+    rng = np.random.default_rng(order + 1)
+    data = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), 4096))
+    payload = host.rans_compress(data, order)
+    _sweep(payload, lambda p: host.rans_uncompress(p, out_hint=4096),
+           rng)
+
+
+@pytest.mark.parametrize("order", [0, 1, 0x40, 0x41, 0x80, 0x81])
+def test_fuzz_arith_orders(order):
+    rng = np.random.default_rng(order + 31)
+    data = bytes(rng.integers(33, 74, 3000).astype(np.uint8))
+    payload = host.arith_compress(data, order)
+    _sweep(payload, host.arith_uncompress, rng)
+
+
+@pytest.mark.parametrize("strat,level", [(0, 3), (1, 5), (2, 7)])
+def test_fuzz_name_strategies(strat, level):
+    rng = np.random.default_rng(strat * 10 + level)
+    nm = b"\x00".join(
+        b"SRR%d.%d %d length=%d" % (level, i, i, int(rng.integers(99)))
+        for i in range(200)) + b"\x00"
+    framed = names.encode_names(nm, strat, level)
+    # framing: [u32 ulen][u8 strat][u32 clen][inner]
+    import struct
+
+    ulen, wstrat, clen = struct.unpack_from("<IBI", framed, 0)
+    inner = framed[9:9 + clen]
+    _sweep(inner,
+           lambda p: names.decode_names(p, len(p), ulen, wstrat),
+           rng)
+
+
+def test_fuzz_lzp():
+    rng = np.random.default_rng(77)
+    data = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 8000))
+    payload = host.lzp(data)
+    _sweep(payload, lambda p: host.unlzp(p, len(data)), rng)
+
+
+@pytest.mark.parametrize("strat", [0, 1, 3])
+def test_fuzz_fqz_strats(strat):
+    rng = np.random.default_rng(400 + strat)
+    q, lens = _qual_block(rng)
+    seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), len(q)))
+    sb = seq if strat >= 3 else None
+    payload = host.fqz_compress(q, lens, np.zeros(len(lens),
+                                                  np.uint32), sb,
+                                strat)
+    _sweep(payload,
+           lambda p: host.fqz_decompress(p, len(q), seq_buf=sb), rng)
+
+
+@pytest.mark.parametrize("slevel,both", [(10, 0), (12, 1)])
+def test_fuzz_seq_codec(slevel, both):
+    rng = np.random.default_rng(500 + slevel)
+    lens = rng.integers(20, 150, 80).astype(np.uint32)
+    total = int(lens.sum())
+    seq = bytes(rng.choice(np.frombuffer(b"ACGTNacgt\x7f", np.uint8),
+                           total))
+    payload = host.seq_encode(seq, lens, both, slevel)
+    _sweep(payload,
+           lambda p: host.seq_decode(p, lens, both, slevel, total),
+           rng)
+
+
+def test_fuzz_container_block_walk(tmp_path, capsys):
+    """Byte-flip the whole archive (post-magic) and drive the full CLI
+    decode: every outcome must be clean exit 0/1, never a traceback."""
+    rng = np.random.default_rng(900)
+    recs = []
+    for i in range(300):
+        ln = int(rng.integers(1, 120))
+        seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), ln)
+        qual = rng.integers(33, 74, ln).astype(np.uint8)
+        recs.append(b"@r%d x%d\n" % (i, i) + seq.tobytes() + b"\n+\n"
+                    + qual.tobytes() + b"\n")
+    src = tmp_path / "s.fastq"
+    src.write_bytes(b"".join(recs))
+    comp = tmp_path / "c.fqz5"
+    assert cli.main(["-3", "-V", "-b", "1M", str(src),
+                     str(comp)]) == 0
+    raw = comp.read_bytes()
+    for pos in _flip_positions(rng, len(raw), k=60):
+        if pos < 8:
+            continue  # magic: rejected upfront, separate path
+        bad = bytearray(raw)
+        bad[pos] ^= int(rng.integers(1, 256))
+        badf = tmp_path / "bad.fqz5"
+        badf.write_bytes(bytes(bad))
+        with Deadline(20):
+            rc = cli.main(["-d", "-V", str(badf),
+                           str(tmp_path / "x.out")])
+        assert rc in (0, 1)
+        capsys.readouterr()
+        # --check must also stay clean
+        with Deadline(20):
+            rc = cli.main(["--check", str(badf)])
+        assert rc in (0, 1)
+        capsys.readouterr()
