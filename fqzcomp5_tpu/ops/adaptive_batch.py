@@ -113,9 +113,7 @@ def _evolve_families(jobvec, fam, mid, sym, metas, n_total):
             def run(sp, ct, ridx, _ms=ms_rows):
                 mr = np.full(len(ct), 2, np.int32)
                 mr[:len(ridx)] = _ms[ridx]
-                return fqz_model_jax.evolve(
-                    jnp.asarray(sp), jnp.asarray(ct), jnp.asarray(mr),
-                    jnp.int32(16), lanes=128)
+                return fqz_model_jax.evolve_128(sp, ct, mr, 16)
         cs, fs, ts = fqz_model_jax.evolve_by_count(symplane, counts,
                                                    run)
         valid = posplane >= 0

@@ -217,12 +217,14 @@ def encode_payload(qual: bytes, lens, sels, P,
             continue
         sub_ms = ms[rows]
 
-        def run(sp, ct, ridx, _ms=sub_ms, _lanes=256 if wide else 128):
+        def run(sp, ct, ridx, _ms=sub_ms, _wide=wide):
             mr = np.full(len(ct), 2, np.int32)
             mr[:len(ridx)] = _ms[ridx]
+            if not _wide:
+                return fqz_model_jax.evolve_128(sp, ct, mr, 16)
             return fqz_model_jax.evolve(
                 jnp.asarray(sp), jnp.asarray(ct), jnp.asarray(mr),
-                jnp.int32(16), lanes=_lanes)
+                jnp.int32(16), lanes=256)
 
         cums, freqs, tots = fqz_model_jax.evolve_by_count(
             symplane[rows], counts[rows], run)

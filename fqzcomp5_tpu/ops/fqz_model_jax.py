@@ -146,6 +146,38 @@ def pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
 
 
+def evolve_128(symplane, counts, max_sym, step_inc: int = 16):
+    """128-lane evolve with backend dispatch: the Pallas walk on a
+    real TPU (big buckets), the lax.scan formulation elsewhere
+    (CPU tests, meshes, small buckets).  Bit-identical either way
+    (tests/test_model_pallas.py)."""
+    import jax.numpy as jnp
+
+    from fqzcomp5_tpu.ops import backend
+
+    C, T = symplane.shape
+    if (backend._use_pallas() and backend.current_mesh() is None
+            and T >= 128):
+        from fqzcomp5_tpu.ops import model_pallas
+
+        sp = np.asarray(symplane)
+        Cp = -(-C // model_pallas.C_BLK) * model_pallas.C_BLK
+        Tp = -(-T // 128) * 128
+        spp = np.zeros((Cp, Tp), np.int32)
+        spp[:C, :T] = sp
+        ctp = np.zeros((Cp, 1), np.int32)
+        ctp[:C, 0] = np.asarray(counts)[:C]
+        msp = np.full((Cp, 1), 2, np.int32)
+        msp[:C, 0] = np.broadcast_to(np.asarray(max_sym), (C,))
+        cum, freq, tot = model_pallas.evolve_walk(
+            jnp.asarray(spp), jnp.asarray(ctp), jnp.asarray(msp),
+            int(step_inc))
+        return cum[:C, :T], freq[:C, :T], tot[:C, :T]
+    return evolve(jnp.asarray(symplane), jnp.asarray(counts),
+                  jnp.asarray(max_sym), jnp.int32(step_inc),
+                  lanes=128)
+
+
 def evolve_by_count(symplane, counts, run):
     """Evolve with rows bucketed by occurrence count.
 
