@@ -19,7 +19,7 @@ import zlib
 import numpy as np
 
 from fqzcomp5_tpu import names as names_mod
-from fqzcomp5_tpu import varint
+from fqzcomp5_tpu.utils import varint
 from fqzcomp5_tpu.codecs import host
 from fqzcomp5_tpu.constants import Method, Section, VERS_V11
 from fqzcomp5_tpu.fastq import FastqBatch

@@ -132,7 +132,7 @@ def arith_compress(data: bytes, order: int) -> bytes:
 
 
 def arith_uncompress(data: bytes) -> bytes:
-    from fqzcomp5_tpu import varint
+    from fqzcomp5_tpu.utils import varint
 
     L = native.lib()
     if data[0] & 0x10:

@@ -158,7 +158,7 @@ def rans_compress(data: bytes, order: int) -> bytes:
 
 
 def rans_uncompress(data: bytes, out_hint: int | None = None) -> bytes:
-    from fqzcomp5_tpu import varint
+    from fqzcomp5_tpu.utils import varint
 
     L = lib()
     n = len(data)

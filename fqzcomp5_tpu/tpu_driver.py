@@ -23,7 +23,7 @@ import numpy as np
 
 from fqzcomp5_tpu import container, fastq
 from fqzcomp5_tpu import names as names_mod
-from fqzcomp5_tpu import varint
+from fqzcomp5_tpu.utils import varint
 from fqzcomp5_tpu.blocks import decode_block
 from fqzcomp5_tpu.codecs import host
 from fqzcomp5_tpu.constants import Method, Section, VERS_V11

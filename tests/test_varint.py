@@ -1,7 +1,7 @@
 import numpy as np
 import pytest
 
-from fqzcomp5_tpu import varint
+from fqzcomp5_tpu.utils import varint
 
 
 @pytest.mark.parametrize("v,enc", [
