@@ -182,7 +182,8 @@ def bench_decode_walk(on_tpu):
             flat = np.zeros(Wmax128 * 128, np.int32)
             flat[:len(wb)] = wb
             wordsA[b] = flat.reshape(Wmax128, 128)
-        tab = rpd.build_dec_tables(freqs, shift, S)
+        tab = (rpd.build_dec_tables_p(freqs, shift, S) if S <= 64
+           else rpd.build_dec_tables(freqs, shift, S))
         cexp = np.ascontiguousarray(rpd.expand4(tab).transpose(1, 0, 2))
         f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
         treal = np.full(B, T, np.int32)

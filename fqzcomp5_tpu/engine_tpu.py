@@ -406,7 +406,10 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
     # for the smallest bucket covering the max symbol value
     max_sym = int(np.max(np.nonzero(freqs[:B].any(0))[0], initial=0))
     S = 16 if max_sym < 16 else 64 if max_sym < 64 else 256
-    tab = rpd.build_dec_tables(freqs, rans_jax.TF_SHIFT, S)
+    if S <= 64:
+        tab = rpd.build_dec_tables_p(freqs, rans_jax.TF_SHIFT, S)
+    else:
+        tab = rpd.build_dec_tables(freqs, rans_jax.TF_SHIFT, S)
     cexp = np.ascontiguousarray(rpd.expand4(tab).transpose(1, 0, 2))
     f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
     texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)

@@ -55,6 +55,28 @@ def build_dec_tables(freqs: np.ndarray, shift: int, S: int) -> np.ndarray:
     return out
 
 
+def build_dec_tables_p(freqs: np.ndarray, shift: int,
+                       S: int) -> np.ndarray:
+    """Packed v3 tables: entry j = ((j+1) << 26) | (freq[j+1] << 13) |
+    C[j+1], so the compare loop needs only 3 ops per boundary (the
+    decoded symbol rides the entry instead of a separate counter).
+    Valid for S <= 64 and shift <= 12 (13-bit fields).  The selected
+    entry (last j with C[j+1] <= m) decodes symbol s* = j+1 <= S-1, so
+    6 bits suffice; entries whose boundary equals 1<<shift can never
+    be selected (m < 1<<shift), so j = S-1's wrapped tag is harmless."""
+    assert S <= 64 and shift <= 12
+    freqs = np.atleast_2d(freqs).astype(np.int64)
+    B = freqs.shape[0]
+    C = np.zeros((B, 257), np.int64)
+    C[:, 1:] = np.cumsum(freqs, axis=1)
+    f_next = np.zeros((B, 256), np.int64)
+    f_next[:, :255] = freqs[:, 1:]
+    j = np.arange(S, dtype=np.int64)
+    out = ((((j[None, :] + 1) & 63) << 26) | (f_next[:, :S] << 13)
+           | C[:, 1:S + 1]).astype(np.int64)
+    return (out & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+
 def _lane_iota():
     return jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
@@ -480,15 +502,28 @@ def _decode_kernel4v3(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
         R = R_st[:]
         m = R & mask
 
-        sym = jnp.zeros((rows, LANES), jnp.int32)
-        P = (f0_ref[:] << 14)
-        for j in range(S):
-            e = cexp_ref[j]
-            ge = m >= (e & 0x3FFF)
-            sym = sym + ge.astype(jnp.int32)
-            P = jnp.where(ge, e, P)
-        F = P >> 14
-        C = jnp.where(sym > 0, P & 0x3FFF, 0)
+        if S <= 64:
+            # packed entries (build_dec_tables_p): the decoded symbol
+            # rides the selected entry — 3 ops per boundary
+            P = (f0_ref[:] << 13)
+            for j in range(S):
+                e = cexp_ref[j]
+                ge = m >= (e & 0x1FFF)
+                P = jnp.where(ge, e, P)
+            sym = jax.lax.shift_right_logical(P, 26)
+            F = (P >> 13) & 0x1FFF
+            C = P & 0x1FFF
+        else:
+            # 256-symbol bucket: (f<<14|c) tables + explicit counter
+            sym = jnp.zeros((rows, LANES), jnp.int32)
+            P = (f0_ref[:] << 14)
+            for j in range(S):
+                e = cexp_ref[j]
+                ge = m >= (e & 0x3FFF)
+                sym = sym + ge.astype(jnp.int32)
+                P = jnp.where(ge, e, P)
+            F = P >> 14
+            C = jnp.where(sym > 0, P & 0x3FFF, 0)
 
         Rn = F * jax.lax.shift_right_logical(R, shift) + (m - C)
 

@@ -3,7 +3,8 @@ sharded multi-chip pipeline on the virtual CPU mesh."""
 import numpy as np
 import pytest
 
-from fqzcomp5_tpu import engine_tpu, varint
+from fqzcomp5_tpu import engine_tpu
+from fqzcomp5_tpu.utils import varint
 from fqzcomp5_tpu.codecs import host
 
 RNG = np.random.default_rng(11)
