@@ -726,21 +726,37 @@ def _decode_kernel4v3_o1(shift: int, Tc: int, A: int, A1: int, last0: int,
         last = last_st[:]
         m = R & mask
 
-        sym = jnp.zeros((rows, LANES), jnp.int32)
-        P = jnp.zeros((rows, LANES), jnp.int32)
-        for c in range(A1):
-            onc = last == c
-            Pc = cexp_ref[c * stride]
-            symc = jnp.zeros((rows, LANES), jnp.int32)
-            for j in range(A):
-                e = cexp_ref[c * stride + 1 + j]
-                ge = m >= (e & 0x3FFF)
-                symc = symc + ge.astype(jnp.int32)
-                Pc = jnp.where(ge, e, Pc)
-            sym = jnp.where(onc, symc, sym)
-            P = jnp.where(onc, Pc, P)
-        F = P >> 14
-        C = jnp.where(sym > 0, P & 0x3FFF, 0)
+        if A <= 64:
+            # packed entries (build_o1_dense_tables): 3 ops/boundary,
+            # the decoded symbol rides the selected entry
+            P = jnp.zeros((rows, LANES), jnp.int32)
+            for c in range(A1):
+                onc = last == c
+                Pc = cexp_ref[c * stride]
+                for j in range(A):
+                    e = cexp_ref[c * stride + 1 + j]
+                    ge = m >= (e & 0x1FFF)
+                    Pc = jnp.where(ge, e, Pc)
+                P = jnp.where(onc, Pc, P)
+            sym = jax.lax.shift_right_logical(P, 26)
+            F = (P >> 13) & 0x1FFF
+            C = P & 0x1FFF
+        else:
+            sym = jnp.zeros((rows, LANES), jnp.int32)
+            P = jnp.zeros((rows, LANES), jnp.int32)
+            for c in range(A1):
+                onc = last == c
+                Pc = cexp_ref[c * stride]
+                symc = jnp.zeros((rows, LANES), jnp.int32)
+                for j in range(A):
+                    e = cexp_ref[c * stride + 1 + j]
+                    ge = m >= (e & 0x3FFF)
+                    symc = symc + ge.astype(jnp.int32)
+                    Pc = jnp.where(ge, e, Pc)
+                sym = jnp.where(onc, symc, sym)
+                P = jnp.where(onc, Pc, P)
+            F = P >> 14
+            C = jnp.where(sym > 0, P & 0x3FFF, 0)
 
         Rn = F * jax.lax.shift_right_logical(R, shift) + (m - C)
 
@@ -908,14 +924,24 @@ def build_o1_dense_tables(freqs: np.ndarray, shift: int):
         ctx_bytes = np.concatenate([alphabet, [0]])
     stride = A + 1
     out = np.zeros((B, A1 * stride), np.int32)
+    packed = A <= 64  # 3-op compare loop (same scheme as
+    # build_dec_tables_p); wider alphabets keep the counter form
     for b in range(B):
         sub = freqs[b][np.ix_(ctx_bytes, alphabet)].astype(np.int64)
         Csub = np.cumsum(sub, axis=1)
         f0 = sub[:, 0]
         for ci in range(A1):
             base = ci * stride
-            out[b, base] = f0[ci] << 14
             fn = np.zeros(A, np.int64)
             fn[:A - 1] = sub[ci, 1:]
-            out[b, base + 1:base + 1 + A] = (fn << 14) | Csub[ci]
+            if packed:
+                out[b, base] = f0[ci] << 13
+                j = np.arange(A, dtype=np.int64)
+                ent = ((((j + 1) & 63) << 26) | (fn << 13)
+                       | Csub[ci]) & 0xFFFFFFFF
+                out[b, base + 1:base + 1 + A] = \
+                    ent.astype(np.uint32).view(np.int32)
+            else:
+                out[b, base] = f0[ci] << 14
+                out[b, base + 1:base + 1 + A] = (fn << 14) | Csub[ci]
     return out, alphabet, A, A1, last0
