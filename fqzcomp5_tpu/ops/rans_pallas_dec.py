@@ -945,3 +945,184 @@ def build_o1_dense_tables(freqs: np.ndarray, shift: int):
                 out[b, base] = f0[ci] << 14
                 out[b, base + 1:base + 1 + A] = (fn << 14) | Csub[ci]
     return out, alphabet, A, A1, last0
+
+
+# ---------------------------------------------------------------------
+# v4 experiment: rows=1 cells with DYNAMIC-roll window alignment.
+#
+# With one stream-row per grid cell, every per-slot cursor is a true
+# scalar, so the whole css/align/compact machinery (a ~200-op chain of
+# log-step masked rolls in v3) collapses to two dynamic rotates per
+# slot (tpu.DynamicRotate takes traced shift amounts).  The hypothesis
+# under test (VERDICT round-2 item 3): the v3 walk is bound by its
+# sequential roll chain, not raw op count — v4 cuts the chain from
+# ~29 roll latencies to ~12.  Bytes/step drop 8x (128 vs 1024) but so
+# does the per-op VREG cost, so throughput-bound performance should
+# hold while latency-bound performance improves.
+
+def _decode_kernel4v4(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
+                      r0_ref, w_hbm, texp_ref, sym_ref, rf_ref,
+                      R_st, W0a, W0b, W0c, W0d, W1a, W1b, W1c, W1d,
+                      W2a, W2b, W2c, W2d, incl_sc, cons_sm, jhbm_st,
+                      sem):
+    t_idx = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    lane = _lane_iota()
+    lane_mod = lane & (N - 1)
+    seg = lane >> 5
+    mask = (1 << shift) - 1
+    W0s = (W0a, W0b, W0c, W0d)
+    W1s = (W1a, W1b, W1c, W1d)
+    W2s = (W2a, W2b, W2c, W2d)
+
+    @pl.when(t_idx == 0)
+    def _():
+        R_st[:] = r0_ref[:]
+        for s in range(S_SLOTS):
+            cons_sm[s] = 0
+            jhbm_st[s] = 3
+            g = b_idx * S_SLOTS + s
+            for slot, Wd in ((0, W0s[s]), (1, W1s[s])):
+                dma = pltpu.make_async_copy(
+                    w_hbm.at[g, slot], Wd.at[0], sem.at[s])
+                dma.start()
+                dma.wait()
+            pltpu.make_async_copy(
+                w_hbm.at[g, 2], W2s[s].at[0], sem.at[s]).start()
+
+    def step(st, _):
+        t_global = t_idx * Tc + st
+        R = R_st[:]
+        m = R & mask
+
+        # packed compare loop (see build_dec_tables_p)
+        P = (f0_ref[:] << 13)
+        for j in range(S):
+            e = cexp_ref[j]
+            ge = m >= (e & 0x1FFF)
+            P = jnp.where(ge, e, P)
+        sym = jax.lax.shift_right_logical(P, 26)
+        F = (P >> 13) & 0x1FFF
+        C = P & 0x1FFF
+
+        Rn = F * jax.lax.shift_right_logical(R, shift) + (m - C)
+
+        active = (t_global < texp_ref[:]).astype(jnp.int32)
+        need = (Rn < RANS_L).astype(jnp.int32) * active
+        incl = need
+        for d in (1, 2, 4, 8, 16):
+            sh = pltpu.roll(incl, d, axis=1)
+            incl = incl + jnp.where(lane_mod >= d, sh, 0)
+        rank = incl - need
+        incl_sc[0, :] = incl[0]  # scalar-readable per-slot totals
+
+        # per-slot aligned next-32 window via DYNAMIC rolls
+        Vc = jnp.zeros((1, LANES), jnp.int32)
+        for s in range(S_SLOTS):
+            cs = cons_sm[s]
+            amt = (LANES - cs) & (LANES - 1)  # left-rotate by cs
+            a0 = pltpu.roll(W0s[s][:], amt, axis=1)
+            a1 = pltpu.roll(W1s[s][:], amt, axis=1)
+            # lane l holds window[cs + l] for l < 128-cs from a0,
+            # else from a1 (cs < 128 always: rotation handled below)
+            al = jnp.where(lane < LANES - cs, a0, a1)
+            # place the first 32 lanes into segment s
+            pl32 = pltpu.roll(al, s * N, axis=1)
+            Vc = jnp.where(seg == s, pl32, Vc)
+
+        delta = lane_mod - rank
+        w = Vc
+        for d in (16, 8, 4, 2, 1):
+            sh = pltpu.roll(w, d, axis=1)
+            wrap = pltpu.roll(w, 96 + d, axis=1)
+            shifted = jnp.where(lane_mod >= d, sh, wrap)
+            w = jnp.where((delta & d) > 0, shifted, w)
+
+        Rn = jnp.where(need > 0, (Rn << 16) | (w & 0xFFFF), Rn)
+        R_st[:] = jnp.where(active > 0, Rn, R)
+        sym_ref[st, 0] = jnp.where(active > 0, sym, 0)[0]
+
+        for s in range(S_SLOTS):
+            ks = incl_sc[0, (s + 1) * N - 1]
+            ncons = cons_sm[s] + ks
+
+            @pl.when(ncons >= WIN)
+            def _(s=s, ncons=ncons):
+                g = b_idx * S_SLOTS + s
+                pltpu.make_async_copy(
+                    w_hbm.at[g, jhbm_st[s] - 1], W2s[s].at[0],
+                    sem.at[s]).wait()
+                W0s[s][0, :] = W1s[s][0, :]
+                W1s[s][0, :] = W2s[s][0, :]
+                pltpu.make_async_copy(
+                    w_hbm.at[g, jhbm_st[s]], W2s[s].at[0],
+                    sem.at[s]).start()
+                jhbm_st[s] = jhbm_st[s] + 1
+                cons_sm[s] = ncons - WIN
+
+            @pl.when(ncons < WIN)
+            def _(s=s, ncons=ncons):
+                cons_sm[s] = ncons
+
+        return 0
+
+    jax.lax.fori_loop(0, Tc, step, 0)
+
+    n_t = pl.num_programs(1)
+
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        rf_ref[:] = R_st[:]
+        for s in range(S_SLOTS):
+            g = b_idx * S_SLOTS + s
+            pltpu.make_async_copy(
+                w_hbm.at[g, jhbm_st[s] - 1], W2s[s].at[0],
+                sem.at[s]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "S", "T",
+                                             "interpret"))
+def decode_walk4v4(words128, cexp, f0exp, R0p, texp, T: int,
+                   shift: int = 12, S: int = 64,
+                   interpret: bool = False):
+    """v4 experiment (same signature/results as decode_walk4v3; S<=64
+    packed tables only)."""
+    B, W128, L = words128.shape
+    B4 = B // S_SLOTS
+    assert B4 * S_SLOTS == B and L == LANES and S <= 64
+    Tc = max(1, min(T, 128))
+    while T % Tc:
+        Tc -= 1
+    grid = (B4, T // Tc)
+
+    state_spec = pl.BlockSpec((1, LANES), lambda b, t: (b, 0),
+                              memory_space=pltpu.VMEM)
+    syms, Rf = pl.pallas_call(
+        functools.partial(_decode_kernel4v4, shift, Tc, S),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((S, 1, LANES), lambda b, t: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            state_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((Tc, 1, LANES), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B4, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B4, LANES), jnp.int32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((1, LANES), jnp.int32) for _ in range(13)]
+            + [pltpu.VMEM((1, LANES), jnp.int32),   # incl scalars
+               pltpu.SMEM((S_SLOTS,), jnp.int32),
+               pltpu.SMEM((S_SLOTS,), jnp.int32),
+               pltpu.SemaphoreType.DMA((S_SLOTS,))]),
+        interpret=interpret,
+    )(cexp, f0exp, R0p, words128, texp)
+    return syms, Rf

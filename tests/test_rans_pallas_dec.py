@@ -133,3 +133,35 @@ def test_decode_o1_batch_pallas_path(monkeypatch):
     monkeypatch.setenv("FQZ5_PALLAS", "1")
     got = engine_tpu.decode_o1_batch(payloads, szs)
     assert got == datas
+
+
+def test_decode_walk4v4_parity():
+    """The v4 experiment kernel (rows=1, dynamic-roll alignment) must
+    reproduce the same symbols as the scan decode / original data."""
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    rng = np.random.default_rng(11)
+    B, S = 8, 64
+    alpha = np.arange(46, dtype=np.uint8) + 2
+    datas = []
+    for b in range(B):
+        n = int(rng.integers(1000, 6000)) // 32 * 32
+        datas.append(rng.choice(alpha, n).tobytes())
+    words, freqs, R0 = _prep(datas)
+    treal = np.array([len(d) // 32 for d in datas], np.int32)
+    T = int(treal.max())
+    tab = rpd.build_dec_tables_p(freqs, 12, S)
+    cexp = np.ascontiguousarray(rpd.expand4(tab).transpose(1, 0, 2))
+    f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
+    texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
+    R0p = R0[:, :32].reshape(B // 4, 128).astype(np.int32)
+    syms, Rf = rpd.decode_walk4v4(
+        words, cexp, f0exp, R0p, texp, T=T, shift=12, S=S,
+        interpret=True)
+    syms = np.asarray(syms)
+    for b, d in enumerate(datas):
+        t = len(d) // 32
+        sl = slice((b % 4) * 32, (b % 4) * 32 + 32)
+        got = syms[:t, b // 4, sl].reshape(-1).astype(np.uint8)
+        assert np.array_equal(got,
+                              np.frombuffer(d, np.uint8)[:t * 32]), b
