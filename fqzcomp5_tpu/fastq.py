@@ -106,7 +106,7 @@ class Parser:
     record-at-a-time tokenizer.
     """
 
-    _CHUNK = 8 << 20
+    _CHUNK = 16 << 20
 
     def __init__(self, fp):
         self._fp = fp
