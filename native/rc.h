@@ -124,20 +124,20 @@ class AdaptiveModel {
     void init(int max_sym) {
         tot_ = max_sym;
         for (int i = 0; i < max_sym; i++) {
-            sym_[i] = uint16_t(i);
-            freq_[i] = 1;
+            f_[i].sym = uint16_t(i);
+            f_[i].freq = 1;
         }
-        for (int i = max_sym; i < NSYM; i++) {
-            sym_[i] = uint16_t(i);
-            freq_[i] = 0;
+        for (int i = max_sym; i <= NSYM; i++) {
+            f_[i].sym = uint16_t(i);
+            f_[i].freq = 0;
         }
     }
 
     void encode(RangeCoder& rc, uint16_t s) {
         int i = 0;
         uint32_t acc = 0;
-        while (sym_[i] != s) acc += freq_[i++];
-        rc.encode(acc, freq_[i], tot_);
+        while (f_[i].sym != s) acc += f_[i++].freq;
+        rc.encode(acc, f_[i].freq, tot_);
         bump(i);
     }
 
@@ -147,9 +147,9 @@ class AdaptiveModel {
                      uint32_t* tot) {
         int i = 0;
         uint32_t acc = 0;
-        while (sym_[i] != s) acc += freq_[i++];
+        while (f_[i].sym != s) acc += f_[i++].freq;
         *cum = acc;
-        *freq = freq_[i];
+        *freq = f_[i].freq;
         *tot = tot_;
         bump(i);
     }
@@ -159,12 +159,12 @@ class AdaptiveModel {
         if (f > kMaxFreq) return 0;
         int i = 0;
         uint32_t acc = 0;
-        while ((acc += freq_[i]) <= f) {
+        while ((acc += f_[i].freq) <= f) {
             i++;
             if (i > NSYM) return 0;
         }
-        acc -= freq_[i];
-        rc.decode(acc, freq_[i], tot_);
+        acc -= f_[i].freq;
+        rc.decode(acc, f_[i].freq, tot_);
         return bump(i);
     }
 
@@ -172,31 +172,32 @@ class AdaptiveModel {
     // Adapt and keep the array approximately frequency-sorted by one
     // bubble step; the reordering is observable coded state.
     uint16_t bump(int i) {
-        freq_[i] += STEP;
+        f_[i].freq += STEP;
         tot_ += STEP;
         if (tot_ > kMaxFreq) normalize();
-        if (i > 0 && freq_[i] > freq_[i - 1]) {
-            uint16_t tf = freq_[i], ts = sym_[i];
-            freq_[i] = freq_[i - 1];
-            sym_[i] = sym_[i - 1];
-            freq_[i - 1] = tf;
-            sym_[i - 1] = ts;
-            return ts;
+        if (i > 0 && f_[i].freq > f_[i - 1].freq) {
+            SymFreq t = f_[i];
+            f_[i] = f_[i - 1];
+            f_[i - 1] = t;
+            return t.sym;
         }
-        return sym_[i];
+        return f_[i].sym;
     }
 
     void normalize() {
         tot_ = 0;
-        for (int i = 0; i < NSYM && freq_[i]; i++) {
-            freq_[i] -= freq_[i] >> 1;
-            tot_ += freq_[i];
+        for (int i = 0; i < NSYM && f_[i].freq; i++) {
+            f_[i].freq -= f_[i].freq >> 1;
+            tot_ += f_[i].freq;
         }
     }
 
+    // interleaved (sym, freq) pairs: the find scan touches ONE cache
+    // stream per model — with 65536 x ~400B fqz models the lookup is
+    // cache-miss bound, and the split-array layout paid two
     uint32_t tot_ = 0;
-    uint16_t freq_[NSYM + 1] = {0};  // +1: zero terminator for normalize
-    uint16_t sym_[NSYM + 1] = {0};
+    struct SymFreq { uint16_t sym, freq; };
+    SymFreq f_[NSYM + 1] = {};  // +1: zero terminator for normalize
 };
 
 // Tiny direct-indexed model with u8 frequencies (reference
