@@ -84,7 +84,7 @@ def ensure_compile_cache() -> None:
         d = pathlib.Path.home() / ".cache" / "fqz5_jax"
         d.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(d))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         pass
 
