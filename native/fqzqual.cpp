@@ -753,6 +753,7 @@ int64_t fqz_compress_impl(const uint8_t* in, size_t in_size, Slice* s,
         int base = (seqp && seqp < seq_end) ? kBaseLut[*seqp++] : 0;
         model.qual[last].encode(rc, qm);
         last = update_ctx(*pm, st, qm, base);
+        __builtin_prefetch(&model.qual[last]);
     }
 
     rc.finish_encode();
@@ -1179,6 +1180,7 @@ int64_t fqz_decompress_impl(const uint8_t* in, size_t in_size, uint8_t* out,
         out[i] = q;
         int base = (seqp && seqp < seq_end) ? kBaseLut[*seqp++] : 0;
         last = update_ctx(*pm, st, Q, base);
+        __builtin_prefetch(&model.qual[last]);
     }
 
     if (gp.gflags & kGDoRev) {
