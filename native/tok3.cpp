@@ -77,22 +77,42 @@ struct LastCtx {
 // Trie keyed on (node, char).  Node payload is the last line number to
 // visit it (updated during the search pass, per reference semantics:
 // creation sets it, searches update it).
+//
+// Nodes live in one contiguous pool with first-child/next-sibling
+// links (the reference's pooled trie shape, tokenise_name3.c:477-523,
+// minus its 1KB nodes): per-char walks scan a short sibling list of
+// nodes allocated in prefix-creation order, which keeps the hot path
+// inside a few cache lines.  (A flat hash map and unordered_map both
+// lose here — every probe is a random miss across a table that grows
+// with the block.)
 struct Trie {
-    std::unordered_map<uint64_t, int32_t> edges;
-    std::vector<int32_t> node_n;
+    struct Node {
+        int32_t first = -1;   // first child
+        int32_t sib = -1;     // next sibling
+        int32_t n = 0;        // last line number to visit (payload)
+        uint8_t c = 0;
+    };
+    std::vector<Node> pool;
 
-    Trie() { node_n.push_back(0); }
+    Trie() { pool.push_back(Node()); }
 
     int child(int node, uint8_t c) const {
-        auto it = edges.find((uint64_t(node) << 7) | c);
-        return it == edges.end() ? -1 : it->second;
+        for (int x = pool[node].first; x >= 0; x = pool[x].sib)
+            if (pool[x].c == c) return x;
+        return -1;
     }
     int add_child(int node, uint8_t c, int n) {
-        int idx = int(node_n.size());
-        node_n.push_back(n);
-        edges.emplace((uint64_t(node) << 7) | c, idx);
+        int idx = int(pool.size());
+        Node nd;
+        nd.c = c;
+        nd.n = n;
+        nd.sib = pool[node].first;
+        pool.push_back(nd);
+        pool[node].first = idx;
         return idx;
     }
+    int32_t& node_n(int idx) { return pool[idx].n; }
+    int32_t node_n(int idx) const { return pool[idx].n; }
 };
 
 struct Ctx {
@@ -183,11 +203,11 @@ int search_trie(Ctx& ctx, const uint8_t* data, size_t len, int n, int* exact,
         int x = ctx.trie.child(t, c);
         if (x < 0) return -1;  // cannot happen post build
         t = x;
-        from = ctx.trie.node_n[t];
-        if ((ispunct(c) || isspace(c)) && ctx.trie.node_n[t] != n)
-            from_punct = ctx.trie.node_n[t];
-        if (i == prefix_len) p3 = ctx.trie.node_n[t];
-        ctx.trie.node_n[t] = n;
+        from = ctx.trie.node_n(t);
+        if ((ispunct(c) || isspace(c)) && ctx.trie.node_n(t) != n)
+            from_punct = ctx.trie.node_n(t);
+        if (i == prefix_len) p3 = ctx.trie.node_n(t);
+        ctx.trie.node_n(t) = n;
     }
 
     *exact = (n != from) && len;
