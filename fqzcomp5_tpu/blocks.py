@@ -145,8 +145,14 @@ def _compress_one(m: int, arg: Options, fq: FastqBatch, sec: int,
     if m in (Method.FQZ0, Method.FQZ1, Method.FQZ2, Method.FQZ3,
              Method.FQZ4):
         strat_n = int(m) - int(Method.FQZ0)
-        return _fqz_compress(data, fq.lens, fq.flags, fq.seq_buf,
-                             strat_n), 1
+        try:
+            return _fqz_compress(data, fq.lens, fq.flags, fq.seq_buf,
+                                 strat_n), 1
+        except ValueError:
+            # codec declined (e.g. >96-symbol quality alphabet, where
+            # the reference corrupts its heap); the reference treats a
+            # NULL codec return as out_len=UINT_MAX — method skipped
+            return None
     raise ValueError(f"unsupported method {m}")
 
 

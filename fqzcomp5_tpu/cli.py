@@ -182,13 +182,24 @@ def parse_args(argv: list[str]) -> tuple[Options, bool, list[str]]:
 def main(argv=None) -> int:
     """CLI entry; decode/encode failures print ERROR: and exit 1
     (reference behavior, fqzcomp5.c decode drivers + test_error_handling.sh)."""
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        probe, decomp, _ = parse_args(argv)
+        reading_archive = bool(decomp or probe.check_only
+                               or probe.inspect_only)
+    except SystemExit:
+        raise
+    except Exception:
+        reading_archive = False
+    # corrupt/truncated archives surface as struct.error or
+    # Index/Key/MemoryError from bad offsets and sizes; the reference
+    # prints ERROR: and exits 1, never a traceback.  Encode-side runs
+    # keep the narrow catch so real bugs still show a traceback.
+    extra = ((struct.error, IndexError, KeyError, MemoryError)
+             if reading_archive else ())
     try:
         return _main(argv)
-    except (ValueError, OSError, struct.error, IndexError, KeyError,
-            MemoryError) as e:
-        # corrupt/truncated archives surface as struct.error or
-        # Index/Key/MemoryError from bad offsets and sizes; the
-        # reference prints ERROR: and exits 1, never a traceback
+    except (ValueError, OSError, *extra) as e:
         print(f"ERROR: {e}", file=sys.stderr)
         return 1
 

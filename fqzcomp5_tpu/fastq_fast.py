@@ -201,12 +201,22 @@ def compute_flags(data: np.ndarray, recs: ParsedRecords) -> np.ndarray:
     # duplicate-name check: filter candidates by (length, byte-sum)
     # before exact verification — exact dups are rare outside
     # interleaved no-suffix data
+    if n > 1 and bool((lens == 0).any()):
+        # zero-length names break the reduceat segmentation (clamped
+        # offsets merge neighbouring segments); rare enough to take
+        # the per-record path
+        prev = None
+        for i in range(n):
+            nm = bytes(data[recs.name_s[i]:recs.name_e[i]])
+            if not flags[i] and prev is not None and nm == prev:
+                flags[i] = FQZ_FREAD2
+            prev = nm
+        return flags
     if n > 1:
         ncat = concat_ranges(data, recs.name_s, recs.name_e)
         offs = (np.cumsum(lens) - lens)
-        sums = np.add.reduceat(ncat.astype(np.int32),
-                               np.minimum(offs, max(len(ncat) - 1, 0)))
-        sums = np.where(lens > 0, sums[:n], 0)
+        sums = np.add.reduceat(ncat.astype(np.int32), offs)
+        sums = sums[:n]
         cand = np.flatnonzero((lens[1:] == lens[:-1])
                               & (sums[1:] == sums[:-1]))
         if cand.size:
@@ -217,13 +227,11 @@ def compute_flags(data: np.ndarray, recs: ParsedRecords) -> np.ndarray:
                                   recs.name_e[cand])
             b_cat = concat_ranges(data, recs.name_s[cand + 1],
                                   recs.name_e[cand + 1])
+            # all lens > 0 on this branch, so the segmentation offsets
+            # are strictly increasing and in range
             neq = (a_cat != b_cat).astype(np.int32)
             offs2 = np.cumsum(L) - L
-            nz = L > 0
-            seg = np.add.reduceat(
-                neq, np.minimum(offs2, max(len(neq) - 1, 0))) \
-                if len(neq) else np.zeros(len(cand), np.int32)
-            seg = np.where(nz, seg[:len(cand)], 0)
+            seg = np.add.reduceat(neq, offs2)[:len(cand)]
             flags[cand[seg == 0] + 1] = FQZ_FREAD2
     return flags
 

@@ -55,6 +55,11 @@ def _prep_job(job):
     if job[0] == "fqz":
         _, qual, lens, flags, seq_buf, strat = job
         hdr, P, sels = prepare_fqz(qual, lens, flags, seq_buf, strat)
+        if int(P.max_sym) >= 96:
+            # mirror the native codec's decline (Models::init,
+            # native/fqzqual.cpp): >96-symbol alphabets are outside
+            # the wire format's safe envelope
+            raise ValueError("fqz alphabet exceeds 96 symbols")
         la = np.ascontiguousarray(lens, np.uint32)
         mids, syms, _ = build_stream(qual, la, sels, P, seq=seq_buf)
         is_w256 = (mids >= MID_LEN0) & (mids < MID_SEL)
@@ -99,7 +104,9 @@ def _evolve_families(jobvec, fam, mid, sym, metas, n_total):
                     jnp.int32(16), lanes=256)
         else:
             # per-row alphabet: qual models use the job's max_sym+1,
-            # the sel model max_sel+1, the dup model 2
+            # the sel model max_sel+1, the dup model 2.  Rows whose
+            # alphabet exceeds 128 lanes (a wide sel model) take the
+            # 256-lane evolve in a second pass.
             ujob = (uniq // JOB_OFF).astype(np.int64)
             ulm = uniq % JOB_OFF
             msym = np.array([metas[j][0] if metas[j] else 2
@@ -109,6 +116,30 @@ def _evolve_families(jobvec, fam, mid, sym, metas, n_total):
             ms_rows = np.where(ulm < MID_LEN0, msym[ujob],
                                np.where(ulm == MID_SEL, msel[ujob],
                                         2)).astype(np.int32)
+            wide_rows = np.flatnonzero(ms_rows > 128)
+            if len(wide_rows):
+                def run_w(sp, ct, ridx, _ms=ms_rows,
+                          _wr=wide_rows):
+                    mr = np.full(len(ct), 2, np.int32)
+                    mr[:len(ridx)] = _ms[_wr[ridx]]
+                    return fqz_model_jax.evolve(
+                        jnp.asarray(sp), jnp.asarray(ct),
+                        jnp.asarray(mr), jnp.int32(16), lanes=256)
+                cs, fs, ts = fqz_model_jax.evolve_by_count(
+                    symplane[wide_rows], counts[wide_rows], run_w)
+                valid = posplane[wide_rows] >= 0
+                gpos = sel[posplane[wide_rows][valid]]
+                cum[gpos] = cs[valid]
+                freq[gpos] = fs[valid]
+                tot[gpos] = ts[valid]
+                keep = np.flatnonzero(ms_rows <= 128)
+                if not len(keep):
+                    continue
+                uniq = uniq[keep]
+                symplane = symplane[keep]
+                counts = counts[keep]
+                posplane = posplane[keep]
+                ms_rows = ms_rows[keep]
 
             def run(sp, ct, ridx, _ms=ms_rows):
                 mr = np.full(len(ct), 2, np.int32)

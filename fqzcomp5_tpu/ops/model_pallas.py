@@ -2,29 +2,26 @@
 
 The lax.scan formulation (fqz_model_jax.evolve) pays XLA per-step
 overheads and materialises full intermediate tiles each step; this
-kernel keeps the model state — (C_BLK, LANES) symbol and frequency
-tiles plus replicated totals — resident in VMEM across the whole
-occurrence walk and writes two packed output planes per step:
+kernel keeps the model state resident in VMEM across the whole
+occurrence walk.
 
-  out1[c, t] = cum << 16 | freq       (both < 2^16 by construction)
-  out2[c, t] = tot
+Orientation: CONTEXTS ride the 128 lanes, the model's symbol array
+rides the sublane dim (ARR=128 rows).  That puts every per-step
+dynamic index on a tile-friendly dim: the occurrence column reads as
+`sym_ref[t]` from a (Tc, C_BLK) input block, and the per-step outputs
+write as `out_ref[t]` rows — no dynamic lane indexing anywhere
+(Mosaic cannot prove lane-dim slices aligned; the first version of
+this kernel failed remote compile exactly there).
+
+Outputs are two packed planes:
+
+  out1[t, c] = cum << 16 | freq       (both < 2^16 by construction)
+  out2[t, c] = tot
 
 Step math mirrors c_simple_model.h:63-171 exactly (STEP bump,
 normalise at MAX_FREQ = (1<<16)-17 with zero-preserving halving, and
 the adjacent bubble swap — symbol order is coded state), so the
 triples are bit-identical to the scan path; tests compare both.
-
-Layout choices:
-- contexts ride the SUBLANE dim (C_BLK rows per grid cell), the
-  model's symbol array rides the 128 lanes (256-symbol models use two
-  logical lanes per slot via a second kernel instantiation with
-  LANES=256 folded into two 128-lane registers — not yet needed: the
-  wave batches route 256-symbol rows through the scan path).
-- the per-step column sym[:, t] reads via a dynamic lane slice; the
-  lane>=pos mask comes from a log-step inclusive OR scan of the
-  one-hot, so no per-symbol loop exists anywhere.
-- grid = (C blocks, T chunks); T chunks run sequentially with state
-  carried in scratch, C blocks are independent.
 """
 
 from __future__ import annotations
@@ -37,46 +34,46 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
+ARR = 128            # model array capacity (sublane dim)
 K_MAX_FREQ = (1 << 16) - 17
-C_BLK = 128          # contexts per grid cell
+C_BLK = 128          # contexts per grid cell (lane dim)
 
 
-def _lane_iota():
-    return jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+def _slot_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (ARR, 1), 0)
 
 
 def _evolve_kernel(step_inc: int, Tc: int, sym_ref, counts_ref, ms_ref,
                    out1_ref, out2_ref, symv_st, freqv_st, tot_st):
     t_idx = pl.program_id(1)
-    lane = _lane_iota()
+    slot = _slot_iota()
 
     @pl.when(t_idx == 0)
     def _():
-        ms = ms_ref[:]
-        symv_st[:] = jnp.broadcast_to(lane, symv_st.shape)
-        freqv_st[:] = jnp.where(lane < ms, 1, 0)
+        ms = ms_ref[:]                       # (1, C_BLK)
+        symv_st[:] = jnp.broadcast_to(slot, symv_st.shape)
+        freqv_st[:] = jnp.where(slot < ms, 1, 0)
         tot_st[:] = jnp.broadcast_to(ms, tot_st.shape)
 
-    def step(s_loc, _):
-        t_global = t_idx * Tc + s_loc
-        symv = symv_st[:]
+    def step(t_loc, _):
+        t_global = t_idx * Tc + t_loc
+        symv = symv_st[:]                    # (ARR, C_BLK)
         freqv = freqv_st[:]
-        tot = tot_st[:]
+        tot = tot_st[:]                      # (ARR, C_BLK) replicated
 
-        s = sym_ref[:, pl.ds(s_loc, 1)]            # (C_BLK, 1)
-        active = t_global < counts_ref[:]
+        s = sym_ref[t_loc]                   # (1, C_BLK)
+        active = t_global < counts_ref[:]    # (1, C_BLK)
 
         onpos = (symv == s).astype(jnp.int32)
-        # lanes >= pos  ==  inclusive left-to-right OR scan of onpos
+        # slots >= pos == inclusive top-down OR scan over sublanes
         ge = onpos
         for d in (1, 2, 4, 8, 16, 32, 64):
-            sh = pltpu.roll(ge, d, axis=1)
-            ge = ge | jnp.where(lane >= d, sh, 0)
+            sh = pltpu.roll(ge, d, axis=0)
+            ge = ge | jnp.where(slot >= d, sh, 0)
         lt = 1 - ge
 
-        f = jnp.sum(onpos * freqv, axis=1, keepdims=True)
-        cum = jnp.sum(lt * freqv, axis=1, keepdims=True)
+        f = jnp.sum(onpos * freqv, axis=0, keepdims=True)
+        cum = jnp.sum(lt * freqv, axis=0, keepdims=True)
 
         # bump
         freq2 = freqv + onpos * step_inc
@@ -85,15 +82,15 @@ def _evolve_kernel(step_inc: int, Tc: int, sym_ref, counts_ref, ms_ref,
         over = tot2 > K_MAX_FREQ
         fn = freq2 - (freq2 >> 1)
         freq2 = jnp.where(over, fn, freq2)
-        tot2 = jnp.where(over, jnp.sum(freq2, axis=1, keepdims=True),
+        tot2 = jnp.where(over, jnp.sum(freq2, axis=0, keepdims=True),
                          tot2)
         # bubble: swap pos-1 <-> pos when freq[pos] > freq[pos-1]
-        fval = jnp.sum(onpos * freq2, axis=1, keepdims=True)
-        onprev = pltpu.roll(onpos, LANES - 1, axis=1) \
-            * (lane < LANES - 1)
-        fprev = jnp.sum(onprev * freq2, axis=1, keepdims=True)
-        sprev = jnp.sum(onprev * symv, axis=1, keepdims=True)
-        pos_nonzero = 1 - onpos[:, 0:1]   # pos > 0 <=> lane 0 not pos
+        fval = jnp.sum(onpos * freq2, axis=0, keepdims=True)
+        onprev = pltpu.roll(onpos, ARR - 1, axis=0) \
+            * (slot < ARR - 1)
+        fprev = jnp.sum(onprev * freq2, axis=0, keepdims=True)
+        sprev = jnp.sum(onprev * symv, axis=0, keepdims=True)
+        pos_nonzero = 1 - onpos[0:1, :]   # pos > 0 <=> slot 0 not pos
         do = (fval > fprev) & (pos_nonzero > 0)
         onpos_b = onpos > 0
         onprev_b = onprev > 0
@@ -106,10 +103,8 @@ def _evolve_kernel(step_inc: int, Tc: int, sym_ref, counts_ref, ms_ref,
         freqv_st[:] = jnp.where(active, freq3, freqv)
         tot_st[:] = jnp.where(active, tot2, tot)
 
-        packed = (cum << 16) | f
-        col = lane == s_loc
-        out1_ref[:, :] = jnp.where(col, packed, out1_ref[:, :])
-        out2_ref[:, :] = jnp.where(col, tot, out2_ref[:, :])
+        out1_ref[t_loc] = ((cum << 16) | f)[0]
+        out2_ref[t_loc] = tot[0:1, :][0]
         return 0
 
     jax.lax.fori_loop(0, Tc, step, 0)
@@ -119,31 +114,33 @@ def _evolve_kernel(step_inc: int, Tc: int, sym_ref, counts_ref, ms_ref,
 def evolve_walk(symplane, counts, max_sym, step_inc: int = 16,
                 interpret: bool = False):
     """Pallas pass-2 walk.  symplane: (C, T) int32 (C a multiple of
-    C_BLK, T a multiple of the chunk = 128 lanes per output tile);
-    counts, max_sym: (C, 1) int32.  Returns (cum, freq, tot) uint32
-    (C, T) planes, bit-identical to fqz_model_jax.evolve."""
+    C_BLK, T a multiple of 128); counts, max_sym: (C, 1) int32.
+    Returns (cum, freq, tot) uint32 (C, T) planes, bit-identical to
+    fqz_model_jax.evolve."""
     C, T = symplane.shape
-    assert C % C_BLK == 0 and T % LANES == 0
-    Tc = LANES
+    assert C % C_BLK == 0 and T % 128 == 0
+    Tc = 128
     grid = (C // C_BLK, T // Tc)
 
-    blk = pl.BlockSpec((C_BLK, Tc), lambda c, t: (c, t),
+    # T-leading layouts inside the kernel
+    symT = jnp.swapaxes(symplane.astype(jnp.int32), 0, 1)  # (T, C)
+    blk = pl.BlockSpec((Tc, C_BLK), lambda c, t: (t, c),
                        memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((C_BLK, 1), lambda c, t: (c, 0),
+    row = pl.BlockSpec((1, C_BLK), lambda c, t: (0, c),
                        memory_space=pltpu.VMEM)
     out1, out2 = pl.pallas_call(
         functools.partial(_evolve_kernel, step_inc, Tc),
         grid=grid,
         in_specs=[blk, row, row],
         out_specs=[blk, blk],
-        out_shape=[jax.ShapeDtypeStruct((C, T), jnp.int32),
-                   jax.ShapeDtypeStruct((C, T), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((C_BLK, LANES), jnp.int32)
+        out_shape=[jax.ShapeDtypeStruct((T, C), jnp.int32),
+                   jax.ShapeDtypeStruct((T, C), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((ARR, C_BLK), jnp.int32)
                         for _ in range(3)],
         interpret=interpret,
-    )(symplane.astype(jnp.int32), counts.astype(jnp.int32),
-      max_sym.astype(jnp.int32))
-    cum = out1.astype(jnp.uint32) >> 16
-    freq = out1.astype(jnp.uint32) & 0xFFFF
-    tot = out2.astype(jnp.uint32)
+    )(symT, counts.astype(jnp.int32).reshape(1, C),
+      max_sym.astype(jnp.int32).reshape(1, C))
+    cum = jnp.swapaxes(out1.astype(jnp.uint32) >> 16, 0, 1)
+    freq = jnp.swapaxes(out1.astype(jnp.uint32) & 0xFFFF, 0, 1)
+    tot = jnp.swapaxes(out2.astype(jnp.uint32), 0, 1)
     return cum, freq, tot

@@ -66,6 +66,7 @@ def build_dec_tables_p(freqs: np.ndarray, shift: int,
     be selected (m < 1<<shift), so j = S-1's wrapped tag is harmless."""
     assert S <= 64 and shift <= 12
     freqs = np.atleast_2d(freqs).astype(np.int64)
+    assert (freqs[:, S:] == 0).all(), "alphabet exceeds bucket"
     B = freqs.shape[0]
     C = np.zeros((B, 257), np.int64)
     C[:, 1:] = np.cumsum(freqs, axis=1)

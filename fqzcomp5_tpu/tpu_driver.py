@@ -203,23 +203,33 @@ def _device_section_encode(datas: list[bytes],
 
 def _adaptive_jobs_host(jobs):
     """Host-codec execution of adaptive jobs (device fallback and the
-    small-section path — payloads are byte-identical either way)."""
+    small-section path — payloads are byte-identical either way).  A
+    job the codec declines (fqz on a >96-symbol alphabet) yields None,
+    mirroring the reference's NULL-return method skip."""
     outs = []
     for j in jobs:
-        if j[0] == "seq":
-            outs.append(host.seq_encode(j[1], j[2], j[3], j[4]))
-        else:
-            outs.append(host.fqz_compress(j[1], j[2], j[3], j[4],
-                                          j[5]))
+        try:
+            if j[0] == "seq":
+                outs.append(host.seq_encode(j[1], j[2], j[3], j[4]))
+            else:
+                outs.append(host.fqz_compress(j[1], j[2], j[3], j[4],
+                                              j[5]))
+        except ValueError:
+            outs.append(None)
     return outs
 
 
 def _adaptive_batch_safe(jobs):
     """Adaptive jobs via the cross-block device batch; sections below
-    MIN_DEVICE (and any device failure) take the host codecs."""
-    big = [k for k, j in enumerate(jobs) if len(j[1]) >= MIN_DEVICE]
+    MIN_DEVICE (and any device failure) take the host codecs.
+    Declined jobs come back as None (method skipped)."""
+    from fqzcomp5_tpu.blocks import _device_fell_back
+
+    big_set = {k for k, j in enumerate(jobs)
+               if len(j[1]) >= MIN_DEVICE}
+    big = sorted(big_set)
     outs = [None] * len(jobs)
-    small = [k for k in range(len(jobs)) if k not in set(big)]
+    small = [k for k in range(len(jobs)) if k not in big_set]
     for k, pay in zip(small, _adaptive_jobs_host([jobs[k]
                                                   for k in small])):
         outs[k] = pay
@@ -229,7 +239,8 @@ def _adaptive_batch_safe(jobs):
             backend.ensure_compile_cache()
             pays = adaptive_batch.encode_adaptive_batch(
                 [jobs[k] for k in big])
-        except Exception:
+        except Exception as e:
+            _device_fell_back(e)
             pays = _adaptive_jobs_host([jobs[k] for k in big])
         for k, pay in zip(big, pays):
             outs[k] = pay
@@ -288,18 +299,24 @@ def _encode_segment_wave(learner, arg, blocks, sec, datas, seg, mask,
                              blocks[i].flags, blocks[i].seq_buf,
                              strat_n))
                 jobmeta.append((i, int(m), 1))
+    declined = {i: [] for i in seg}
     if jobs:
         pays = _adaptive_batch_safe(jobs)
         for (i, m, strat), pay in zip(jobmeta, pays):
-            cands[i].append((m, strat, pay))
+            if pay is None:
+                declined[i].append(m)   # codec skipped this input
+            else:
+                cands[i].append((m, strat, pay))
 
     for i in seg:
         cl = sorted(cands[i], key=lambda c: c[0])
         best = min(cl, key=lambda c: len(c[2]))
         results[i] = (best[1], best[2])
         if trial:
-            learner.record_trial(
-                sec, {m: (len(datas[i]), len(p)) for m, _s, p in cl})
+            sizes = {m: (len(datas[i]), len(p)) for m, _s, p in cl}
+            for m in declined[i]:
+                sizes[m] = (len(datas[i]), (1 << 32) - 1)
+            learner.record_trial(sec, sizes)
 
 
 def _encode_section_wave(learner, arg, blocks, sec, datas):

@@ -182,13 +182,21 @@ struct Models {
     AdaptiveModel<256> sel;
     AdaptiveModel<2> dup;
 
-    void init(const GParams& gp) {
+    // Returns false when the alphabet exceeds the 96-symbol quality
+    // models.  The reference writes past its model array here
+    // (c_simple_model.h _init with max_sym > NSYM — heap corruption);
+    // we decline instead, which the method-trial layer treats as
+    // "codec unavailable" (fqzcomp5.c handles NULL codec returns the
+    // same way).
+    bool init(const GParams& gp) {
+        if (gp.max_sym + 1 > 96 + 1) return false;
         qual.resize(kCtxSize);
         for (int i = 0; i < kCtxSize; i++) qual[i].init(gp.max_sym + 1);
         for (int i = 0; i < 4; i++) len[i].init(256);
         revcomp.init(2);
         dup.init(2);
         if (gp.max_sel > 0) sel.init(gp.max_sel + 1);
+        return true;
     }
 };
 
@@ -671,7 +679,7 @@ int64_t fqz_compress_impl(const uint8_t* in, size_t in_size, Slice* s,
     }
 
     Models model;
-    model.init(gp);
+    if (!model.init(gp)) return -1;
 
     RangeCoder rc;
     rc.start_encode(out + comp_idx);
@@ -1095,7 +1103,7 @@ int64_t fqz_decompress_impl(const uint8_t* in, size_t in_size, uint8_t* out,
     }
 
     Models model;
-    model.init(gp);
+    if (!model.init(gp)) return -1;
 
     RangeCoder rc;
     rc.start_decode(in + in_idx, in + in_size);

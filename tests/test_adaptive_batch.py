@@ -96,3 +96,42 @@ def test_uneven_lengths_bucket_separately():
     got = adaptive_batch.encode_adaptive_batch(jobs)
     for i, job in enumerate(jobs):
         assert got[i] == _host_encode(job), f"job {i}"
+
+
+def test_wide_alphabet_declined_like_native():
+    """Quality alphabets beyond the 96-symbol models: the native codec
+    declines (the reference corrupts its heap there), and the device
+    batch must decline identically instead of emitting wrong payloads
+    (round-2 review finding)."""
+    rng = np.random.default_rng(99)
+    lens = np.full(50, 80, np.uint32)
+    q = rng.integers(0, 200, int(lens.sum())).astype(np.uint8)
+    flags = np.zeros(len(lens), np.uint32)
+    with pytest.raises(ValueError):
+        host.fqz_compress(bytes(q), lens, flags, None, 1)
+    with pytest.raises(ValueError):
+        adaptive_batch.encode_adaptive_batch(
+            [("fqz", bytes(q), lens, flags, None, 1)])
+
+
+def test_cli_wide_alphabet_encode_still_succeeds(tmp_path):
+    """-5 on >96-symbol qualities: fqz methods are skipped (reference
+    NULL-return semantics) and rANS wins — encode/decode round-trips
+    instead of heap-corrupting like the reference binary."""
+    from fqzcomp5_tpu import cli
+
+    rng = np.random.default_rng(98)
+    recs = []
+    for i in range(300):
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), 80)
+        qv = (rng.integers(0, 90, 80) + 33).astype(np.uint8)
+        qv[::7] = 200  # quality bytes past the 96-symbol envelope
+        recs.append(b"@r%d\n" % i + seq.tobytes() + b"\n+\n"
+                    + qv.tobytes() + b"\n")
+    src = tmp_path / "w.fastq"
+    src.write_bytes(b"".join(recs))
+    comp = tmp_path / "w.fqz5"
+    out = tmp_path / "w.out"
+    assert cli.main(["-5", "-V", str(src), str(comp)]) == 0
+    assert cli.main(["-d", "-V", str(comp), str(out)]) == 0
+    assert out.read_bytes() == src.read_bytes()

@@ -98,3 +98,41 @@ def test_interleave_and_split(data_dir):
     r1, r2 = fastq.split_batch(b)
     assert fastq.format_fastq(r1) == (data_dir / "sample_R1.fastq").read_bytes()
     assert fastq.format_fastq(r2) == (data_dir / "sample_R2.fastq").read_bytes()
+
+
+def test_compute_flags_zero_length_names():
+    """Zero-length names must not break the vectorised dup detection
+    (round-2 review finding: reduceat offset clamping merged
+    segments and crashed on all-empty chunks)."""
+    import numpy as np
+
+    from fqzcomp5_tpu import fastq_fast
+    from fqzcomp5_tpu.constants import FQZ_FREAD2
+
+    def run_case(names):
+        blob = b"".join(
+            b"@" + nm + b"\nA\n+\nI\n" for nm in names)
+        data = np.frombuffer(blob, np.uint8)
+        r = fastq_fast.parse_chunk(data)
+        assert r is not None
+        recs, _ = r
+        got = fastq_fast.compute_flags(data, recs)
+        # per-record reference logic
+        want = np.zeros(len(names), np.uint32)
+        prev = None
+        for i, nm in enumerate(names):
+            if len(nm) > 1 and nm.endswith(b"/2"):
+                want[i] = FQZ_FREAD2
+            elif prev is not None and nm == prev:
+                want[i] = FQZ_FREAD2
+            prev = nm
+        assert np.array_equal(got, want), names
+
+    run_case([b"ab/2", b"ab", b"ab/2", b"", b"ba", b"ba", b""])
+    run_case([b"", b"", b""])
+    run_case([b"x", b"", b"x", b"x"])
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        names = [bytes(rng.choice([65, 66, 47, 50], s))
+                 for s in rng.integers(0, 4, rng.integers(1, 9))]
+        run_case(names)
