@@ -978,7 +978,7 @@ def _decode_kernel4v4(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
 
     @pl.when(t_idx == 0)
     def _():
-        R_st[:] = r0_ref[:]
+        R_st[0, :] = r0_ref[:]
         for s in range(S_SLOTS):
             cons_sm[s] = 0
             jhbm_st[s] = 3
@@ -993,13 +993,13 @@ def _decode_kernel4v4(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
 
     def step(st, _):
         t_global = t_idx * Tc + st
-        R = R_st[:]
+        R = R_st[0:1, :]
         m = R & mask
 
         # packed compare loop (see build_dec_tables_p)
-        P = (f0_ref[:] << 13)
+        P = jnp.reshape(f0_ref[:] << 13, (1, LANES))
         for j in range(S):
-            e = cexp_ref[j]
+            e = jnp.reshape(cexp_ref[0, j], (1, LANES))
             ge = m >= (e & 0x1FFF)
             P = jnp.where(ge, e, P)
         sym = jax.lax.shift_right_logical(P, 26)
@@ -1008,7 +1008,9 @@ def _decode_kernel4v4(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
 
         Rn = F * jax.lax.shift_right_logical(R, shift) + (m - C)
 
-        active = (t_global < texp_ref[:]).astype(jnp.int32)
+        active = (t_global
+                  < jnp.reshape(texp_ref[:], (1, LANES))).astype(
+                      jnp.int32)
         need = (Rn < RANS_L).astype(jnp.int32) * active
         incl = need
         for d in (1, 2, 4, 8, 16):
@@ -1022,8 +1024,8 @@ def _decode_kernel4v4(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
         for s in range(S_SLOTS):
             cs = cons_sm[s]
             amt = (LANES - cs) & (LANES - 1)  # left-rotate by cs
-            a0 = pltpu.roll(W0s[s][:], amt, axis=1)
-            a1 = pltpu.roll(W1s[s][:], amt, axis=1)
+            a0 = pltpu.roll(W0s[s][0:1, :], amt, axis=1)
+            a1 = pltpu.roll(W1s[s][0:1, :], amt, axis=1)
             # lane l holds window[cs + l] for l < 128-cs from a0,
             # else from a1 (cs < 128 always: rotation handled below)
             al = jnp.where(lane < LANES - cs, a0, a1)
@@ -1040,8 +1042,8 @@ def _decode_kernel4v4(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
             w = jnp.where((delta & d) > 0, shifted, w)
 
         Rn = jnp.where(need > 0, (Rn << 16) | (w & 0xFFFF), Rn)
-        R_st[:] = jnp.where(active > 0, Rn, R)
-        sym_ref[st, 0] = jnp.where(active > 0, sym, 0)[0]
+        R_st[0:1, :] = jnp.where(active > 0, Rn, R)
+        sym_ref[st] = jnp.where(active > 0, sym, 0)[0]
 
         for s in range(S_SLOTS):
             ks = incl_sc[0, (s + 1) * N - 1]
@@ -1073,7 +1075,7 @@ def _decode_kernel4v4(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
 
     @pl.when(t_idx == n_t - 1)
     def _():
-        rf_ref[:] = R_st[:]
+        rf_ref[:] = R_st[0]
         for s in range(S_SLOTS):
             g = b_idx * S_SLOTS + s
             pltpu.make_async_copy(
@@ -1087,43 +1089,50 @@ def decode_walk4v4(words128, cexp, f0exp, R0p, texp, T: int,
                    shift: int = 12, S: int = 64,
                    interpret: bool = False):
     """v4 experiment (same signature/results as decode_walk4v3; S<=64
-    packed tables only)."""
+    packed tables only).
+
+    Layouts satisfy Mosaic's tiling rules for rows=1 cells: the sym
+    output flattens to (T, B4*128) with (Tc, 128) blocks, per-cell
+    row vectors flatten to 1D with (128,) blocks, and the table block
+    is (1, S, 128) (S divisible by 8)."""
     B, W128, L = words128.shape
     B4 = B // S_SLOTS
-    assert B4 * S_SLOTS == B and L == LANES and S <= 64
+    assert B4 * S_SLOTS == B and L == LANES and S <= 64 and S % 8 == 0
     Tc = max(1, min(T, 128))
     while T % Tc:
         Tc -= 1
     grid = (B4, T // Tc)
 
-    state_spec = pl.BlockSpec((1, LANES), lambda b, t: (b, 0),
-                              memory_space=pltpu.VMEM)
-    syms, Rf = pl.pallas_call(
+    vec_spec = pl.BlockSpec((LANES,), lambda b, t: (b,),
+                            memory_space=pltpu.VMEM)
+    cexp_b = jnp.swapaxes(cexp, 0, 1)           # (B4, S, LANES)
+    syms_flat, Rf_flat = pl.pallas_call(
         functools.partial(_decode_kernel4v4, shift, Tc, S),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((S, 1, LANES), lambda b, t: (0, b, 0),
+            pl.BlockSpec((1, S, LANES), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            state_spec,
-            state_spec,
+            vec_spec,
+            vec_spec,
             pl.BlockSpec(memory_space=pltpu.ANY),
-            state_spec,
+            vec_spec,
         ],
         out_specs=[
-            pl.BlockSpec((Tc, 1, LANES), lambda b, t: (t, b, 0),
+            pl.BlockSpec((Tc, LANES), lambda b, t: (t, b),
                          memory_space=pltpu.VMEM),
-            state_spec,
+            vec_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B4, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((B4, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((T, B4 * LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B4 * LANES,), jnp.int32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((1, LANES), jnp.int32) for _ in range(13)]
-            + [pltpu.VMEM((1, LANES), jnp.int32),   # incl scalars
+            [pltpu.VMEM((8, LANES), jnp.int32) for _ in range(13)]
+            + [pltpu.VMEM((8, LANES), jnp.int32),   # incl scalars
                pltpu.SMEM((S_SLOTS,), jnp.int32),
                pltpu.SMEM((S_SLOTS,), jnp.int32),
                pltpu.SemaphoreType.DMA((S_SLOTS,))]),
         interpret=interpret,
-    )(cexp, f0exp, R0p, words128, texp)
-    return syms, Rf
+    )(cexp_b, f0exp.reshape(-1), R0p.reshape(-1), words128,
+      texp.reshape(-1))
+    return syms_flat.reshape(T, B4, LANES), Rf_flat.reshape(B4, LANES)
