@@ -119,20 +119,32 @@ def bench_pass2(on_tpu):
     import jax
     import jax.numpy as jnp
 
-    from fqzcomp5_tpu.ops import fqz_model_jax
+    from fqzcomp5_tpu.ops import fqz_model_jax, model_pallas
 
     C, NSYM = 8192, 46
     T1, T2 = (512, 2048) if on_tpu else (32, 64)
     rng = np.random.default_rng(3)
-    planes = {T: rng.integers(0, NSYM, (C, T)).astype(np.int32)
-              for T in (T1, T2)}
-    counts = np.full(C, T2, np.int32)
+    # device-resident planes: a per-rep host upload through the dev
+    # tunnel would swamp the kernel (~5MB/s link)
+    planes = {T: jax.device_put(jnp.asarray(
+        rng.integers(0, NSYM, (C, T)).astype(np.int32)))
+        for T in (T1, T2)}
+    counts2 = {T: jax.device_put(jnp.full((C, 1), T, jnp.int32))
+               for T in (T1, T2)}
+    counts1 = {T: jax.device_put(jnp.full((C,), T, jnp.int32))
+               for T in (T1, T2)}
+    ms2 = jax.device_put(jnp.full((C, 1), NSYM + 1, jnp.int32))
+    ms1 = jax.device_put(jnp.full((C,), NSYM + 1, jnp.int32))
 
     def run(T):
-        cum, freq, tot = fqz_model_jax.evolve_128(
-            planes[T], np.minimum(counts, T), np.full(C, NSYM + 1),
-            16)
-        return float(jnp.asarray(cum).sum())
+        if on_tpu:
+            cum, _, _ = model_pallas.evolve_walk(planes[T],
+                                                 counts2[T], ms2, 16)
+        else:
+            cum, _, _ = fqz_model_jax.evolve(planes[T], counts1[T],
+                                             ms1, jnp.int32(16),
+                                             lanes=128)
+        return float(cum.sum())
 
     for T in (T1, T2):
         run(T)
@@ -145,8 +157,8 @@ def bench_pass2(on_tpu):
         return b
     tA, tB = best(T1), best(T2)
     ups = C * (T2 - T1) / max(tB - tA, 1e-9) / 1e6
-    # baseline: round-1 scan formulation measured 128-173 M updates/s
-    # on the v5e (docs/DEVICE_ADAPTIVE_CODECS.md)
+    # baseline: round-1 scan formulation measured 122-173 M updates/s
+    # on the v5e; the Mosaic kernel measured 682 M/s (5.6x) in round 2
     _emit("adaptive_pass2_evolution_rate", ups, "Mupdates/s", 150.0)
 
 
