@@ -113,7 +113,12 @@ def encode_flat(flat: np.ndarray, freqs: np.ndarray, shift: int,
     import jax.numpy as jnp
 
     B, T, n = flat.shape
-    if _use_pallas():
+    if _use_pallas() and (_mesh is None or _mesh.size == 1):
+        # NB: with a multi-device mesh installed the sharded scan path
+        # below runs instead — the Pallas kernel is compiled for one
+        # device and would silently ignore the mesh.  (A shard_mapped
+        # kernel is the eventual fix; single-chip dev hardware can't
+        # validate it yet.)
         from fqzcomp5_tpu.ops import rans_pallas
 
         ensure_compile_cache()
