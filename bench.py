@@ -170,7 +170,9 @@ def bench_decode_walk(on_tpu):
     from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
 
     NSYM, S, shift = 46, 64, 12
-    B = 32
+    B = 256 if on_tpu else 32   # B4=64 rows per grid cell (the
+    # per-step fixed cost dominates the walk; rows sweep in
+    # docs/DECODE_KERNEL_NOTES.md)
     B4 = B // 4
     rng = np.random.default_rng(0)
     T1, T2 = (2048, 8192) if on_tpu else (32, 64)

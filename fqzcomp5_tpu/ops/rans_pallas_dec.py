@@ -628,15 +628,18 @@ def _decode_kernel4v3(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("shift", "S", "T",
-                                             "interpret"))
+                                             "interpret", "rows_cap"))
 def decode_walk4v3(words128, cexp, f0exp, R0p, texp, T: int,
                    shift: int = 12, S: int = 256,
-                   interpret: bool = False):
-    """v3 of decode_walk4 (same signature/results)."""
+                   interpret: bool = False, rows_cap: int = 64):
+    """v3 of decode_walk4 (same signature/results).  rows_cap sets the
+    stream-rows per grid cell: the walk is per-step fixed-cost bound
+    (v4 experiment), so more rows per step amortise better until tile
+    op cost takes over."""
     B, W128, L = words128.shape
     B4 = B // S_SLOTS
     assert B4 * S_SLOTS == B and L == LANES
-    rows = min(B4, 8)
+    rows = min(B4, rows_cap)
     while B4 % rows:
         rows -= 1
     Tc = max(1, min(T, 128))
@@ -866,7 +869,7 @@ def decode_walk4v3_o1(words128, cexp, R0p, texp, T: int, shift: int,
     B, W128, L = words128.shape
     B4 = B // S_SLOTS
     assert B4 * S_SLOTS == B and L == LANES
-    rows = min(B4, 8)
+    rows = min(B4, 64)
     while B4 % rows:
         rows -= 1
     Tc = max(1, min(T, 128))
@@ -978,7 +981,7 @@ def _decode_kernel4v4(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
 
     @pl.when(t_idx == 0)
     def _():
-        R_st[0, :] = r0_ref[:]
+        R_st[0:1, :] = r0_ref[0:1, :]
         for s in range(S_SLOTS):
             cons_sm[s] = 0
             jhbm_st[s] = 3
@@ -997,7 +1000,7 @@ def _decode_kernel4v4(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
         m = R & mask
 
         # packed compare loop (see build_dec_tables_p)
-        P = jnp.reshape(f0_ref[:] << 13, (1, LANES))
+        P = f0_ref[0:1, :] << 13
         for j in range(S):
             e = jnp.reshape(cexp_ref[0, j], (1, LANES))
             ge = m >= (e & 0x1FFF)
@@ -1008,9 +1011,7 @@ def _decode_kernel4v4(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
 
         Rn = F * jax.lax.shift_right_logical(R, shift) + (m - C)
 
-        active = (t_global
-                  < jnp.reshape(texp_ref[:], (1, LANES))).astype(
-                      jnp.int32)
+        active = (t_global < texp_ref[0:1, :]).astype(jnp.int32)
         need = (Rn < RANS_L).astype(jnp.int32) * active
         incl = need
         for d in (1, 2, 4, 8, 16):
@@ -1075,7 +1076,7 @@ def _decode_kernel4v4(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
 
     @pl.when(t_idx == n_t - 1)
     def _():
-        rf_ref[:] = R_st[0]
+        rf_ref[0:1, :] = R_st[0:1, :]
         for s in range(S_SLOTS):
             g = b_idx * S_SLOTS + s
             pltpu.make_async_copy(
@@ -1103,8 +1104,14 @@ def decode_walk4v4(words128, cexp, f0exp, R0p, texp, T: int,
         Tc -= 1
     grid = (B4, T // Tc)
 
-    vec_spec = pl.BlockSpec((LANES,), lambda b, t: (b,),
-                            memory_space=pltpu.VMEM)
+    # per-cell row vectors ride row 0 of an (8, 128) tile so the
+    # block shape satisfies Mosaic's (8, 128) tiling
+    def tile8(v):
+        out = jnp.zeros((B4 * 8, LANES), jnp.int32)
+        return out.at[::8].set(v.astype(jnp.int32))
+
+    row8 = pl.BlockSpec((8, LANES), lambda b, t: (b, 0),
+                        memory_space=pltpu.VMEM)
     cexp_b = jnp.swapaxes(cexp, 0, 1)           # (B4, S, LANES)
     syms_flat, Rf_flat = pl.pallas_call(
         functools.partial(_decode_kernel4v4, shift, Tc, S),
@@ -1112,19 +1119,19 @@ def decode_walk4v4(words128, cexp, f0exp, R0p, texp, T: int,
         in_specs=[
             pl.BlockSpec((1, S, LANES), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            vec_spec,
-            vec_spec,
+            row8,
+            row8,
             pl.BlockSpec(memory_space=pltpu.ANY),
-            vec_spec,
+            row8,
         ],
         out_specs=[
             pl.BlockSpec((Tc, LANES), lambda b, t: (t, b),
                          memory_space=pltpu.VMEM),
-            vec_spec,
+            row8,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B4 * LANES), jnp.int32),
-            jax.ShapeDtypeStruct((B4 * LANES,), jnp.int32),
+            jax.ShapeDtypeStruct((B4 * 8, LANES), jnp.int32),
         ],
         scratch_shapes=(
             [pltpu.VMEM((8, LANES), jnp.int32) for _ in range(13)]
@@ -1133,6 +1140,5 @@ def decode_walk4v4(words128, cexp, f0exp, R0p, texp, T: int,
                pltpu.SMEM((S_SLOTS,), jnp.int32),
                pltpu.SemaphoreType.DMA((S_SLOTS,))]),
         interpret=interpret,
-    )(cexp_b, f0exp.reshape(-1), R0p.reshape(-1), words128,
-      texp.reshape(-1))
-    return syms_flat.reshape(T, B4, LANES), Rf_flat.reshape(B4, LANES)
+    )(cexp_b, tile8(f0exp), tile8(R0p), words128, tile8(texp))
+    return (syms_flat.reshape(T, B4, LANES), Rf_flat[::8])
