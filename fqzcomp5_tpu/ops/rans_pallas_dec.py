@@ -583,20 +583,33 @@ def _decode_kernel4v3(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
         crossing = (new_cons >= WIN).astype(jnp.int32)
         cons_t[:] = jnp.where(crossing > 0, new_cons - WIN, new_cons)
         # per-slot scalar bitmasks of crossing rows (bit r of bits[s])
-        row_pow = jnp.int32(1) << jax.lax.broadcasted_iota(
-            jnp.int32, (rows, 1), 0)
-        marked = crossing * row_pow
-        bits = [jnp.sum(jnp.where((lane == s * N), marked, 0))
+        # per-slot crossing bitmasks SPLIT into lo (rows 0-31) and
+        # hi (rows 32-63) words: TPU int32 shifts alias mod 32, so a
+        # single 1<<row mask silently corrupts kernels with rows > 32
+        # (found by a hardware roundtrip at the rows=64 default)
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        pow_lo = jnp.where(row_id < 32, jnp.int32(1) << row_id, 0)
+        pow_hi = jnp.where(row_id >= 32,
+                           jnp.int32(1) << (row_id - 32), 0)
+        bits = [jnp.sum(jnp.where((lane == s * N),
+                                  crossing * pow_lo, 0))
                 for s in range(S_SLOTS)]
+        bits_hi = [jnp.sum(jnp.where((lane == s * N),
+                                     crossing * pow_hi, 0))
+                   for s in range(S_SLOTS)]
+        any_cross = bits[0] | bits[1] | bits[2] | bits[3] \
+            | bits_hi[0] | bits_hi[1] | bits_hi[2] | bits_hi[3]
 
-        @pl.when(bits[0] + bits[1] + bits[2] + bits[3] > 0)
+        @pl.when(any_cross != 0)
         def _():
             # rotate the triple window: the W2 prefetch (started a full
             # 128-word period ago) has already landed, so the wait is
             # free; then relaunch the prefetch for the next chunk
             for s in range(S_SLOTS):
                 for r in range(rows):
-                    @pl.when(((bits[s] >> r) & 1) > 0)
+                    word_rs = bits[s] if r < 32 else bits_hi[s]
+
+                    @pl.when(((word_rs >> (r & 31)) & 1) > 0)
                     def _(r=r, s=s):
                         g = (b_idx * rows + r) * S_SLOTS + s
                         pltpu.make_async_copy(
@@ -811,17 +824,30 @@ def _decode_kernel4v3_o1(shift: int, Tc: int, A: int, A1: int, last0: int,
         new_cons = cons + kseg
         crossing = (new_cons >= WIN).astype(jnp.int32)
         cons_t[:] = jnp.where(crossing > 0, new_cons - WIN, new_cons)
-        row_pow = jnp.int32(1) << jax.lax.broadcasted_iota(
-            jnp.int32, (rows, 1), 0)
-        marked = crossing * row_pow
-        bits = [jnp.sum(jnp.where((lane == s * N), marked, 0))
+        # per-slot crossing bitmasks SPLIT into lo (rows 0-31) and
+        # hi (rows 32-63) words: TPU int32 shifts alias mod 32, so a
+        # single 1<<row mask silently corrupts kernels with rows > 32
+        # (found by a hardware roundtrip at the rows=64 default)
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        pow_lo = jnp.where(row_id < 32, jnp.int32(1) << row_id, 0)
+        pow_hi = jnp.where(row_id >= 32,
+                           jnp.int32(1) << (row_id - 32), 0)
+        bits = [jnp.sum(jnp.where((lane == s * N),
+                                  crossing * pow_lo, 0))
                 for s in range(S_SLOTS)]
+        bits_hi = [jnp.sum(jnp.where((lane == s * N),
+                                     crossing * pow_hi, 0))
+                   for s in range(S_SLOTS)]
+        any_cross = bits[0] | bits[1] | bits[2] | bits[3] \
+            | bits_hi[0] | bits_hi[1] | bits_hi[2] | bits_hi[3]
 
-        @pl.when(bits[0] + bits[1] + bits[2] + bits[3] > 0)
+        @pl.when(any_cross != 0)
         def _():
             for s in range(S_SLOTS):
                 for r in range(rows):
-                    @pl.when(((bits[s] >> r) & 1) > 0)
+                    word_rs = bits[s] if r < 32 else bits_hi[s]
+
+                    @pl.when(((word_rs >> (r & 31)) & 1) > 0)
                     def _(r=r, s=s):
                         g = (b_idx * rows + r) * S_SLOTS + s
                         pltpu.make_async_copy(

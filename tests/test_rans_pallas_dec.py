@@ -165,3 +165,63 @@ def test_decode_walk4v4_parity():
         got = syms[:t, b // 4, sl].reshape(-1).astype(np.uint8)
         assert np.array_equal(got,
                               np.frombuffer(d, np.uint8)[:t * 32]), b
+
+
+def test_decode_walk4v3_many_rows():
+    """rows>8 per grid cell (the round-2 default is 64): correctness
+    of the row-blocked grid partition, interpret mode at rows=16."""
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    rng = np.random.default_rng(23)
+    B, S = 64, 64
+    alpha = np.arange(46, dtype=np.uint8) + 2
+    datas = [rng.choice(alpha, 1600).tobytes() for _ in range(B)]
+    words, freqs, R0 = _prep(datas)
+    treal = np.array([len(d) // 32 for d in datas], np.int32)
+    T = int(treal.max())
+    tab = rpd.build_dec_tables_p(freqs, 12, S)
+    cexp = np.ascontiguousarray(rpd.expand4(tab).transpose(1, 0, 2))
+    f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
+    texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
+    R0p = R0[:, :32].reshape(B // 4, 128).astype(np.int32)
+    syms, Rf = rpd.decode_walk4v3(words, cexp, f0exp, R0p, texp, T=T,
+                                  shift=12, S=S, interpret=True,
+                                  rows_cap=16)
+    syms = np.asarray(syms)
+    for b, d in enumerate(datas):
+        t = len(d) // 32
+        sl = slice((b % 4) * 32, (b % 4) * 32 + 32)
+        got = syms[:t, b // 4, sl].reshape(-1).astype(np.uint8)
+        assert np.array_equal(got,
+                              np.frombuffer(d, np.uint8)[:t * 32]), b
+
+
+def test_decode_walk4v3_rows64_mask_split():
+    """rows=64 exercises the split lo/hi crossing bitmasks (TPU int32
+    shifts alias mod 32 — a single 1<<row mask corrupted rows>=32 and
+    aliased onto rows<32; found by a hardware roundtrip)."""
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    rng = np.random.default_rng(29)
+    B, S = 256, 16
+    alpha = np.arange(5, dtype=np.uint8) + 2
+    datas = [rng.choice(alpha, 800).tobytes() for _ in range(B)]
+    words, freqs, R0 = _prep(datas)
+    treal = np.array([len(d) // 32 for d in datas], np.int32)
+    T = int(treal.max())
+    tab = rpd.build_dec_tables_p(freqs, 12, S)
+    cexp = np.ascontiguousarray(rpd.expand4(tab).transpose(1, 0, 2))
+    f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
+    texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
+    R0p = R0[:, :32].reshape(B // 4, 128).astype(np.int32)
+    syms, Rf = rpd.decode_walk4v3(words, cexp, f0exp, R0p, texp, T=T,
+                                  shift=12, S=S, interpret=True,
+                                  rows_cap=64)
+    syms = np.asarray(syms)
+    for b in (0, 5, 31 * 4, 32 * 4, 40 * 4 + 1, 63 * 4 + 3):
+        d = datas[b]
+        t = len(d) // 32
+        sl = slice((b % 4) * 32, (b % 4) * 32 + 32)
+        got = syms[:t, b // 4, sl].reshape(-1).astype(np.uint8)
+        assert np.array_equal(got,
+                              np.frombuffer(d, np.uint8)[:t * 32]), b
