@@ -36,7 +36,8 @@ def _make_fastq(path, n=3000):
     return data
 
 
-def test_two_process_encode_matches_single(tmp_path):
+@pytest.mark.parametrize("nprocs", [2, 3])
+def test_multi_process_encode_matches_single(tmp_path, nprocs):
     src = tmp_path / "in.fastq"
     _make_fastq(src)
 
@@ -55,13 +56,13 @@ def test_two_process_encode_matches_single(tmp_path):
     port = _free_port()
     out = tmp_path / "dist.fqz5"
     procs = []
-    for pid in range(2):
+    for pid in range(nprocs):
         env = dict(os.environ)
         env.update({
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "",
             "FQZ5_DIST_COORD": f"127.0.0.1:{port}",
-            "FQZ5_DIST_NPROCS": "2",
+            "FQZ5_DIST_NPROCS": str(nprocs),
             "FQZ5_DIST_PID": str(pid),
             "PYTHONPATH": os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))),
@@ -75,7 +76,7 @@ def test_two_process_encode_matches_single(tmp_path):
         assert p.returncode == 0, se.decode()[-2000:]
 
     assert out.read_bytes() == ref.getvalue(), \
-        "2-process output differs from single-process encoder"
+        f"{nprocs}-process output differs from single-process encoder"
 
     # and it decodes
     from fqzcomp5_tpu.drivers import decode_file, make_fastq_writer
