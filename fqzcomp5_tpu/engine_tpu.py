@@ -18,6 +18,7 @@ Layout recap (rANS_static32x16pr.c):
 from __future__ import annotations
 
 import ctypes
+import os
 
 import numpy as np
 
@@ -415,7 +416,9 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
     f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
     texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
     R0p = R0.reshape((B + pad) // rpd.S_SLOTS, 128).astype(np.int32)
-    syms, Rf = rpd.decode_walk4v3(
+    walk = (rpd.decode_walk4v5 if os.environ.get("FQZ5_DEC_V5")
+            else rpd.decode_walk4v3)
+    syms, Rf = walk(
         jnp.asarray(words), jnp.asarray(cexp), jnp.asarray(f0exp),
         jnp.asarray(R0p), jnp.asarray(texp), T=Tb,
         shift=rans_jax.TF_SHIFT, S=S)
@@ -672,7 +675,9 @@ def _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax, shift):
     cexp = np.ascontiguousarray(rpd.expand4(packed).transpose(1, 0, 2))
     texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
     R0r = R0p.reshape(Gp // rpd.S_SLOTS, 128)
-    syms, Rf, cur = rpd.decode_walk4v3_o1(
+    walk_o1 = (rpd.decode_walk4v5_o1 if os.environ.get("FQZ5_DEC_V5")
+               else rpd.decode_walk4v3_o1)
+    syms, Rf, cur = walk_o1(
         jnp.asarray(words128), jnp.asarray(cexp), jnp.asarray(R0r),
         jnp.asarray(texp), T=Tb, shift=shift, A=A, A1=A1,
         last0=last0)

@@ -978,6 +978,454 @@ def build_o1_dense_tables(freqs: np.ndarray, shift: int):
 
 
 # ---------------------------------------------------------------------
+# v5: incremental compact-chunk pipeline (docs/DECODE_KERNEL_NOTES.md).
+#
+# v3 spends ~204 ops/step realigning each slot's FULL 128-word double
+# window by its consumption offset (css broadcast + 7-level align x 4
+# slots).  v5 instead keeps three COMPACT registers as state — 32-lane
+# segment s of (Vc, Vd, Ve) holds slot s's next three 32-word-ALIGNED
+# chunks of the word stream — so:
+#   - the per-step alignment shrinks to one (Vc,Vd) pair shifted
+#     seg-locally by the 5-bit intra-chunk offset (cons & 31):
+#     5 levels x ~6 ops = ~30 ops TOTAL (not per slot);
+#   - chunk refills are static compare-selects: the next chunk after
+#     Ve always sits at ring position (cons>>5)+2 in (W0||W1), one of
+#     4 aligned candidates per slot, loaded only on crossings;
+#   - a chunk crossing happens at most once per step (cons&31 plus
+#     kseg <= 63), and the W0<-W1<-W2 DMA rotation is unchanged.
+# The expand butterfly then reads the aligned pair view directly.
+
+def _v5_init_compact(W0s, seg, rows):
+    """Compact state from freshly-loaded W0: segment s <- slot s's
+    chunks 0/1/2."""
+    vc = jnp.zeros((rows, LANES), jnp.int32)
+    vd = jnp.zeros((rows, LANES), jnp.int32)
+    ve = jnp.zeros((rows, LANES), jnp.int32)
+    for s in range(S_SLOTS):
+        w0 = W0s[s][:]
+        vc = jnp.where(seg == s,
+                       pltpu.roll(w0, (s & 3) * N, axis=1), vc)
+        vd = jnp.where(seg == s,
+                       pltpu.roll(w0, ((s - 1) & 3) * N, axis=1), vd)
+        ve = jnp.where(seg == s,
+                       pltpu.roll(w0, ((s - 2) & 3) * N, axis=1), ve)
+    return vc, vd, ve
+
+
+def _v5_align(Vc, Vd, ofs, lane_mod):
+    """Va[l] = (Vc||Vd per segment)[ofs + l]: seg-local pair shift by
+    the 5-bit intra-chunk offset.  Garbage shifted into Vb's top lanes
+    never reaches Va (each level reads Vb lanes < d and cumulative
+    shift + d <= ofs <= 31)."""
+    Va, Vb = Vc, Vd
+    for d in (1, 2, 4, 8, 16):
+        bit = (ofs & d) > 0
+        ra = pltpu.roll(Va, LANES - d, axis=1)      # l <- Va[l+d]
+        rbl = pltpu.roll(Vb, N - d, axis=1)         # l <- Vb[l+d-32]
+        a_new = jnp.where(lane_mod < N - d, ra, rbl)
+        Va = jnp.where(bit, a_new, Va)
+        Vb = jnp.where(bit, pltpu.roll(Vb, LANES - d, axis=1), Vb)
+    return Va
+
+
+def _v5_expand(Va, rank, lane_mod):
+    """w[l] = Va[rank[l]]: stable monotone expand (as v3)."""
+    delta = lane_mod - rank
+    w = Va
+    for d in (16, 8, 4, 2, 1):
+        sh = pltpu.roll(w, d, axis=1)
+        wrap = pltpu.roll(w, 96 + d, axis=1)
+        shifted = jnp.where(lane_mod >= d, sh, wrap)
+        w = jnp.where((delta & d) > 0, shifted, w)
+    return w
+
+
+def _v5_advance(kseg, lane, seg, rows, b_idx, w_hbm,
+                W0s, W1s, W2s, Vc_st, Vd_st, Ve_st, cons_t,
+                jhbm_st, sem):
+    """Post-step feed update: cons bump, DMA window rotation on WIN
+    crossings (v3 logic, split lo/hi bitmasks), compact-chunk rotation
+    and the 4-candidate aligned Ve refill on chunk crossings."""
+    cons = cons_t[:]
+    ofs = cons & 31
+    new_cons = cons + kseg
+    ccross = (ofs + kseg) >= 32
+    crossing = (new_cons >= WIN).astype(jnp.int32)
+    cons_t[:] = jnp.where(crossing > 0, new_cons - WIN, new_cons)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    pow_lo = jnp.where(row_id < 32, jnp.int32(1) << row_id, 0)
+    pow_hi = jnp.where(row_id >= 32,
+                       jnp.int32(1) << (row_id - 32), 0)
+    bits = [jnp.sum(jnp.where((lane == s * N), crossing * pow_lo, 0))
+            for s in range(S_SLOTS)]
+    bits_hi = [jnp.sum(jnp.where((lane == s * N),
+                                 crossing * pow_hi, 0))
+               for s in range(S_SLOTS)]
+    any_cross = bits[0] | bits[1] | bits[2] | bits[3] \
+        | bits_hi[0] | bits_hi[1] | bits_hi[2] | bits_hi[3]
+
+    @pl.when(any_cross != 0)
+    def _():
+        for s in range(S_SLOTS):
+            for r in range(rows):
+                word_rs = bits[s] if r < 32 else bits_hi[s]
+
+                @pl.when(((word_rs >> (r & 31)) & 1) > 0)
+                def _(r=r, s=s):
+                    g = (b_idx * rows + r) * S_SLOTS + s
+                    pltpu.make_async_copy(
+                        w_hbm.at[g, jhbm_st[r, s] - 1],
+                        W2s[s].at[r], sem.at[r, s]).wait()
+                    W0s[s][r, :] = W1s[s][r, :]
+                    W1s[s][r, :] = W2s[s][r, :]
+                    pltpu.make_async_copy(
+                        w_hbm.at[g, jhbm_st[r, s]], W2s[s].at[r],
+                        sem.at[r, s]).start()
+                    jhbm_st[r, s] = jhbm_st[r, s] + 1
+
+    # compact rotation (reads the PRE-rotation Ve; refill below sees
+    # the POST-DMA backing windows)
+    ve_old = Ve_st[:]
+    Vc_st[:] = jnp.where(ccross, Vd_st[:], Vc_st[:])
+    Vd_st[:] = jnp.where(ccross, ve_old, Vd_st[:])
+    n_ccross = jnp.sum(jnp.where(
+        (lane & (N - 1)) == 0, ccross.astype(jnp.int32), 0))
+
+    @pl.when(n_ccross > 0)
+    def _():
+        # refill Ve with the chunk two ahead of the new Vc: ring
+        # position q = (cons>>5)+2 in the (possibly rotated) W0||W1
+        # backing — 4 aligned candidates per slot
+        q = (cons_t[:] >> 5) + 2
+        ve_new = ve_old
+        for s in range(S_SLOTS):
+            for qq in range(2, 6):
+                h = W0s[s] if qq < 4 else W1s[s]
+                cand = pltpu.roll(h[:], ((s - qq) & 3) * N, axis=1)
+                m_ = (seg == s) & (q == qq) & ccross
+                ve_new = jnp.where(m_, cand, ve_new)
+        Ve_st[:] = ve_new
+
+
+def _decode_kernel4v5(shift: int, Tc: int, S: int, cexp_ref, f0_ref,
+                      r0_ref, w_hbm, texp_ref, sym_ref, rf_ref,
+                      R_st, W0a, W0b, W0c, W0d, W1a, W1b, W1c, W1d,
+                      W2a, W2b, W2c, W2d, Vc_st, Vd_st, Ve_st,
+                      cons_t, jhbm_st, sem):
+    t_idx = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    rows = R_st.shape[0]
+    lane = _lane_iota()
+    lane_mod = lane & (N - 1)
+    seg = lane >> 5
+    mask = (1 << shift) - 1
+    W0s = (W0a, W0b, W0c, W0d)
+    W1s = (W1a, W1b, W1c, W1d)
+    W2s = (W2a, W2b, W2c, W2d)
+
+    @pl.when(t_idx == 0)
+    def _():
+        R_st[:] = r0_ref[:]
+        cons_t[:] = jnp.zeros((rows, LANES), jnp.int32)
+        for r in range(rows):
+            for s in range(S_SLOTS):
+                jhbm_st[r, s] = 3
+                g = (b_idx * rows + r) * S_SLOTS + s
+                for slot, Wd in ((0, W0s[s]), (1, W1s[s])):
+                    dma = pltpu.make_async_copy(
+                        w_hbm.at[g, slot], Wd.at[r], sem.at[r, s])
+                    dma.start()
+                    dma.wait()
+                pltpu.make_async_copy(
+                    w_hbm.at[g, 2], W2s[s].at[r], sem.at[r, s]).start()
+        Vc_st[:], Vd_st[:], Ve_st[:] = _v5_init_compact(W0s, seg, rows)
+
+    def step(st, _):
+        t_global = t_idx * Tc + st
+        R = R_st[:]
+        m = R & mask
+
+        if S <= 64:
+            P = (f0_ref[:] << 13)
+            for j in range(S):
+                e = cexp_ref[j]
+                ge = m >= (e & 0x1FFF)
+                P = jnp.where(ge, e, P)
+            sym = jax.lax.shift_right_logical(P, 26)
+            F = (P >> 13) & 0x1FFF
+            C = P & 0x1FFF
+        else:
+            sym = jnp.zeros((rows, LANES), jnp.int32)
+            P = (f0_ref[:] << 14)
+            for j in range(S):
+                e = cexp_ref[j]
+                ge = m >= (e & 0x3FFF)
+                sym = sym + ge.astype(jnp.int32)
+                P = jnp.where(ge, e, P)
+            F = P >> 14
+            C = jnp.where(sym > 0, P & 0x3FFF, 0)
+
+        Rn = F * jax.lax.shift_right_logical(R, shift) + (m - C)
+
+        active = (t_global < texp_ref[:]).astype(jnp.int32)
+        need = (Rn < RANS_L).astype(jnp.int32) * active
+        incl = need
+        for d in (1, 2, 4, 8, 16):
+            sh = pltpu.roll(incl, d, axis=1)
+            incl = incl + jnp.where(lane_mod >= d, sh, 0)
+        rank = incl - need
+        kseg = _seg_broadcast_last(incl, lane_mod)
+
+        Va = _v5_align(Vc_st[:], Vd_st[:], cons_t[:] & 31, lane_mod)
+        w = _v5_expand(Va, rank, lane_mod)
+
+        Rn = jnp.where(need > 0, (Rn << 16) | (w & 0xFFFF), Rn)
+        R_st[:] = jnp.where(active > 0, Rn, R)
+        sym_ref[st] = jnp.where(active > 0, sym, 0)
+
+        _v5_advance(kseg, lane, seg, rows, b_idx, w_hbm,
+                    W0s, W1s, W2s, Vc_st, Vd_st, Ve_st, cons_t,
+                    jhbm_st, sem)
+        return 0
+
+    jax.lax.fori_loop(0, Tc, step, 0)
+
+    n_t = pl.num_programs(1)
+
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        rf_ref[:] = R_st[:]
+        for s in range(S_SLOTS):
+            for r in range(rows):
+                g = (b_idx * rows + r) * S_SLOTS + s
+                pltpu.make_async_copy(
+                    w_hbm.at[g, jhbm_st[r, s] - 1], W2s[s].at[r],
+                    sem.at[r, s]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "S", "T",
+                                             "interpret", "rows_cap"))
+def decode_walk4v5(words128, cexp, f0exp, R0p, texp, T: int,
+                   shift: int = 12, S: int = 256,
+                   interpret: bool = False, rows_cap: int = 64):
+    """v5 of decode_walk4 (same signature/results as v3): incremental
+    compact-chunk word feed — see _decode_kernel4v5."""
+    B, W128, L = words128.shape
+    B4 = B // S_SLOTS
+    assert B4 * S_SLOTS == B and L == LANES
+    rows = min(B4, rows_cap)
+    while B4 % rows:
+        rows -= 1
+    Tc = max(1, min(T, 128))
+    while T % Tc:
+        Tc -= 1
+    grid = (B4 // rows, T // Tc)
+
+    state_spec = pl.BlockSpec((rows, LANES), lambda b, t: (b, 0),
+                              memory_space=pltpu.VMEM)
+    syms, Rf = pl.pallas_call(
+        functools.partial(_decode_kernel4v5, shift, Tc, S),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((S, rows, LANES), lambda b, t: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            state_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((Tc, rows, LANES), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B4, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B4, LANES), jnp.int32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((rows, LANES), jnp.int32) for _ in range(17)]
+            + [pltpu.SMEM((rows, S_SLOTS), jnp.int32),
+               pltpu.SemaphoreType.DMA((rows, S_SLOTS))]),
+        interpret=interpret,
+    )(cexp, f0exp, R0p, words128, texp)
+    return syms, Rf
+
+
+# ---------------------------------------------------------------------
+# Order-1 decode with the v5 compact-chunk feed (same lookup as the
+# v3 O1 kernel; same signature/results as decode_walk4v3_o1).
+
+def _decode_kernel4v5_o1(shift: int, Tc: int, A: int, A1: int,
+                         last0: int, cexp_ref, r0_ref, w_hbm, texp_ref,
+                         sym_ref, rf_ref, cur_ref,
+                         R_st, last_st, W0a, W0b, W0c, W0d,
+                         W1a, W1b, W1c, W1d, W2a, W2b, W2c, W2d,
+                         Vc_st, Vd_st, Ve_st, cons_t, jhbm_st, sem):
+    t_idx = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    rows = R_st.shape[0]
+    lane = _lane_iota()
+    lane_mod = lane & (N - 1)
+    seg = lane >> 5
+    mask = (1 << shift) - 1
+    W0s = (W0a, W0b, W0c, W0d)
+    W1s = (W1a, W1b, W1c, W1d)
+    W2s = (W2a, W2b, W2c, W2d)
+    stride = A + 1
+
+    @pl.when(t_idx == 0)
+    def _():
+        R_st[:] = r0_ref[:]
+        last_st[:] = jnp.full((rows, LANES), last0, jnp.int32)
+        cons_t[:] = jnp.zeros((rows, LANES), jnp.int32)
+        for r in range(rows):
+            for s in range(S_SLOTS):
+                jhbm_st[r, s] = 3
+                g = (b_idx * rows + r) * S_SLOTS + s
+                for slot, Wd in ((0, W0s[s]), (1, W1s[s])):
+                    dma = pltpu.make_async_copy(
+                        w_hbm.at[g, slot], Wd.at[r], sem.at[r, s])
+                    dma.start()
+                    dma.wait()
+                pltpu.make_async_copy(
+                    w_hbm.at[g, 2], W2s[s].at[r], sem.at[r, s]).start()
+        Vc_st[:], Vd_st[:], Ve_st[:] = _v5_init_compact(W0s, seg, rows)
+
+    def step(st, _):
+        t_global = t_idx * Tc + st
+        R = R_st[:]
+        last = last_st[:]
+        m = R & mask
+
+        if A <= 64:
+            P = jnp.zeros((rows, LANES), jnp.int32)
+            for c in range(A1):
+                onc = last == c
+                Pc = cexp_ref[c * stride]
+                for j in range(A):
+                    e = cexp_ref[c * stride + 1 + j]
+                    ge = m >= (e & 0x1FFF)
+                    Pc = jnp.where(ge, e, Pc)
+                P = jnp.where(onc, Pc, P)
+            sym = jax.lax.shift_right_logical(P, 26)
+            F = (P >> 13) & 0x1FFF
+            C = P & 0x1FFF
+        else:
+            sym = jnp.zeros((rows, LANES), jnp.int32)
+            P = jnp.zeros((rows, LANES), jnp.int32)
+            for c in range(A1):
+                onc = last == c
+                Pc = cexp_ref[c * stride]
+                symc = jnp.zeros((rows, LANES), jnp.int32)
+                for j in range(A):
+                    e = cexp_ref[c * stride + 1 + j]
+                    ge = m >= (e & 0x3FFF)
+                    symc = symc + ge.astype(jnp.int32)
+                    Pc = jnp.where(ge, e, Pc)
+                sym = jnp.where(onc, symc, sym)
+                P = jnp.where(onc, Pc, P)
+            F = P >> 14
+            C = jnp.where(sym > 0, P & 0x3FFF, 0)
+
+        Rn = F * jax.lax.shift_right_logical(R, shift) + (m - C)
+
+        active = (t_global < texp_ref[:]).astype(jnp.int32)
+        need = (Rn < RANS_L).astype(jnp.int32) * active
+        incl = need
+        for d in (1, 2, 4, 8, 16):
+            sh = pltpu.roll(incl, d, axis=1)
+            incl = incl + jnp.where(lane_mod >= d, sh, 0)
+        rank = incl - need
+        kseg = _seg_broadcast_last(incl, lane_mod)
+
+        Va = _v5_align(Vc_st[:], Vd_st[:], cons_t[:] & 31, lane_mod)
+        w = _v5_expand(Va, rank, lane_mod)
+
+        Rn = jnp.where(need > 0, (Rn << 16) | (w & 0xFFFF), Rn)
+        R_st[:] = jnp.where(active > 0, Rn, R)
+        last_st[:] = jnp.where(active > 0, sym, last)
+        sym_ref[st] = jnp.where(active > 0, sym, 0)
+
+        _v5_advance(kseg, lane, seg, rows, b_idx, w_hbm,
+                    W0s, W1s, W2s, Vc_st, Vd_st, Ve_st, cons_t,
+                    jhbm_st, sem)
+        return 0
+
+    jax.lax.fori_loop(0, Tc, step, 0)
+
+    n_t = pl.num_programs(1)
+
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        rf_ref[:] = R_st[:]
+        jexp = jnp.zeros((rows, LANES), jnp.int32)
+        for s in range(S_SLOTS):
+            jcol = jnp.array([jhbm_st[r, s] for r in range(rows)],
+                             jnp.int32).reshape(rows, 1)
+            jexp = jnp.where(seg == s, jcol, jexp)
+        cur_ref[:] = (jexp - 3) * WIN + cons_t[:]
+        for s in range(S_SLOTS):
+            for r in range(rows):
+                g = (b_idx * rows + r) * S_SLOTS + s
+                pltpu.make_async_copy(
+                    w_hbm.at[g, jhbm_st[r, s] - 1], W2s[s].at[r],
+                    sem.at[r, s]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "A", "A1",
+                                             "last0", "T", "interpret"))
+def decode_walk4v5_o1(words128, cexp, R0p, texp, T: int, shift: int,
+                      A: int, A1: int, last0: int,
+                      interpret: bool = False):
+    """Order-1 decode walk with the v5 compact-chunk feed (same
+    signature/results as decode_walk4v3_o1)."""
+    B, W128, L = words128.shape
+    B4 = B // S_SLOTS
+    assert B4 * S_SLOTS == B and L == LANES
+    rows = min(B4, 64)
+    while B4 % rows:
+        rows -= 1
+    Tc = max(1, min(T, 128))
+    while T % Tc:
+        Tc -= 1
+    grid = (B4 // rows, T // Tc)
+
+    state_spec = pl.BlockSpec((rows, LANES), lambda b, t: (b, 0),
+                              memory_space=pltpu.VMEM)
+    syms, Rf, cur = pl.pallas_call(
+        functools.partial(_decode_kernel4v5_o1, shift, Tc, A, A1,
+                          last0),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((A1 * (A + 1), rows, LANES),
+                         lambda b, t: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            state_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((Tc, rows, LANES), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B4, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B4, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B4, LANES), jnp.int32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((rows, LANES), jnp.int32) for _ in range(18)]
+            + [pltpu.SMEM((rows, S_SLOTS), jnp.int32),
+               pltpu.SemaphoreType.DMA((rows, S_SLOTS))]),
+        interpret=interpret,
+    )(cexp, R0p, words128, texp)
+    return syms, Rf, cur
+
+
+# ---------------------------------------------------------------------
 # v4 experiment: rows=1 cells with DYNAMIC-roll window alignment.
 #
 # With one stream-row per grid cell, every per-slot cursor is a true

@@ -227,6 +227,111 @@ def test_decode_walk4v3_rows64_mask_split():
                               np.frombuffer(d, np.uint8)[:t * 32]), b
 
 
+@pytest.mark.parametrize("S,rows_cap", [(64, 8), (16, 16), (256, 8)])
+def test_decode_walk4v5_parity(S, rows_cap):
+    """v5 (compact-chunk incremental word feed) must reproduce the
+    stream symbols across alphabet buckets and row blockings, with
+    streams long enough to force several DMA window rotations."""
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    rng = np.random.default_rng(13 + S)
+    B = 4 * max(rows_cap, 8)
+    if S == 16:
+        alpha = np.arange(5, dtype=np.uint8) + 2
+    elif S == 64:
+        alpha = np.arange(46, dtype=np.uint8) + 2
+    else:
+        alpha = np.frombuffer(b"ACGTN", np.uint8)
+    datas = [rng.choice(alpha, int(rng.integers(800, 9000))).tobytes()
+             for _ in range(B)]
+    words, freqs, R0 = _prep(datas)
+    treal = np.array([len(d) // 32 for d in datas], np.int32)
+    T = int(treal.max())
+    if S <= 64:
+        tab = rpd.build_dec_tables_p(freqs, 12, S)
+    else:
+        tab = rpd.build_dec_tables(freqs, 12, S)
+    cexp = np.ascontiguousarray(rpd.expand4(tab).transpose(1, 0, 2))
+    f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
+    texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
+    R0p = R0[:, :32].reshape(B // 4, 128).astype(np.int32)
+    syms, Rf = rpd.decode_walk4v5(words, cexp, f0exp, R0p, texp, T=T,
+                                  shift=12, S=S, interpret=True,
+                                  rows_cap=rows_cap)
+    syms = np.asarray(syms)
+    for b, d in enumerate(datas):
+        t = len(d) // 32
+        sl = slice((b % 4) * 32, (b % 4) * 32 + 32)
+        got = syms[:t, b // 4, sl].reshape(-1).astype(np.uint8)
+        assert np.array_equal(got,
+                              np.frombuffer(d, np.uint8)[:t * 32]), b
+
+
+def test_decode_o1_v5_engine_path(monkeypatch):
+    """Order-1 decode through the v5 compact-chunk kernel (engine
+    path, interpret mode) must match the scan decode bit-for-bit."""
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    orig = rpd.decode_walk4v5_o1
+
+    def walk_interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rpd, "decode_walk4v5_o1", walk_interp)
+
+    rng = np.random.default_rng(19)
+    motif = rng.choice(list(b"ACGT"), 48).astype(np.uint8)
+    datas = []
+    for i in range(5):
+        n = int(rng.integers(600, 2501))
+        reps = np.tile(motif, n // 48 + 1)[:n].copy()
+        fl = rng.integers(0, n, n // 9)
+        reps[fl] = rng.choice(list(b"ACGT"), len(fl))
+        datas.append(reps.tobytes())
+    q = (np.clip(np.cumsum(rng.integers(-2, 3, 1500)), 0, 11)
+         .astype(np.uint8) + 2).tobytes()
+    datas.append(q)
+
+    payloads = engine_tpu.encode_o1_batch(datas)
+    szs = [len(d) for d in datas]
+    want = engine_tpu.decode_o1_batch(payloads, szs)
+    assert want == datas
+
+    monkeypatch.setenv("FQZ5_PALLAS", "1")
+    monkeypatch.setenv("FQZ5_DEC_V5", "1")
+    got = engine_tpu.decode_o1_batch(payloads, szs)
+    assert got == datas
+
+
+def test_decode_walk4v5_ragged_tiny():
+    """v5 with ragged stream lengths incl. tiny (<32 byte) streams and
+    pad rows (degenerate tables, treal=0)."""
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    rng = np.random.default_rng(17)
+    alpha = np.arange(5, dtype=np.uint8) + 2
+    lens = [33, 4000, 200, 65, 1024, 7777, 96, 130]
+    datas = [rng.choice(alpha, n).tobytes() for n in lens]
+    words, freqs, R0 = _prep(datas)
+    treal = np.array([len(d) // 32 for d in datas], np.int32)
+    T = int(treal.max())
+    tab = rpd.build_dec_tables_p(freqs, 12, 16)
+    cexp = np.ascontiguousarray(rpd.expand4(tab).transpose(1, 0, 2))
+    f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
+    texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
+    R0p = R0[:, :32].reshape(len(datas) // 4, 128).astype(np.int32)
+    syms, Rf = rpd.decode_walk4v5(words, cexp, f0exp, R0p, texp, T=T,
+                                  shift=12, S=16, interpret=True)
+    syms = np.asarray(syms)
+    for b, d in enumerate(datas):
+        t = len(d) // 32
+        sl = slice((b % 4) * 32, (b % 4) * 32 + 32)
+        got = syms[:t, b // 4, sl].reshape(-1).astype(np.uint8)
+        assert np.array_equal(got,
+                              np.frombuffer(d, np.uint8)[:t * 32]), b
+
+
 def test_decode_o0_s32_bucket(monkeypatch):
     """Alphabets 17-31 take the S=32 bucket (round-2 addition)."""
     from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
