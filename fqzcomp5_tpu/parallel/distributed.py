@@ -142,10 +142,58 @@ def encode_file_distributed(in_path: str, out_fp: BinaryIO | None,
         container.patch_index_offset(out_fp, index_offset)
 
 
+def decode_file_distributed(in_path: str, out_fp: BinaryIO | None,
+                            arg: Options, *, process_id: int,
+                            num_processes: int) -> None:
+    """Distributed decode: blocks round-robin by serial (no shared
+    state — blocks are self-contained), each owner decodes AND formats
+    its blocks, and the FASTQ text all-gathers per round to process 0,
+    which writes in serial order.  Byte-identical to the
+    single-process decoder for any process count."""
+    from fqzcomp5_tpu.blocks import decode_block
+    from fqzcomp5_tpu.drivers import make_fastq_writer
+
+    writer = make_fastq_writer(out_fp, arg)   # .format needs only arg
+
+    with open(in_path, "rb") as in_fp:
+        file_version, index_offset = container.read_header(in_fp)
+
+        serial = 0
+        round_pay: list[bytes | None] = [None] * num_processes
+        round_has: list[bool] = [False] * num_processes
+
+        def flush_round():
+            nonlocal round_pay, round_has
+            if not any(round_has):
+                return
+            gathered = _gather_round(round_pay, process_id)
+            if process_id == 0:
+                for p in range(num_processes):
+                    if not round_has[p]:
+                        continue
+                    if not gathered[p]:
+                        raise RuntimeError(
+                            f"missing block text from process {p}")
+                    out_fp.write(gathered[p])
+            round_pay = [None] * num_processes
+            round_has = [False] * num_processes
+
+        for raw in container.iter_raw_blocks(in_fp, index_offset):
+            owner = serial % num_processes
+            if owner == process_id:
+                fq = decode_block(raw, file_version)
+                round_pay[owner] = writer.format(fq)
+            round_has[owner] = True
+            serial += 1
+            if serial % num_processes == 0:
+                flush_round()
+        flush_round()
+
+
 def main(argv=None) -> int:
     """Subprocess entry: FQZ5_DIST_COORD / _NPROCS / _PID env vars +
-    `python -m fqzcomp5_tpu.parallel.distributed [-LEVEL] [-b SIZE]
-    in.fastq out.fqz5` (out written by process 0 only)."""
+    `python -m fqzcomp5_tpu.parallel.distributed [-d] [-LEVEL]
+    [-b SIZE] in out` (out written by process 0 only)."""
     import os
 
     argv = sys.argv[1:] if argv is None else argv
@@ -156,10 +204,13 @@ def main(argv=None) -> int:
 
     arg = Options()
     files = []
+    decode = False
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("-") and len(a) == 2 and a[1].isdigit():
+        if a == "-d":
+            decode = True
+        elif a.startswith("-") and len(a) == 2 and a[1].isdigit():
             arg.apply_preset(int(a[1]))
         elif a == "-b":
             i += 1
@@ -171,9 +222,10 @@ def main(argv=None) -> int:
     arg.verbose = -1
 
     out_fp = open(out_path, "wb") if pid == 0 else None
+    run = decode_file_distributed if decode else encode_file_distributed
     try:
-        encode_file_distributed(in_path, out_fp, arg,
-                                process_id=pid, num_processes=nprocs)
+        run(in_path, out_fp, arg, process_id=pid,
+            num_processes=nprocs)
     finally:
         if out_fp:
             out_fp.close()

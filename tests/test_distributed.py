@@ -84,3 +84,47 @@ def test_multi_process_encode_matches_single(tmp_path, nprocs):
     decode_file(io.BytesIO(out.read_bytes()),
                 make_fastq_writer(res, arg), arg, Timings())
     assert res.getvalue() == src.read_bytes()
+
+
+def test_multi_process_decode_matches_single(tmp_path):
+    """Distributed decode: 2 processes round-robin the blocks and the
+    gathered output text must equal the input byte-for-byte."""
+    nprocs = 2
+    src = tmp_path / "in.fastq"
+    data = _make_fastq(src)
+
+    from fqzcomp5_tpu.drivers import Timings, encode_file
+    from fqzcomp5_tpu.options import Options
+
+    arg = Options()
+    arg.apply_preset(3)
+    arg.blk_size = 64 << 10
+    arg.verbose = -1
+    arg.nthread = 1
+    comp = tmp_path / "in.fqz5"
+    with open(comp, "wb") as f:
+        encode_file(str(src), f, arg, Timings())
+
+    port = _free_port()
+    out = tmp_path / "dist.fastq"
+    procs = []
+    for pid in range(nprocs):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "",
+            "FQZ5_DIST_COORD": f"127.0.0.1:{port}",
+            "FQZ5_DIST_NPROCS": str(nprocs),
+            "FQZ5_DIST_PID": str(pid),
+            "PYTHONPATH": os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "fqzcomp5_tpu.parallel.distributed",
+             "-d", str(comp), str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    assert out.read_bytes() == data
