@@ -71,7 +71,8 @@ struct TokInfo {
 struct LastCtx {
     int name_off = -1;  // offset of name within the block / output
     int name_len = 0;
-    std::vector<TokInfo> toks;
+    int tok_off = 0;    // range into Ctx::tok_arena
+    int tok_cnt = 0;
 };
 
 // Trie keyed on (node, char).  Node payload is the last line number to
@@ -118,6 +119,11 @@ struct Trie {
 struct Ctx {
     std::vector<Desc> desc;
     std::vector<LastCtx> lc;
+    // all names' token records, appended once per name (names share
+    // ranges on DUP).  One flat arena instead of a 128-entry vector
+    // per record: the per-name assign/shrink was ~25% of encode time
+    // and held ~1.5KB of capacity per record for the whole block.
+    std::vector<TokInfo> tok_arena;
     int counter = 0;
     int max_tok = 1;
     int max_names = 0;
@@ -129,6 +135,15 @@ struct Ctx {
         desc.resize(kMaxTBlocks);
         max_names = nreads + 1;
         lc.resize(max_names);
+        tok_arena.reserve(size_t(max_names) * 4);
+    }
+    const TokInfo* tok_at(const LastCtx& p, int k) const {
+        return k < p.tok_cnt ? &tok_arena[p.tok_off + k] : nullptr;
+    }
+    void tok_commit(LastCtx& cur, const TokInfo* tmp, int cnt) {
+        cur.tok_off = int(tok_arena.size());
+        cur.tok_cnt = cnt;
+        tok_arena.insert(tok_arena.end(), tmp, tmp + cnt);
     }
 };
 
@@ -268,20 +283,19 @@ bool encode_name(Ctx& ctx, const uint8_t* blk, int off, int len, int mode) {
         emit_int(ctx, 0, N_DUP, uint32_t(cnum - pnum));
         cur.name_off = off;
         cur.name_len = len;
-        cur.toks = prev.toks;
+        cur.tok_off = prev.tok_off;   // share the arena range
+        cur.tok_cnt = prev.tok_cnt;
         return true;
     }
 
     emit_int(ctx, 0, N_DIFF, uint32_t(cnum - pnum));
-    cur.toks.assign(kMaxTokens, TokInfo());
+    TokInfo toks[kMaxTokens];   // scratch; committed to the arena at end
+    toks[0] = TokInfo();
     int ntok = 1;
     int i;
 
     auto prev_tok = [&](int k) -> const TokInfo* {
-        if (pnum < cnum && k < int(prev.toks.size()) &&
-            k <= int(prev.toks.size()))
-            return k < int(prev.toks.size()) ? &prev.toks[k] : nullptr;
-        return nullptr;
+        return pnum < cnum ? ctx.tok_at(prev, k) : nullptr;
     };
 
     if (fixed_len == 36) {
@@ -290,8 +304,8 @@ bool encode_name(Ctx& ctx, const uint8_t* blk, int off, int len, int mode) {
         if (ctx.max_tok < 38) ctx.max_tok = 38;
         for (i = 0; i < 36; i++, ntok++) {
             emit_char(ctx, ntok, name[i]);
-            cur.toks[ntok].ival = name[i];
-            cur.toks[ntok].type = N_CHAR;
+            toks[ntok].ival = name[i];
+            toks[ntok].type = N_CHAR;
         }
         is_fixed = 0;
         i = 36;
@@ -304,9 +318,9 @@ bool encode_name(Ctx& ctx, const uint8_t* blk, int off, int len, int mode) {
         } else {
             emit_alpha(ctx, ntok, name, fixed_len);
         }
-        cur.toks[ntok].ival = fixed_len;
-        cur.toks[ntok].sval = 0;
-        cur.toks[ntok].type = N_ALPHA;
+        toks[ntok].ival = fixed_len;
+        toks[ntok].sval = 0;
+        toks[ntok].type = N_ALPHA;
         ntok++;
         i = fixed_len;
     } else {
@@ -333,9 +347,9 @@ bool encode_name(Ctx& ctx, const uint8_t* blk, int off, int len, int mode) {
             } else {
                 emit_alpha(ctx, ntok, &name[i], s - i);
             }
-            cur.toks[ntok].ival = s - i;
-            cur.toks[ntok].sval = i;
-            cur.toks[ntok].type = N_ALPHA;
+            toks[ntok].ival = s - i;
+            toks[ntok].sval = i;
+            toks[ntok].type = N_ALPHA;
             i = s - 1;
         } else if (name[i] == '0') {
         digits0: {
@@ -361,9 +375,9 @@ bool encode_name(Ctx& ctx, const uint8_t* blk, int off, int len, int mode) {
                 emit_int1_raw(ctx, ntok, N_DZLEN, s - i);
                 emit_int(ctx, ntok, N_DIGITS0, v);
             }
-            cur.toks[ntok].sval = int(s) - i;  // digit length
-            cur.toks[ntok].ival = int(v);
-            cur.toks[ntok].type = N_DIGITS0;
+            toks[ntok].sval = int(s) - i;  // digit length
+            toks[ntok].ival = int(v);
+            toks[ntok].type = N_DIGITS0;
             i = int(s) - 1;
         }
         } else if (isdigit(name[i])) {
@@ -392,8 +406,8 @@ bool encode_name(Ctx& ctx, const uint8_t* blk, int off, int len, int mode) {
             } else {
                 emit_int(ctx, ntok, N_DIGITS, v);
             }
-            cur.toks[ntok].ival = int(v);
-            cur.toks[ntok].type = N_DIGITS;
+            toks[ntok].ival = int(v);
+            toks[ntok].type = N_DIGITS;
             i = int(s) - 1;
         } else {
         n_char:
@@ -406,8 +420,8 @@ bool encode_name(Ctx& ctx, const uint8_t* blk, int off, int len, int mode) {
             } else {
                 emit_char(ctx, ntok, name[i]);
             }
-            cur.toks[ntok].ival = name[i];
-            cur.toks[ntok].type = N_CHAR;
+            toks[ntok].ival = name[i];
+            toks[ntok].type = N_CHAR;
         }
         ntok++;
     }
@@ -417,7 +431,9 @@ bool encode_name(Ctx& ctx, const uint8_t* blk, int off, int len, int mode) {
 
     cur.name_off = off;
     cur.name_len = len;
-    cur.toks.resize(ntok + 1);
+    toks[ntok] = TokInfo();   // the N_END slot stays default (as the
+    // reference's calloc'd last token array)
+    ctx.tok_commit(cur, toks, ntok + 1);
     return true;
 }
 
@@ -594,12 +610,14 @@ int decode_name(Ctx& ctx, std::vector<uint8_t>& out, size_t out_off,
         name[prev.name_len] = 0;
         ctx.lc[cnum].name_off = int(out_off);
         ctx.lc[cnum].name_len = prev.name_len;
-        ctx.lc[cnum].toks = prev.toks;
+        ctx.lc[cnum].tok_off = prev.tok_off;   // share the arena range
+        ctx.lc[cnum].tok_cnt = prev.tok_cnt;
         return prev.name_len + 1;
     }
 
     LastCtx& cur = ctx.lc[cnum];
-    cur.toks.assign(kMaxTokens, TokInfo());
+    TokInfo toks[kMaxTokens];   // scratch; committed to the arena at end
+    toks[0] = TokInfo();
     int len = 0;
 
     for (int ntok = 1; ntok < kMaxTokens && ntok < ctx.max_tok; ntok++) {
@@ -613,17 +631,17 @@ int decode_name(Ctx& ctx, std::vector<uint8_t>& out, size_t out_off,
                 uint8_t c;
                 if (!decode_token_char(ctx, ntok, &c)) return -1;
                 name[len] = c;
-                cur.toks[ntok].type = N_CHAR;
-                cur.toks[ntok].ival = name[len++];
+                toks[ntok].type = N_CHAR;
+                toks[ntok].ival = name[len++];
                 break;
             }
             case N_ALPHA: {
                 int len2 = decode_token_alpha(ctx, ntok, &name[len],
                                               int(name_len) - len);
                 if (len2 < 0) return -1;
-                cur.toks[ntok].type = N_ALPHA;
-                cur.toks[ntok].sval = len;
-                cur.toks[ntok].ival = len2;
+                toks[ntok].type = N_ALPHA;
+                toks[ntok].sval = len;
+                toks[ntok].ival = len2;
                 len += len2;
                 break;
             }
@@ -632,92 +650,98 @@ int decode_name(Ctx& ctx, std::vector<uint8_t>& out, size_t out_off,
                 if (!decode_token_int(ctx, ntok, N_DIGITS0, &v)) return -1;
                 if (size_t(len) + 20 + vl >= name_len) return -1;
                 len += append_u32_fixed(&name[len], v, uint8_t(vl));
-                cur.toks[ntok].type = N_DIGITS0;
-                cur.toks[ntok].ival = int(v);
-                cur.toks[ntok].sval = int(vl);
+                toks[ntok].type = N_DIGITS0;
+                toks[ntok].ival = int(v);
+                toks[ntok].sval = int(vl);
                 break;
-            case N_DDELTA0:
-                if (ntok >= int(prev.toks.size())) return -1;
+            case N_DDELTA0: {
+                const TokInfo* pk = ctx.tok_at(prev, ntok);
+                if (!pk) return -1;
                 if (!decode_token_int1(ctx, ntok, N_DDELTA0, &v)) return -1;
-                v += prev.toks[ntok].ival;
-                if (size_t(len) + prev.toks[ntok].sval + 1 >= name_len)
+                v += pk->ival;
+                if (size_t(len) + pk->sval + 1 >= name_len)
                     return -1;
                 len += append_u32_fixed(&name[len], v,
-                                        uint8_t(prev.toks[ntok].sval));
-                cur.toks[ntok].type = N_DIGITS0;
-                cur.toks[ntok].ival = int(v);
-                cur.toks[ntok].sval = prev.toks[ntok].sval;
+                                        uint8_t(pk->sval));
+                toks[ntok].type = N_DIGITS0;
+                toks[ntok].ival = int(v);
+                toks[ntok].sval = pk->sval;
                 break;
+            }
             case N_DIGITS:
                 if (!decode_token_int(ctx, ntok, N_DIGITS, &v)) return -1;
                 if (size_t(len) + 20 >= name_len) return -1;
                 len += append_u32_var(&name[len], v);
-                cur.toks[ntok].type = N_DIGITS;
-                cur.toks[ntok].ival = int(v);
+                toks[ntok].type = N_DIGITS;
+                toks[ntok].ival = int(v);
                 break;
-            case N_DDELTA:
-                if (ntok >= int(prev.toks.size())) return -1;
+            case N_DDELTA: {
+                const TokInfo* pk = ctx.tok_at(prev, ntok);
+                if (!pk) return -1;
                 if (!decode_token_int1(ctx, ntok, N_DDELTA, &v)) return -1;
-                v += prev.toks[ntok].ival;
+                v += pk->ival;
                 if (size_t(len) + 20 >= name_len) return -1;
                 len += append_u32_var(&name[len], v);
-                cur.toks[ntok].type = N_DIGITS;
-                cur.toks[ntok].ival = int(v);
+                toks[ntok].type = N_DIGITS;
+                toks[ntok].ival = int(v);
                 break;
+            }
             case N_NOP:
-                cur.toks[ntok].type = N_NOP;
+                toks[ntok].type = N_NOP;
                 break;
-            case N_MATCH:
-                if (ntok >= int(prev.toks.size())) return -1;
-                switch (prev.toks[ntok].type) {
+            case N_MATCH: {
+                const TokInfo* pk = ctx.tok_at(prev, ntok);
+                if (!pk) return -1;
+                switch (pk->type) {
                     case N_CHAR:
                         if (size_t(len) + 1 >= name_len) return -1;
-                        name[len] = uint8_t(prev.toks[ntok].ival);
-                        cur.toks[ntok].type = N_CHAR;
-                        cur.toks[ntok].ival = name[len++];
+                        name[len] = uint8_t(pk->ival);
+                        toks[ntok].type = N_CHAR;
+                        toks[ntok].ival = name[len++];
                         break;
                     case N_ALPHA:
-                        if (prev.toks[ntok].ival < 0 ||
-                            size_t(len) + prev.toks[ntok].ival >= name_len)
+                        if (pk->ival < 0 ||
+                            size_t(len) + pk->ival >= name_len)
                             return -1;
                         memcpy(&name[len],
                                out.data() + prev.name_off +
-                                   prev.toks[ntok].sval,
-                               prev.toks[ntok].ival);
-                        cur.toks[ntok].type = N_ALPHA;
-                        cur.toks[ntok].sval = len;
-                        cur.toks[ntok].ival = prev.toks[ntok].ival;
-                        len += prev.toks[ntok].ival;
+                                   pk->sval,
+                               pk->ival);
+                        toks[ntok].type = N_ALPHA;
+                        toks[ntok].sval = len;
+                        toks[ntok].ival = pk->ival;
+                        len += pk->ival;
                         break;
                     case N_DIGITS:
                         if (size_t(len) + 20 >= name_len) return -1;
                         len += append_u32_var(&name[len],
-                                              uint32_t(prev.toks[ntok].ival));
-                        cur.toks[ntok].type = N_DIGITS;
-                        cur.toks[ntok].ival = prev.toks[ntok].ival;
+                                              uint32_t(pk->ival));
+                        toks[ntok].type = N_DIGITS;
+                        toks[ntok].ival = pk->ival;
                         break;
                     case N_DIGITS0:
-                        if (size_t(len) + prev.toks[ntok].sval >= name_len)
+                        if (size_t(len) + pk->sval >= name_len)
                             return -1;
                         len += append_u32_fixed(
-                            &name[len], uint32_t(prev.toks[ntok].ival),
-                            uint8_t(prev.toks[ntok].sval));
-                        cur.toks[ntok].type = N_DIGITS0;
-                        cur.toks[ntok].ival = prev.toks[ntok].ival;
-                        cur.toks[ntok].sval = prev.toks[ntok].sval;
+                            &name[len], uint32_t(pk->ival),
+                            uint8_t(pk->sval));
+                        toks[ntok].type = N_DIGITS0;
+                        toks[ntok].ival = pk->ival;
+                        toks[ntok].sval = pk->sval;
                         break;
                     default:
                         return -1;
                 }
                 break;
+            }
             default:  // includes elided N_END
             case N_END:
                 if (size_t(len) + 1 >= name_len) return -1;
                 name[len++] = 0;
-                cur.toks[ntok].type = N_END;
+                toks[ntok].type = N_END;
                 cur.name_off = int(out_off);
                 cur.name_len = len - 1;
-                cur.toks.resize(ntok + 1);
+                ctx.tok_commit(cur, toks, ntok + 1);
                 return len;
         }
     }
@@ -735,6 +759,11 @@ std::vector<uint8_t> encode_names(const uint8_t* blk, int len, int level,
         if (blk[i] <= '\n') nreads++;
 
     Ctx ctx(nreads);
+    // each inserted char adds at most one node, so len+1 is an exact
+    // upper bound: one reserve removes every pool realloc copy (the
+    // doublings were ~20% of encode time; reserved-but-unfaulted pages
+    // are free on this side of the copy)
+    ctx.trie.pool.reserve(size_t(len) + 16);
 
     // pass 1: trie over whole block
     int last_start = 0, ctr = 0;
