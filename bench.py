@@ -162,14 +162,64 @@ def bench_pass2(on_tpu):
     _emit("adaptive_pass2_evolution_rate", ups, "Mupdates/s", 150.0)
 
 
-def bench_decode_walk(on_tpu):
+def bench_pass3(on_tpu):
     import jax
     import jax.numpy as jnp
 
+    from fqzcomp5_tpu.ops import rc_pallas
+
+    B, R = 512, 4
+    T1, T2 = (2048, 8192) if on_tpu else (64, 128)
+    rng = np.random.default_rng(7)
+    planes = {}
+    for T in (T1, T2):
+        tot = rng.integers(2, 60000, (R * 128, T)).astype(np.uint32)
+        freq = (rng.random((R * 128, T)) * tot * 0.9
+                ).astype(np.uint32) + 1
+        freq = np.minimum(freq, tot)
+        cum = (rng.random((R * 128, T)) * (tot - freq)
+               ).astype(np.uint32)
+        P0 = ((cum << 16) | freq).reshape(R, 128, T).transpose(2, 0, 1)
+        P1 = (((1 << 16) | tot)).reshape(R, 128, T).transpose(2, 0, 1)
+        planes[T] = (jax.device_put(jnp.asarray(
+            np.ascontiguousarray(P0).view(np.int32))),
+            jax.device_put(jnp.asarray(
+                np.ascontiguousarray(P1).view(np.int32))))
+    z = np.zeros(R * 128, np.uint32).reshape(R, 128).view(np.int32)
+    s0 = [jax.device_put(jnp.asarray(x)) for x in
+          (z, (z - 1), z, z, z)]
+
+    def run(T):
+        outs = rc_pallas._rc_call(*planes[T], s0, T=T,
+                                  interpret=not on_tpu)
+        jax.block_until_ready(outs)
+        return float(outs[4][0, 0].astype(jnp.float32))
+
+    for T in (T1, T2):
+        run(T)
+    def best(T, n=5):
+        b = 1e9
+        for _ in range(n):
+            t0 = time.perf_counter()
+            run(T)
+            b = min(b, time.perf_counter() - t0)
+        return b
+    tA, tB = best(T1), best(T2)
+    sps = B * (T2 - T1) / max(tB - tA, 1e-9) / 1e6
+    # baseline: the encode_scan formulation (round-2 measurement basis,
+    # same discipline as pass-2's 122 M/s scan baseline)
+    _emit("adaptive_pass3_rc_walk_rate", sps, "Msym/s", 100.0)
+
+
+def bench_decode_walk(on_tpu, NSYM=46, S=64, metric_suffix=""):
+    import jax
+    import jax.numpy as jnp
+
+    from fqzcomp5_tpu import engine_tpu
     from fqzcomp5_tpu.ops import backend, rans_jax
     from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
 
-    NSYM, S, shift = 46, 64, 12
+    shift = 12
     B = 256 if on_tpu else 32   # B4=64 rows per grid cell (the
     # per-step fixed cost dominates the walk; rows sweep in
     # docs/DECODE_KERNEL_NOTES.md)
@@ -208,11 +258,13 @@ def bench_decode_walk(on_tpu):
                 jnp.asarray(f0exp), jnp.asarray(R0p),
                 jnp.asarray(texp))
 
+    walk = engine_tpu.dec_walk_o0()
+
     @functools.partial(jax.jit, static_argnames=("T",))
     def run(words, cexp, f0exp, R0p, texp, T):
-        syms, Rf = rpd.decode_walk4v3(words, cexp, f0exp, R0p, texp,
-                                      T=T, shift=shift, S=S,
-                                      interpret=not on_tpu)
+        syms, Rf = walk(words, cexp, f0exp, R0p, texp,
+                        T=T, shift=shift, S=S,
+                        interpret=not on_tpu)
         return syms.sum() + Rf.sum()
 
     args = {T: setup(T) for T in (T1, T2)}
@@ -229,7 +281,8 @@ def bench_decode_walk(on_tpu):
     mbps = B * 32 * (T2 - T1) / max(tB - tA, 1e-9) / 1e6
     # baseline: one reference AVX-512 host core measured 379 MB/s in
     # round 1 (README.md perf table)
-    _emit("rans32x16_o0_decode_walk_throughput", mbps, "MB/s", 379.0)
+    _emit("rans32x16_o0_decode_walk_throughput" + metric_suffix,
+          mbps, "MB/s", 379.0)
 
 
 def bench_encode_walk(on_tpu):
@@ -325,9 +378,20 @@ def main():
         print(json.dumps({"metric": "adaptive_pass2_evolution_rate",
                           "error": str(e)[:120]}), flush=True)
     try:
+        bench_pass3(on_tpu)
+    except Exception as e:
+        print(json.dumps({"metric": "adaptive_pass3_rc_walk_rate",
+                          "error": str(e)[:120]}), flush=True)
+    try:
         bench_decode_walk(on_tpu)
     except Exception as e:
         print(json.dumps({"metric": "rans32x16_o0_decode_walk",
+                          "error": str(e)[:120]}), flush=True)
+    try:
+        # DNA-bucket variant (S=16): seq sections decode here
+        bench_decode_walk(on_tpu, NSYM=5, S=16, metric_suffix="_s16")
+    except Exception as e:
+        print(json.dumps({"metric": "rans32x16_o0_decode_walk_s16",
                           "error": str(e)[:120]}), flush=True)
     # headline metric last (driver parses the final JSON line)
     bench_encode_walk(on_tpu)

@@ -368,6 +368,22 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
     return out
 
 
+def dec_walk_o0():
+    """The Pallas O0 decode walk in effect (FQZ5_DEC_V5 selects the
+    compact-chunk v5 feed; default v3 until hardware-validated)."""
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    return (rpd.decode_walk4v5 if os.environ.get("FQZ5_DEC_V5")
+            else rpd.decode_walk4v3)
+
+
+def dec_walk_o1():
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    return (rpd.decode_walk4v5_o1 if os.environ.get("FQZ5_DEC_V5")
+            else rpd.decode_walk4v3_o1)
+
+
 def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
     """Run the Pallas decode walk (v3: 4 streams/row); returns
     (syms (B,T,32), Rf (B,32)) matching decode_scan's conventions."""
@@ -416,9 +432,7 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
     f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
     texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
     R0p = R0.reshape((B + pad) // rpd.S_SLOTS, 128).astype(np.int32)
-    walk = (rpd.decode_walk4v5 if os.environ.get("FQZ5_DEC_V5")
-            else rpd.decode_walk4v3)
-    syms, Rf = walk(
+    syms, Rf = dec_walk_o0()(
         jnp.asarray(words), jnp.asarray(cexp), jnp.asarray(f0exp),
         jnp.asarray(R0p), jnp.asarray(texp), T=Tb,
         shift=rans_jax.TF_SHIFT, S=S)
@@ -675,9 +689,7 @@ def _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax, shift):
     cexp = np.ascontiguousarray(rpd.expand4(packed).transpose(1, 0, 2))
     texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
     R0r = R0p.reshape(Gp // rpd.S_SLOTS, 128)
-    walk_o1 = (rpd.decode_walk4v5_o1 if os.environ.get("FQZ5_DEC_V5")
-               else rpd.decode_walk4v3_o1)
-    syms, Rf, cur = walk_o1(
+    syms, Rf, cur = dec_walk_o1()(
         jnp.asarray(words128), jnp.asarray(cexp), jnp.asarray(R0r),
         jnp.asarray(texp), T=Tb, shift=shift, A=A, A1=A1,
         last0=last0)

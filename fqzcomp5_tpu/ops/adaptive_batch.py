@@ -188,16 +188,29 @@ def rc_walk_batch(streams):
             cum[r, :n], freq[r, :n], tot[r, :n] = c, f, t
             active[r, :n] = True
 
+        # the Pallas walk keeps the five coder registers in VMEM for
+        # the whole chunk (the scan pays XLA per-step overheads); the
+        # mesh-sharded path stays on the scan
+        use_pallas = (backend._use_pallas()
+                      and backend.current_mesh() is None)
+        if use_pallas:
+            from . import rc_pallas
+
         state = None
         parts: list[list[bytes]] = [[] for _ in idxs]
         for t0 in range(0, T2, CHUNK_T):
             t1 = min(t0 + CHUNK_T, T2)
-            state, (fl, ca, ff, cy) = rc_jax.encode_scan(
-                backend.shard_rows(cum[:, t0:t1], 1),
-                backend.shard_rows(freq[:, t0:t1], 1),
-                backend.shard_rows(tot[:, t0:t1], 1),
-                active=backend.shard_rows(active[:, t0:t1], 1),
-                state0=state)
+            if use_pallas:
+                state, (fl, ca, ff, cy) = rc_pallas.encode_walk(
+                    cum[:, t0:t1], freq[:, t0:t1], tot[:, t0:t1],
+                    active=active[:, t0:t1], state0=state)
+            else:
+                state, (fl, ca, ff, cy) = rc_jax.encode_scan(
+                    backend.shard_rows(cum[:, t0:t1], 1),
+                    backend.shard_rows(freq[:, t0:t1], 1),
+                    backend.shard_rows(tot[:, t0:t1], 1),
+                    active=backend.shard_rows(active[:, t0:t1], 1),
+                    state0=state)
             fl, ca, ff, cy = map(np.asarray, (fl, ca, ff, cy))
             for r, i in enumerate(idxs):
                 parts[r].append(rc_jax.assemble_stream(

@@ -1,0 +1,241 @@
+"""Pallas TPU kernel for the pass-3 range-coder encode walk.
+
+Pass 3 of the adaptive-codec decomposition serializes every
+fqz-qual/SEQ/arith stream through the carry-counting range coder
+(native/rc.h, htscodecs/c_range_coder.h:26-166).  The lax.scan
+formulation (ops/rc_jax.py::encode_scan) pays XLA per-step overheads;
+this kernel keeps the five u32 state registers resident in VMEM across
+the whole walk — the same treatment that took pass-2 model evolution
+from 122 to 682 M updates/s on v5e.
+
+Layout: independent streams ride the 128 lanes ((rows, 128) tiles,
+rows of streams stacked), T leads the input/event planes so each
+step's access is an untiled dim-0 index.  Inputs pack per symbol as
+
+  P0[t] = cum << 16 | freq          (both < 2^16: tot < 2^16)
+  P1[t] = active << 16 | tot
+
+Events: each step runs at most two conditional shift_lows; slot k
+writes two planes
+
+  ffk[t]  = ff run length (full width — the run is data)
+  evk[t]  = flush << 16 | (carry & 0xFF) << 8 | (cache & 0xFF)
+
+Only carry's low byte affects output bytes ((cache+carry) & 0xFF and
+(carry-1) & 0xFF runs, rc.h:92-106), so 8 packed bits are exact; the
+carried STATE keeps full width.  The u32 arithmetic runs in int32 with
+xor-bias unsigned compares; `range / tot` is an exact base-256
+schoolbook division (digit dividends < 256*tot < 2^24, f32-exact, one
++-1 correction per digit).
+
+Bit-exact vs encode_scan / the native coder (tests/test_rc_device.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+K_TOP = 1 << 24
+K_THRESH = 0xFF000000 - (1 << 32)   # as int32 bits
+MIN32 = -(1 << 31)
+
+
+def _u_lt(a, b):
+    """Unsigned a < b on int32 bit patterns."""
+    return (a ^ MIN32) < (b ^ MIN32)
+
+
+def _lsr(a, k):
+    return jax.lax.shift_right_logical(a, k)
+
+
+def _div_u32_u16(rng, tot):
+    """floor(u32(rng) / tot) for 1 <= tot < 2^16, exact: four base-256
+    digits, each dividend < 256 * tot < 2^24 (f32-exact, +-1 fix)."""
+    inv = 1.0 / tot.astype(jnp.float32)
+    q = jnp.zeros_like(rng)
+    rem = jnp.zeros_like(rng)
+    for k in (24, 16, 8, 0):
+        d = (rem << 8) | (_lsr(rng, k) & 0xFF)
+        qd = (d.astype(jnp.float32) * inv).astype(jnp.int32)
+        r = d - qd * tot
+        neg = r < 0
+        qd = jnp.where(neg, qd - 1, qd)
+        r = jnp.where(neg, r + tot, r)
+        over = r >= tot
+        qd = jnp.where(over, qd + 1, qd)
+        rem = jnp.where(over, r - tot, r)
+        q = (q << 8) | qd
+    return q
+
+
+def _rc_kernel(Tc: int, p0_ref, p1_ref, s0l, s0r, s0c, s0f, s0y,
+               ff0_ref, ev0_ref, ff1_ref, ev1_ref,
+               sfl, sfr, sfc, sff, sfy,
+               low_st, rng_st, ca_st, ff_st, cy_st):
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        low_st[:] = s0l[:]
+        rng_st[:] = s0r[:]
+        ca_st[:] = s0c[:]
+        ff_st[:] = s0f[:]
+        cy_st[:] = s0y[:]
+
+    def step(t, _):
+        low0, rng0 = low_st[:], rng_st[:]
+        ca0, ffn0, cy0 = ca_st[:], ff_st[:], cy_st[:]
+
+        p0 = p0_ref[t]
+        p1 = p1_ref[t]
+        cum = _lsr(p0, 16)
+        f = p0 & 0xFFFF
+        tot = p1 & 0xFFFF
+        act = (p1 & (1 << 16)) != 0
+
+        rng2 = _div_u32_u16(rng0, tot)
+        low = low0 + cum * rng2
+        rng = rng2 * f
+        cy = cy0 + _u_lt(low, low0).astype(jnp.int32)
+        ca, ffn = ca0, ffn0
+
+        evs = []
+        for _slot in range(2):
+            need = _u_lt(rng, K_TOP)
+            flush = _u_lt(low, K_THRESH) | (cy != 0)
+            e = (flush & need & act, ffn, ca, cy)
+            ca = jnp.where(need & flush, _lsr(low, 24), ca)
+            ffn = jnp.where(need, jnp.where(flush, 0, ffn + 1), ffn)
+            cy = jnp.where(need & flush, 0, cy)
+            low = jnp.where(need, low << 8, low)
+            rng = jnp.where(need, rng << 8, rng)
+            evs.append(e)
+
+        low_st[:] = jnp.where(act, low, low0)
+        rng_st[:] = jnp.where(act, rng, rng0)
+        ca_st[:] = jnp.where(act, ca, ca0)
+        ff_st[:] = jnp.where(act, ffn, ffn0)
+        cy_st[:] = jnp.where(act, cy, cy0)
+
+        (fl0, f0, c0, y0), (fl1, f1, c1, y1) = evs
+        ff0_ref[t] = f0
+        ev0_ref[t] = (fl0.astype(jnp.int32) << 16) \
+            | ((y0 & 0xFF) << 8) | (c0 & 0xFF)
+        ff1_ref[t] = f1
+        ev1_ref[t] = (fl1.astype(jnp.int32) << 16) \
+            | ((y1 & 0xFF) << 8) | (c1 & 0xFF)
+        return 0
+
+    jax.lax.fori_loop(0, Tc, step, 0)
+
+    @pl.when(t_idx == pl.num_programs(1) - 1)
+    def _():
+        sfl[:] = low_st[:]
+        sfr[:] = rng_st[:]
+        sfc[:] = ca_st[:]
+        sff[:] = ff_st[:]
+        sfy[:] = cy_st[:]
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def _rc_call(P0, P1, s0, T: int, interpret: bool = False):
+    Tp, R, L = P0.shape
+    assert L == LANES and Tp >= T
+    rows = min(R, 8)
+    while R % rows:
+        rows -= 1
+    Tc = max(1, min(Tp, 128))
+    while Tp % Tc:
+        Tc -= 1
+    grid = (R // rows, Tp // Tc)
+
+    state_spec = pl.BlockSpec((rows, LANES), lambda b, t: (b, 0),
+                              memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec((Tc, rows, LANES), lambda b, t: (t, b, 0),
+                              memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_rc_kernel, Tc),
+        grid=grid,
+        in_specs=[plane_spec, plane_spec] + [state_spec] * 5,
+        out_specs=[plane_spec] * 4 + [state_spec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((Tp, R, LANES), jnp.int32)] * 4
+        + [jax.ShapeDtypeStruct((R, LANES), jnp.int32)] * 5,
+        scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.int32)
+                        for _ in range(5)],
+        interpret=interpret,
+    )(P0, P1, *s0)
+    return outs
+
+
+def encode_walk(cum, freq, tot, active=None, state0=None,
+                interpret: bool = False):
+    """Drop-in Pallas analog of rc_jax.encode_scan: same inputs
+    ((B, T) u32 arrays, optional (B, T) active, optional carried
+    state), same returns (final state 5-tuple of (B,) u32 arrays and
+    (flush, cache, ff, carry) event arrays of shape (B, T, 2)).
+
+    Event `carry` is reported mod 256 — the only bits that reach
+    output bytes (assemble_stream masks with & 0xFF); the carried
+    state keeps full width."""
+    cum = np.asarray(cum, np.uint32)
+    freq = np.asarray(freq, np.uint32)
+    tot = np.asarray(tot, np.uint32)
+    B, T = cum.shape
+    R = max(1, -(-B // LANES))
+    Bp = R * LANES
+    Tp = -(-T // 128) * 128   # padded steps run inactive
+
+    def plane(x, fill):
+        p = np.full((Bp, Tp), fill, np.uint32)
+        p[:B, :T] = x
+        return p
+
+    c = plane(cum, 0)
+    f = plane(freq, 1)
+    t_ = plane(tot, 2)
+    a = np.zeros((Bp, Tp), bool)
+    a[:B, :T] = True if active is None else np.asarray(active, bool)
+
+    P0 = (c << 16) | f
+    P1 = (a.astype(np.uint32) << 16) | t_
+    # T-leading planes, (T, R, 128)
+    P0 = np.ascontiguousarray(
+        P0.reshape(R, LANES, Tp).transpose(2, 0, 1)).view(np.int32)
+    P1 = np.ascontiguousarray(
+        P1.reshape(R, LANES, Tp).transpose(2, 0, 1)).view(np.int32)
+
+    if state0 is None:
+        z = np.zeros(B, np.uint32)
+        state0 = (z, np.full(B, 0xFFFFFFFF, np.uint32), z, z, z)
+    s0 = []
+    defaults = (0, 0xFFFFFFFF, 0, 0, 0)
+    for k, st in enumerate(state0):
+        p = np.full(Bp, defaults[k], np.uint32)
+        p[:B] = np.asarray(st, np.uint32)
+        s0.append(jnp.asarray(p.reshape(R, LANES).view(np.int32)))
+
+    outs = _rc_call(jnp.asarray(P0), jnp.asarray(P1), s0, T=Tp,
+                    interpret=interpret)
+    ff0, ev0, ff1, ev1 = [np.asarray(x) for x in outs[:4]]
+    statef = [np.asarray(x).view(np.uint32).reshape(Bp)[:B]
+              for x in outs[4:]]
+
+    def unstack(p):  # (Tp, R, 128) -> (B, T)
+        return p.transpose(1, 2, 0).reshape(Bp, Tp)[:B, :T]
+
+    e0, e1 = unstack(ev0), unstack(ev1)
+    fl = np.stack([(e0 >> 16) & 1, (e1 >> 16) & 1], axis=-1).astype(bool)
+    ca = np.stack([e0 & 0xFF, e1 & 0xFF], axis=-1).astype(np.uint32)
+    cy = np.stack([(e0 >> 8) & 0xFF, (e1 >> 8) & 0xFF],
+                  axis=-1).astype(np.uint32)
+    ff = np.ascontiguousarray(
+        np.stack([unstack(ff0), unstack(ff1)], axis=-1)).view(np.uint32)
+    return tuple(statef), (fl, ca, ff, cy)

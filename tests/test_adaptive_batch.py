@@ -78,6 +78,28 @@ def test_chunked_walk(monkeypatch):
     assert got == want
 
 
+def test_pass3_pallas_path(monkeypatch):
+    """The batch's pass-3 walk through the Pallas kernel (interpret
+    mode) must reproduce the host payloads byte-for-byte, including
+    across chunk boundaries."""
+    from fqzcomp5_tpu.ops import rc_pallas
+
+    orig = rc_pallas.encode_walk
+
+    def walk_interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rc_pallas, "encode_walk", walk_interp)
+    monkeypatch.setenv("FQZ5_PALLAS", "1")
+    monkeypatch.setattr(adaptive_batch, "CHUNK_T", 512)
+    jobs = [_fqz_case(31), _seq_case(32), _fqz_case(33, with_seq=True,
+                                                   strat=3)]
+    want = [_host_encode(j) for j in jobs]
+    got = adaptive_batch.encode_adaptive_batch(jobs)
+    assert got == want
+
+
 def test_empty_and_tiny_jobs():
     jobs = [
         ("seq", b"", np.zeros(0, np.uint32), 0, 10),

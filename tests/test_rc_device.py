@@ -108,3 +108,74 @@ def test_rc_walk_ragged_active():
                                      evs[3][b], tails[b])
         want = rc_native_encode(cum[b][:n], freq[b][:n], tot[b][:n])
         assert got == want, f"stream {b} n={n}"
+
+
+# ---- Pallas pass-3 kernel (ops/rc_pallas.py), interpret mode --------
+
+def _pallas_parity(cum, freq, tot, active=None, chunks=None):
+    from fqzcomp5_tpu.ops import rc_pallas
+
+    B, T = cum.shape
+    if chunks is None:
+        state, (fl, ca, ff, cy) = rc_pallas.encode_walk(
+            cum, freq, tot, active=active, interpret=True)
+        parts = [[rc_jax.assemble_stream(fl[b], ca[b], ff[b], cy[b],
+                                         b"")] for b in range(B)]
+    else:
+        state = None
+        parts = [[] for _ in range(B)]
+        for t0 in range(0, T, chunks):
+            t1 = min(t0 + chunks, T)
+            act = active[:, t0:t1] if active is not None else None
+            state, (fl, ca, ff, cy) = rc_pallas.encode_walk(
+                cum[:, t0:t1], freq[:, t0:t1], tot[:, t0:t1],
+                active=act, state0=state, interpret=True)
+            for b in range(B):
+                parts[b].append(rc_jax.assemble_stream(
+                    fl[b], ca[b], ff[b], cy[b], b""))
+    tails = rc_jax.finish_events(state)
+    return [b"".join(parts[b]) + tails[b] for b in range(B)]
+
+
+@pytest.mark.parametrize("seed,B,T,lo,hi", [
+    (0, 5, 400, 2, 60000),
+    (1, 3, 700, 2, 8),
+    (2, 4, 500, 60000, 65535),
+    (3, 140, 37, 2, 65535),      # >128 streams: two lane rows
+])
+def test_rc_pallas_bit_exact(seed, B, T, lo, hi):
+    rng = np.random.default_rng(seed)
+    cum, freq, tot = _triples(rng, B, T, lo, hi)
+    outs = _pallas_parity(cum, freq, tot)
+    for b in range(B):
+        want = rc_native_encode(cum[b], freq[b], tot[b])
+        assert outs[b] == want, f"stream {b}"
+
+
+def test_rc_pallas_skewed_carry_runs():
+    rng = np.random.default_rng(9)
+    B, T = 3, 800
+    tot = np.full((B, T), 1 << 15, np.uint32)
+    freq = np.ones((B, T), np.uint32)
+    cum = np.full((B, T), (1 << 15) - 1, np.uint32)
+    m = rng.random((B, T)) < 0.3
+    freq[m] = 1 << 14
+    cum[m] = 0
+    outs = _pallas_parity(cum, freq, tot)
+    for b in range(B):
+        want = rc_native_encode(cum[b], freq[b], tot[b])
+        assert outs[b] == want
+
+
+def test_rc_pallas_ragged_chunked():
+    """Ragged active masks + chunked state carry across device calls."""
+    rng = np.random.default_rng(4)
+    B, T = 4, 300
+    cum, freq, tot = _triples(rng, B, T)
+    treal = np.array([300, 17, 1, 299])
+    active = np.arange(T)[None, :] < treal[:, None]
+    outs = _pallas_parity(cum, freq, tot, active=active, chunks=128)
+    for b in range(B):
+        n = treal[b]
+        want = rc_native_encode(cum[b][:n], freq[b][:n], tot[b][:n])
+        assert outs[b] == want, f"stream {b} n={n}"
