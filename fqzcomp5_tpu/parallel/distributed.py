@@ -144,16 +144,43 @@ def encode_file_distributed(in_path: str, out_fp: BinaryIO | None,
 
 def decode_file_distributed(in_path: str, out_fp: BinaryIO | None,
                             arg: Options, *, process_id: int,
-                            num_processes: int) -> None:
+                            num_processes: int,
+                            out_fp2: BinaryIO | None = None,
+                            paired: bool | None = None) -> None:
     """Distributed decode: blocks round-robin by serial (no shared
     state — blocks are self-contained), each owner decodes AND formats
     its blocks, and the FASTQ text all-gathers per round to process 0,
     which writes in serial order.  Byte-identical to the
-    single-process decoder for any process count."""
-    from fqzcomp5_tpu.blocks import decode_block
-    from fqzcomp5_tpu.drivers import make_fastq_writer
+    single-process decoder for any process count.  Pass out_fp2 for
+    paired (deinterleaved) output; the two formatted halves travel
+    through the gather length-prefixed."""
+    import struct as _struct
 
-    writer = make_fastq_writer(out_fp, arg)   # .format needs only arg
+    from fqzcomp5_tpu.blocks import decode_block
+    from fqzcomp5_tpu.drivers import (make_deinterleave_writer,
+                                      make_fastq_writer)
+
+    # every process must agree on the format (only process 0 has real
+    # file handles), so paired must be passed explicitly off-writer
+    if paired is None:
+        paired = out_fp2 is not None
+    if paired:
+        writer = make_deinterleave_writer(out_fp, out_fp2, arg)
+
+        def fmt(fq):
+            r1, r2 = writer.format(fq)
+            return _struct.pack("<Q", len(r1)) + r1 + r2
+
+        def emit(pay):
+            n1 = _struct.unpack("<Q", pay[:8])[0]
+            out_fp.write(pay[8:8 + n1])
+            out_fp2.write(pay[8 + n1:])
+    else:
+        writer = make_fastq_writer(out_fp, arg)   # .format: arg only
+        fmt = writer.format
+
+        def emit(pay):
+            out_fp.write(pay)
 
     with open(in_path, "rb") as in_fp:
         file_version, index_offset = container.read_header(in_fp)
@@ -174,7 +201,7 @@ def decode_file_distributed(in_path: str, out_fp: BinaryIO | None,
                     if not gathered[p]:
                         raise RuntimeError(
                             f"missing block text from process {p}")
-                    out_fp.write(gathered[p])
+                    emit(gathered[p])
             round_pay = [None] * num_processes
             round_has = [False] * num_processes
 
@@ -182,7 +209,7 @@ def decode_file_distributed(in_path: str, out_fp: BinaryIO | None,
             owner = serial % num_processes
             if owner == process_id:
                 fq = decode_block(raw, file_version)
-                round_pay[owner] = writer.format(fq)
+                round_pay[owner] = fmt(fq)
             round_has[owner] = True
             serial += 1
             if serial % num_processes == 0:
@@ -218,17 +245,28 @@ def main(argv=None) -> int:
         else:
             files.append(a)
         i += 1
-    in_path, out_path = files
+    in_path, out_path = files[0], files[1]
+    out2_path = files[2] if len(files) > 2 else None
     arg.verbose = -1
 
     out_fp = open(out_path, "wb") if pid == 0 else None
-    run = decode_file_distributed if decode else encode_file_distributed
+    out_fp2 = (open(out2_path, "wb") if pid == 0 and out2_path
+               else None)
     try:
-        run(in_path, out_fp, arg, process_id=pid,
-            num_processes=nprocs)
+        if decode:
+            decode_file_distributed(in_path, out_fp, arg,
+                                    process_id=pid,
+                                    num_processes=nprocs,
+                                    out_fp2=out_fp2,
+                                    paired=out2_path is not None)
+        else:
+            encode_file_distributed(in_path, out_fp, arg,
+                                    process_id=pid,
+                                    num_processes=nprocs)
     finally:
-        if out_fp:
-            out_fp.close()
+        for f in (out_fp, out_fp2):
+            if f:
+                f.close()
     return 0
 
 

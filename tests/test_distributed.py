@@ -128,3 +128,62 @@ def test_multi_process_decode_matches_single(tmp_path):
         assert p.returncode == 0, se.decode()[-2000:]
 
     assert out.read_bytes() == data
+
+
+def test_multi_process_decode_paired(tmp_path):
+    """Paired (deinterleaved) distributed decode: the two formatted
+    halves travel length-prefixed through the gather."""
+    nprocs = 2
+    r1 = tmp_path / "r1.fastq"
+    r2 = tmp_path / "r2.fastq"
+    rng = np.random.default_rng(8)
+    chrom = rng.choice(np.frombuffer(b"ACGT", np.uint8), 30000)
+    recs1, recs2 = [], []
+    for i in range(2000):
+        for recs, tag in ((recs1, b"/1"), (recs2, b"/2")):
+            off = int(rng.integers(0, len(chrom) - 90))
+            q = (np.clip(rng.normal(32, 4, 90), 2, 40) + 33).astype(
+                np.uint8)
+            recs.append(b"@pair%d%s\n" % (i, tag)
+                        + chrom[off:off + 90].tobytes()
+                        + b"\n+\n" + q.tobytes() + b"\n")
+    r1.write_bytes(b"".join(recs1))
+    r2.write_bytes(b"".join(recs2))
+
+    from fqzcomp5_tpu.drivers import Timings, encode_paired
+    from fqzcomp5_tpu.options import Options
+
+    arg = Options()
+    arg.apply_preset(3)
+    arg.blk_size = 64 << 10
+    arg.verbose = -1
+    arg.nthread = 1
+    comp = tmp_path / "p.fqz5"
+    with open(comp, "wb") as f:
+        encode_paired(str(r1), str(r2), f, arg, Timings())
+
+    port = _free_port()
+    o1 = tmp_path / "o1.fastq"
+    o2 = tmp_path / "o2.fastq"
+    procs = []
+    for pid in range(nprocs):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "",
+            "FQZ5_DIST_COORD": f"127.0.0.1:{port}",
+            "FQZ5_DIST_NPROCS": str(nprocs),
+            "FQZ5_DIST_PID": str(pid),
+            "PYTHONPATH": os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "fqzcomp5_tpu.parallel.distributed",
+             "-d", str(comp), str(o1), str(o2)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    assert o1.read_bytes() == r1.read_bytes()
+    assert o2.read_bytes() == r2.read_bytes()
