@@ -59,6 +59,12 @@ def _rc_scan_padded(cum, freq, tot):
         tot = np.pad(tot, (0, pad), constant_values=2)
     active = np.zeros((1, n2), bool)
     active[0, :n] = True
+    from fqzcomp5_tpu.ops import backend
+    if backend._use_pallas() and backend.current_mesh() is None:
+        from fqzcomp5_tpu.ops import rc_pallas
+
+        return rc_pallas.encode_walk(cum[None, :], freq[None, :],
+                                     tot[None, :], active=active)
     return rc_jax.encode_scan(cum[None, :], freq[None, :],
                               tot[None, :], active=active)
 
