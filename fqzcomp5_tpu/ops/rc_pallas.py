@@ -190,6 +190,8 @@ def encode_walk(cum, freq, tot, active=None, state0=None,
     tot = np.asarray(tot, np.uint32)
     B, T = cum.shape
     R = max(1, -(-B // LANES))
+    while R & (R - 1):
+        R += 1   # pow2 rows: min(R, 8) always divides (Mosaic tiling)
     Bp = R * LANES
     Tp = -(-T // 128) * 128   # padded steps run inactive
 
