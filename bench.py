@@ -113,6 +113,19 @@ def bench_e2e_tpu(tmpdir, src, on_tpu):
         best = min(best, time.perf_counter() - t0)
     _emit("e2e_tpu_encode", len(data) / best / 1e6, "MB/s", 66.0,
           note="tunnel-limited on this host (~5MB/s device link)")
+    # high-preset wave path (adaptive SEQ*/FQZ* candidates through the
+    # cross-block device batch) on a smaller slice
+    tiny = os.path.join(tmpdir, "tiny.fastq")
+    with open(small, "rb") as f, open(tiny, "wb") as o:
+        d2 = f.read(4_000_000)
+        d2 = d2[:d2.rfind(b"\n@") + 1] if b"\n@" in d2 else d2
+        o.write(d2)
+    comp5 = os.path.join(tmpdir, "tiny5.fqz5")
+    t0 = time.perf_counter()
+    cli.main(["-e", "tpu", "-5", "-V", str(tiny), str(comp5)])
+    dt = time.perf_counter() - t0
+    _emit("e2e_tpu_encode_hi", len(d2) / dt / 1e6, "MB/s", 66.0,
+          note="-5 adaptive wave path; tunnel-limited on this host")
 
 
 def bench_pass2(on_tpu):
