@@ -1,0 +1,197 @@
+"""Hardware validation + measurement for the Pallas kernels (v5e).
+
+Runs decode-walk v3 vs v5 (correctness FIRST: interpret mode does not
+reproduce hardware-only behaviours like int32 shift aliasing), then
+the pass-3 range-coder walk (Pallas vs scan), with the measurement
+discipline docs/DECODE_KERNEL_NOTES.md records: device_put ALL
+operands outside the timed region, two-size marginal timing, a host
+checksum transfer to sync.  Retries through axon tunnel flaps
+(~30s backoff, hours of patience); appends to /tmp/tpu_results.txt.
+
+Usage: PYTHONPATH=/root/repo python tools/tpu_validate.py
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    with open("/tmp/tpu_results.txt", "a") as f:
+        f.write(line + "\n")
+
+
+def wait_tpu():
+    import jax
+    for attempt in range(480):
+        try:
+            if jax.default_backend() == "tpu":
+                import jax.numpy as jnp
+                float(jax.jit(lambda x: x + 1)(jnp.float32(1)))
+                return True
+        except RuntimeError as e:
+            log(f"tpu probe failed ({str(e)[:80]}); retry {attempt}")
+        time.sleep(30)
+    return False
+
+
+def main():
+    if not wait_tpu():
+        log("tpu never came up; giving up")
+        return 1
+    import jax
+    import jax.numpy as jnp
+    from fqzcomp5_tpu.ops import backend, rans_jax
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+    backend.ensure_compile_cache()
+
+    shift = 12
+    rng = np.random.default_rng(0)
+
+    def setup(B, T, NSYM, S):
+        B4 = B // 4
+        freqs = np.zeros((B, 256), np.uint32)
+        freqs[:, :NSYM] = 4096 // NSYM
+        freqs[:, 0] += 4096 - freqs[0].sum()
+        syms = rng.integers(0, NSYM, (B, T, 32)).astype(np.int32)
+        Rf, words, mask = backend.encode_flat(syms, freqs, shift)
+        Wmax128 = max((T * 32) // 128 + 4, 4)
+        wordsA = np.zeros((B, Wmax128, 128), np.int32)
+        R0 = np.zeros((B, 32), np.int32)
+        for b in range(B):
+            stream = rans_jax.assemble_o0_stream(Rf[b], words[b], mask[b])
+            R0[b] = np.frombuffer(stream[:128], "<u4").astype(np.int32)
+            wb = np.frombuffer(stream[128:] + b"\x00" * (len(stream) & 1),
+                               "<u2").astype(np.int32)
+            flat = np.zeros(Wmax128 * 128, np.int32)
+            flat[:len(wb)] = wb
+            wordsA[b] = flat.reshape(Wmax128, 128)
+        tab = (rpd.build_dec_tables_p(freqs, shift, S) if S <= 64
+               else rpd.build_dec_tables(freqs, shift, S))
+        cexp = np.ascontiguousarray(rpd.expand4(tab).transpose(1, 0, 2))
+        f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
+        treal = np.full(B, T, np.int32)
+        texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
+        R0p = R0.reshape(B4, 128).astype(np.int32)
+        dev = [jax.device_put(jnp.asarray(x))
+               for x in (wordsA, cexp, f0exp, R0p, texp)]
+        return dev, syms
+
+    def mk_run(walk, S):
+        @functools.partial(jax.jit, static_argnames=("T",))
+        def run(words, cexp, f0exp, R0p, texp, T):
+            syms, Rf = walk(words, cexp, f0exp, R0p, texp,
+                            T=T, shift=shift, S=S)
+            return syms, Rf
+        return run
+
+    results = {}
+    for S, NSYM in ((64, 46), (16, 5), (32, 24)):
+        B = 512 if S == 64 else 512
+        T1, T2 = 2048, 8192
+        args = {}
+        ref = {}
+        for T in (T1, T2):
+            args[T], ref[T] = setup(B, T, NSYM, S)
+        for name, walk in (("v3", rpd.decode_walk4v3),
+                           ("v5", rpd.decode_walk4v5)):
+            run = mk_run(walk, S)
+            try:
+                # correctness first (hardware-only bugs!)
+                syms_d, _ = run(*args[T1], T=T1)
+                got = np.asarray(syms_d)  # (T, B4, 128)
+                want = ref[T1]            # (B, T, 32)
+                ok = True
+                for b in range(0, B, 37):
+                    sl = slice((b % 4) * 32, (b % 4) * 32 + 32)
+                    if not np.array_equal(got[:, b // 4, sl],
+                                          want[b]):
+                        ok = False
+                        break
+                if not ok:
+                    log(f"{name} S={S}: HARDWARE MISMATCH stream {b}")
+                    continue
+                # marginal timing
+                def bench(T, n=6):
+                    b_ = 1e9
+                    for _ in range(n):
+                        t0 = time.perf_counter()
+                        s, r = run(*args[T], T=T)
+                        float(s[0, 0, 0].astype(jnp.float32))
+                        jax.block_until_ready((s, r))
+                        b_ = min(b_, time.perf_counter() - t0)
+                    return b_
+                for T in (T1, T2):
+                    bench(T, n=2)  # warm
+                tA, tB = bench(T1), bench(T2)
+                mbps = B * 32 * (T2 - T1) / max(tB - tA, 1e-9) / 1e6
+                log(f"{name} S={S} B={B}: {mbps:.0f} MB/s "
+                    f"(tA={tA*1e3:.1f}ms tB={tB*1e3:.1f}ms) correct=OK")
+                results[(name, S)] = mbps
+            except Exception as e:
+                log(f"{name} S={S}: FAILED {str(e)[:300]}")
+                import re
+                mm = re.findall(r"(Mosaic failed[^\n]*|error:[^\n]*)",
+                                str(e))
+                for x in mm[:4]:
+                    log("  " + x[:200])
+    log(f"SUMMARY {results}")
+
+    # ---- pass-3 rc walk: pallas vs scan ------------------------
+    try:
+        from fqzcomp5_tpu.ops import rc_jax, rc_pallas
+        R = 4
+        T1, T2 = 2048, 8192
+        planes = {}
+        scanargs = {}
+        for T in (T1, T2):
+            tot = rng.integers(2, 60000, (R * 128, T)).astype(np.uint32)
+            fq = (rng.random((R * 128, T)) * tot * 0.9).astype(np.uint32) + 1
+            fq = np.minimum(fq, tot)
+            cm = (rng.random((R * 128, T)) * (tot - fq)).astype(np.uint32)
+            P0 = ((cm << 16) | fq).reshape(R, 128, T).transpose(2, 0, 1)
+            P1 = (((1 << 16) | tot)).reshape(R, 128, T).transpose(2, 0, 1)
+            planes[T] = tuple(jax.device_put(jnp.asarray(
+                np.ascontiguousarray(x).view(np.int32))) for x in (P0, P1))
+            scanargs[T] = tuple(jax.device_put(jnp.asarray(x))
+                                for x in (cm, fq, tot))
+        z = np.zeros((R, 128), np.int32)
+        s0 = [jax.device_put(jnp.asarray(x)) for x in (z, z - 1, z, z, z)]
+
+        def run_pallas(T):
+            outs = rc_pallas._rc_call(*planes[T], s0, T=T)
+            jax.block_until_ready(outs)
+            return float(outs[4][0, 0].astype(jnp.float32))
+
+        def run_scan(T):
+            st, evs = rc_jax.encode_scan(*scanargs[T])
+            jax.block_until_ready(st)
+            return float(st[0][0].astype(jnp.float32))
+
+        for name, run in (("pallas", run_pallas), ("scan", run_scan)):
+            try:
+                for T in (T1, T2):
+                    run(T)
+                def best(T, n=5):
+                    b = 1e9
+                    for _ in range(n):
+                        t0 = time.perf_counter()
+                        run(T)
+                        b = min(b, time.perf_counter() - t0)
+                    return b
+                tA, tB = best(T1), best(T2)
+                sps = R * 128 * (T2 - T1) / max(tB - tA, 1e-9) / 1e6
+                log(f"pass3 {name}: {sps:.0f} Msym/s (tA={tA*1e3:.1f} tB={tB*1e3:.1f})")
+            except Exception as e:
+                log(f"pass3 {name} FAILED {str(e)[:250]}")
+    except Exception as e:
+        log(f"pass3 setup FAILED {str(e)[:250]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
+
