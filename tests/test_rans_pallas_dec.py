@@ -267,6 +267,33 @@ def test_decode_walk4v5_parity(S, rows_cap):
                               np.frombuffer(d, np.uint8)[:t * 32]), b
 
 
+def test_decode_o0_v5_engine_path(monkeypatch):
+    """decode_o0_batch through the v5 kernel (FQZ5_DEC_V5, interpret
+    mode) must match the scan path bit-for-bit incl. tails."""
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+    orig = rpd.decode_walk4v5
+
+    def walk_interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rpd, "decode_walk4v5", walk_interp)
+    rng = np.random.default_rng(15)
+    datas = [rng.choice(np.frombuffer(b"ACGTN", np.uint8),
+                        int(rng.integers(40, 4000))).tobytes()
+             for _ in range(5)]
+    payloads = engine_tpu.encode_o0_batch(datas)
+    szs = [len(d) for d in datas]
+    want = engine_tpu.decode_o0_batch(payloads, szs)
+    assert want == datas
+
+    monkeypatch.setenv("FQZ5_PALLAS", "1")
+    monkeypatch.setenv("FQZ5_DEC_V5", "1")
+    got = engine_tpu.decode_o0_batch(payloads, szs)
+    assert got == datas
+
+
 def test_decode_o1_v5_engine_path(monkeypatch):
     """Order-1 decode through the v5 compact-chunk kernel (engine
     path, interpret mode) must match the scan decode bit-for-bit."""
