@@ -189,11 +189,13 @@ def test_tpu_engine_stripe_path(tmp_path):
         assert res.getvalue() == data
 
 
-def test_tpu_engine_high_preset_matches_host(tmp_path):
-    """-e tpu -5: SEQ/FQZ sections run through the cross-block device
-    batch and must byte-match the host -5 encoder's sections (the
+@pytest.mark.parametrize("preset", [5, 9])
+def test_tpu_engine_high_preset_matches_host(tmp_path, preset):
+    """-e tpu -5/-9: SEQ/FQZ sections run through the cross-block
+    device batch and must byte-match the host encoder's sections (the
     adaptive payloads are native-identical, and the wave learner locks
-    the same methods)."""
+    the same methods; -9 widens the trial set to every SEQ/FQZ/rANS
+    flavour)."""
     import io
 
     from fqzcomp5_tpu import container, tpu_driver
@@ -231,7 +233,7 @@ def test_tpu_engine_high_preset_matches_host(tmp_path):
         return out
 
     arg = Options()
-    arg.apply_preset(5)
+    arg.apply_preset(preset)
     arg.blk_size = 40 << 10  # several blocks -> trial + locked waves
     arg.verbose = -1
 
