@@ -120,6 +120,16 @@ def bench_e2e_tpu(tmpdir, src, on_tpu):
         d2 = f.read(4_000_000)
         d2 = d2[:d2.rfind(b"\n@") + 1] if b"\n@" in d2 else d2
         o.write(d2)
+    out = os.path.join(tmpdir, "small.out")
+    best = 1e9
+    for _ in (range(2) if on_tpu else range(1)):
+        t0 = time.perf_counter()
+        cli.main(["-e", "tpu", "-d", "-V", str(comp), str(out)])
+        best = min(best, time.perf_counter() - t0)
+    with open(out, "rb") as f:
+        assert f.read() == data
+    _emit("e2e_tpu_decode", len(data) / best / 1e6, "MB/s", 66.0,
+          note="tunnel-limited on this host (~5MB/s device link)")
     comp5 = os.path.join(tmpdir, "tiny5.fqz5")
     t0 = time.perf_counter()
     cli.main(["-e", "tpu", "-5", "-V", str(tiny), str(comp5)])
