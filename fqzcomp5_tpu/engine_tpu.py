@@ -340,9 +340,13 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
     if backend._use_pallas():
         syms, Rf = _decode_o0_pallas(bodies, s3s, t_real, Tmax)
     else:
+        # mesh installed: shard the stream rows over dp x sp (blocks /
+        # stripes are independent, results byte-identical)
+        padm = backend.pad_rows(B)
+        Bp = B + padm
         Wmax = max(max((len(x) - 128 + 1) // 2 for x in bodies), 1)
-        words = np.zeros((B, Wmax), np.uint32)
-        R0 = np.empty((B, 32), np.uint32)
+        words = np.zeros((Bp, Wmax), np.uint32)
+        R0 = np.full((Bp, 32), rans_jax.RANS_L, np.uint32)
         for b, body in enumerate(bodies):
             R0[b] = body[:128].copy().view("<u4")
             wb = body[128:]
@@ -350,11 +354,20 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
                 wb = np.concatenate([wb, np.zeros(1, np.uint8)])
             w16 = wb.copy().view("<u2")
             words[b, :len(w16)] = w16
-        syms, Rf, _ = rans_jax.decode_scan(words, R0, s3s, Tmax,
-                                           rans_jax.TF_SHIFT,
-                                           t_real=t_real)
-        syms = np.asarray(syms)
-        Rf = np.asarray(Rf)
+        s3p = s3s
+        trp = t_real
+        if padm:
+            s3p = np.zeros((Bp, 1 << 12), np.uint32)
+            s3p[:B] = s3s
+            s3p[B:] = 1 << 20   # degenerate: sym 0, f=1 everywhere
+            trp = np.zeros(Bp, np.int32)
+            trp[:B] = t_real
+        syms, Rf, _ = rans_jax.decode_scan(
+            backend.shard_rows(words, 1), backend.shard_rows(R0, 1),
+            backend.shard_rows(s3p, 1), Tmax, rans_jax.TF_SHIFT,
+            t_real=backend.shard_rows(trp))
+        syms = np.asarray(syms)[:B]
+        Rf = np.asarray(Rf)[:B]
 
     out = []
     for b, sz in enumerate(out_szs):
@@ -605,11 +618,33 @@ def decode_o1_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
                 syms, Rf, ptrf = r
                 done = True
         if not done:
+            # mesh installed: shard stream rows over dp x sp (pads
+            # with degenerate streams, results byte-identical)
+            padm = backend.pad_rows(G)
+            wordsp, R0p_, s3sp, trp = words, R0, s3s, t_real
+            if padm:
+                Gp2 = G + padm
+                wordsp = np.zeros((Gp2, words.shape[1]), np.uint32)
+                wordsp[:G] = words
+                R0p_ = np.full((Gp2, 32), rans_jax.RANS_L, np.uint32)
+                R0p_[:G] = R0
+                s3sp = np.zeros((Gp2, s3s.shape[1]), np.uint32)
+                s3sp[:G] = s3s
+                s3sp[G:] = 1 << (group_shift + 8)  # sym0, f=1
+                trp = np.zeros(Gp2, np.int32)
+                trp[:G] = t_real
             syms, Rf, ptrf = rans_jax.decode_scan_o1(
-                words, R0, s3s, Tmax, group_shift, t_real=t_real)
-        syms = np.asarray(syms)
-        Rf = np.asarray(Rf)
-        ptrf = np.asarray(ptrf)
+                backend.shard_rows(wordsp, 1),
+                backend.shard_rows(R0p_, 1),
+                backend.shard_rows(s3sp, 1), Tmax, group_shift,
+                t_real=backend.shard_rows(trp))
+            syms = np.asarray(syms)[:G]
+            Rf = np.asarray(Rf)[:G]
+            ptrf = np.asarray(ptrf)[:G]
+        else:
+            syms = np.asarray(syms)
+            Rf = np.asarray(Rf)
+            ptrf = np.asarray(ptrf)
         for g, i in enumerate(idxs):
             sz = out_szs[i]
             isz = sz // 32

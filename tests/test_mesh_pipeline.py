@@ -91,3 +91,58 @@ def test_adaptive_batch_sharded_matches(mesh):
     ])
     assert got[0] == host.fqz_compress(bytes(q), lens, flags, None, 1)
     assert got[1] == host.seq_encode(seq, lens, 1, 12)
+
+
+def test_decode_batch_sharded_matches(mesh):
+    """decode_o0_batch under the mesh (scan path, rows sharded over
+    dp x sp with degenerate pad streams) must reproduce the data."""
+    from fqzcomp5_tpu import engine_tpu
+
+    rng = np.random.default_rng(21)
+    datas = [rng.choice(np.frombuffer(b"ACGTN", np.uint8),
+                        int(rng.integers(100, 3000))).tobytes()
+             for _ in range(5)]   # 5 streams -> padded to 8
+    payloads = engine_tpu.encode_o0_batch(datas)
+    got = engine_tpu.decode_o0_batch(payloads, [len(d) for d in datas])
+    assert got == datas
+    payloads1 = engine_tpu.encode_o1_batch(datas)
+    got1 = engine_tpu.decode_o1_batch(payloads1,
+                                      [len(d) for d in datas])
+    assert got1 == datas
+    backend.set_mesh(None)
+    want = engine_tpu.decode_o0_batch(payloads,
+                                      [len(d) for d in datas])
+    assert want == datas
+
+
+def test_decode_file_sharded_matches(mesh, tmp_path):
+    """decode_file_tpu under the mesh == without it, byte-for-byte."""
+    from fqzcomp5_tpu import tpu_driver
+    from fqzcomp5_tpu.drivers import Timings, make_fastq_writer
+    from fqzcomp5_tpu.options import Options
+
+    rng = np.random.default_rng(33)
+    recs = []
+    for i in range(800):
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), 80)
+        q = (np.clip(rng.normal(30, 5, 80), 0, 40) + 33).astype(
+            np.uint8)
+        recs.append(b"@r%d\n" % i + seq.tobytes() + b"\n+\n"
+                    + q.tobytes() + b"\n")
+    src = tmp_path / "in.fastq"
+    data = b"".join(recs)
+    src.write_bytes(data)
+
+    arg = Options()
+    arg.apply_preset(1)
+    arg.blk_size = 16 << 10
+    arg.verbose = -1
+
+    comp = io.BytesIO()
+    tpu_driver.encode_file_tpu(str(src), comp, arg, Timings())
+
+    res = io.BytesIO()
+    comp.seek(0)
+    tpu_driver.decode_file_tpu(comp, make_fastq_writer(res, arg),
+                               arg, Timings())
+    assert res.getvalue() == data
