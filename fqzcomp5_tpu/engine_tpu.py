@@ -341,10 +341,13 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
         syms, Rf = _decode_o0_pallas(bodies, s3s, t_real, Tmax)
     else:
         # mesh installed: shard the stream rows over dp x sp (blocks /
-        # stripes are independent, results byte-identical)
-        padm = backend.pad_rows(B)
-        Bp = B + padm
-        Wmax = max(max((len(x) - 128 + 1) // 2 for x in bodies), 1)
+        # stripes are independent, results byte-identical).  All dims
+        # bucket so compiles reuse across waves.
+        padm = backend.pad_rows(backend._bucket(B, lo=1))
+        Bp = backend._bucket(B, lo=1) + padm
+        Tmax = backend._bucket(Tmax)
+        Wmax = backend._bucket(
+            max(max((len(x) - 128 + 1) // 2 for x in bodies), 1))
         words = np.zeros((Bp, Wmax), np.uint32)
         R0 = np.full((Bp, 32), rans_jax.RANS_L, np.uint32)
         for b, body in enumerate(bodies):
@@ -354,9 +357,10 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
                 wb = np.concatenate([wb, np.zeros(1, np.uint8)])
             w16 = wb.copy().view("<u2")
             words[b, :len(w16)] = w16
+        del padm
         s3p = s3s
         trp = t_real
-        if padm:
+        if Bp > B:
             s3p = np.zeros((Bp, 1 << 12), np.uint32)
             s3p[:B] = s3s
             s3p[B:] = 1 << 20   # degenerate: sym 0, f=1 everywhere
@@ -619,13 +623,16 @@ def decode_o1_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
                 done = True
         if not done:
             # mesh installed: shard stream rows over dp x sp (pads
-            # with degenerate streams, results byte-identical)
-            padm = backend.pad_rows(G)
+            # with degenerate streams, results byte-identical).  Dims
+            # bucket so compiles reuse across waves.
+            Gb = backend._bucket(G, lo=1)
+            Gp2 = Gb + backend.pad_rows(Gb)
+            Tb2 = backend._bucket(Tmax)
+            Wb2 = backend._bucket(words.shape[1])
             wordsp, R0p_, s3sp, trp = words, R0, s3s, t_real
-            if padm:
-                Gp2 = G + padm
-                wordsp = np.zeros((Gp2, words.shape[1]), np.uint32)
-                wordsp[:G] = words
+            if Gp2 > G or Wb2 > words.shape[1]:
+                wordsp = np.zeros((Gp2, Wb2), np.uint32)
+                wordsp[:G, :words.shape[1]] = words
                 R0p_ = np.full((Gp2, 32), rans_jax.RANS_L, np.uint32)
                 R0p_[:G] = R0
                 s3sp = np.zeros((Gp2, s3s.shape[1]), np.uint32)
@@ -636,7 +643,7 @@ def decode_o1_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
             syms, Rf, ptrf = rans_jax.decode_scan_o1(
                 backend.shard_rows(wordsp, 1),
                 backend.shard_rows(R0p_, 1),
-                backend.shard_rows(s3sp, 1), Tmax, group_shift,
+                backend.shard_rows(s3sp, 1), Tb2, group_shift,
                 t_real=backend.shard_rows(trp))
             syms = np.asarray(syms)[:G]
             Rf = np.asarray(Rf)[:G]

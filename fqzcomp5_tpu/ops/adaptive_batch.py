@@ -44,6 +44,8 @@ from .seq_device_encode import FAM_SEQ, FAM_STATE, build_events
 
 JOB_OFF = 1 << 32        # > any local model id (4^14 seq ctx, 2^16+6 fqz)
 CHUNK_T = 1 << 21        # pass-3 steps per device call (bounds planes)
+CHUNK_T_PALLAS = 1 << 16  # the kernel's event planes are lane-padded
+# (T, R, 128) int32, so its chunks stay smaller
 
 # global model families
 F_T4, F_T2, F_N128, F_W256 = 0, 1, 2, 3
@@ -195,11 +197,12 @@ def rc_walk_batch(streams):
                       and backend.current_mesh() is None)
         if use_pallas:
             from . import rc_pallas
+        chunk = CHUNK_T_PALLAS if use_pallas else CHUNK_T
 
         state = None
         parts: list[list[bytes]] = [[] for _ in idxs]
-        for t0 in range(0, T2, CHUNK_T):
-            t1 = min(t0 + CHUNK_T, T2)
+        for t0 in range(0, T2, chunk):
+            t1 = min(t0 + chunk, T2)
             if use_pallas:
                 state, (fl, ca, ff, cy) = rc_pallas.encode_walk(
                     cum[:, t0:t1], freq[:, t0:t1], tot[:, t0:t1],

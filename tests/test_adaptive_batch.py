@@ -92,7 +92,7 @@ def test_pass3_pallas_path(monkeypatch):
 
     monkeypatch.setattr(rc_pallas, "encode_walk", walk_interp)
     monkeypatch.setenv("FQZ5_PALLAS", "1")
-    monkeypatch.setattr(adaptive_batch, "CHUNK_T", 512)
+    monkeypatch.setattr(adaptive_batch, "CHUNK_T_PALLAS", 512)
     jobs = [_fqz_case(31), _seq_case(32), _fqz_case(33, with_seq=True,
                                                    strat=3)]
     want = [_host_encode(j) for j in jobs]
