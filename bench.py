@@ -380,6 +380,27 @@ def main():
                 jax.config.update("jax_platforms", "cpu")
             else:
                 time.sleep(10)
+    if on_tpu:
+        # the tunnel sometimes degrades to ~0.1-0.5 MB/s while staying
+        # "up"; the kernel benches device_put tens of MB of operands,
+        # which would burn hours.  Probe the effective link rate and
+        # fall back to CPU metrics when it is unusable.
+        import jax
+        import jax.numpy as jnp
+
+        dt = 1e9
+        for _ in range(2):   # second put excludes warmup/RTT jitter
+            t0 = time.perf_counter()
+            x = jax.device_put(jnp.zeros((1 << 18,), jnp.int32))  # 1MB
+            float(x.sum())
+            dt = min(dt, time.perf_counter() - t0)
+        if dt > 4.0:
+            print(json.dumps({
+                "metric": "tunnel_link_probe",
+                "error": f"1MB device_put took {dt:.0f}s — tunnel "
+                         "degraded; kernel metrics skipped"}),
+                flush=True)
+            on_tpu = False
     if not on_tpu:
         _CPU_FALLBACK = True
         os.environ["FQZ5_PALLAS"] = "0"  # interpret benches: scan path
