@@ -1,14 +1,6 @@
 """Hardware validation + measurement for the Pallas kernels (v5e).
 
-Runs decode-walk v3 vs v5 (correctness FIRST: interpret mode does not
-reproduce hardware-only behaviours like int32 shift aliasing), then
-the pass-3 range-coder walk (Pallas vs scan), with the measurement
-discipline docs/DECODE_KERNEL_NOTES.md records: device_put ALL
-operands outside the timed region, two-size marginal timing, a host
-checksum transfer to sync.  Retries through axon tunnel flaps
-(~30s backoff, hours of patience); appends to /tmp/tpu_results.txt.
-
-Usage: PYTHONPATH=/root/repo python tools/tpu_validate.py
+Appends results to /tmp/tpu_results.txt; retries through tunnel flaps.
 """
 import functools
 import sys
@@ -25,15 +17,25 @@ def log(msg):
 
 
 def wait_tpu():
-    import jax
+    import subprocess
+    import sys
     for attempt in range(480):
+        # probe in a SUBPROCESS: a half-up tunnel can HANG backend
+        # init, and a failed init is cached per process
         try:
-            if jax.default_backend() == "tpu":
-                import jax.numpy as jnp
-                float(jax.jit(lambda x: x + 1)(jnp.float32(1)))
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "assert jax.default_backend() == 'tpu';"
+                 "print(float(jax.jit(lambda x: x + 1)(jnp.float32(1))))"],
+                capture_output=True, timeout=180)
+            if r.returncode == 0:
+                log("probe subprocess ok; initialising in-process")
                 return True
-        except RuntimeError as e:
-            log(f"tpu probe failed ({str(e)[:80]}); retry {attempt}")
+            log(f"probe rc={r.returncode}: "
+                f"{r.stderr.decode()[-120:]}; retry {attempt}")
+        except subprocess.TimeoutExpired:
+            log(f"probe subprocess hang (tunnel half-up); retry {attempt}")
         time.sleep(30)
     return False
 
@@ -171,6 +173,35 @@ def main():
             jax.block_until_ready(st)
             return float(st[0][0].astype(jnp.float32))
 
+        # hardware correctness first: assemble a small pallas walk and
+        # compare against the scan path byte-for-byte
+        try:
+            Tsm = 2048
+            tot = rng.integers(2, 60000, (8, Tsm)).astype(np.uint32)
+            fq2 = (rng.random((8, Tsm)) * tot * 0.9).astype(np.uint32) + 1
+            fq2 = np.minimum(fq2, tot)
+            cm2 = (rng.random((8, Tsm)) * (tot - fq2)).astype(np.uint32)
+            stp, (flp, cap_, ffp, cyp) = rc_pallas.encode_walk(
+                cm2, fq2, tot)
+            sts, (fls, cas, ffs, cys) = rc_jax.encode_scan(
+                cm2, fq2, tot)
+            fls, cas, ffs, cys = map(np.asarray, (fls, cas, ffs, cys))
+            ok = True
+            for b in range(8):
+                got = rc_jax.assemble_stream(flp[b], cap_[b], ffp[b],
+                                             cyp[b], b"")
+                want = rc_jax.assemble_stream(fls[b], cas[b], ffs[b],
+                                              cys[b], b"")
+                if got != want:
+                    ok = False
+                    break
+            stf_ok = all(np.array_equal(np.asarray(a, np.uint32),
+                                        np.asarray(b_, np.uint32))
+                         for a, b_ in zip(stp, sts))
+            log(f"pass3 pallas HW parity: streams={'OK' if ok else 'MISMATCH'} state={'OK' if stf_ok else 'MISMATCH'}")
+        except Exception as e:
+            log(f"pass3 parity check FAILED {str(e)[:250]}")
+
         for name, run in (("pallas", run_pallas), ("scan", run_scan)):
             try:
                 for T in (T1, T2):
@@ -195,3 +226,4 @@ def main():
 if __name__ == "__main__":
     sys.exit(main())
 
+# NOTE: main() was extended inline below via main2; keep both.
