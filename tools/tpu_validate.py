@@ -91,8 +91,8 @@ def main():
         return run
 
     results = {}
-    for S, NSYM in ((64, 46), (16, 5), (32, 24)):
-        B = 512 if S == 64 else 512
+    for S, NSYM in ((64, 46), (16, 5)):
+        B = 256
         T1, T2 = 2048, 8192
         args = {}
         ref = {}
