@@ -98,8 +98,8 @@ def main():
         ref = {}
         for T in (T1, T2):
             args[T], ref[T] = setup(B, T, NSYM, S)
-        for name, walk in (("v3", rpd.decode_walk4v3),
-                           ("v5", rpd.decode_walk4v5)):
+        for name, walk in (("v5", rpd.decode_walk4v5),
+                           ("v3", rpd.decode_walk4v3)):
             run = mk_run(walk, S)
             try:
                 # correctness first (hardware-only bugs!)
@@ -141,6 +141,106 @@ def main():
                 for x in mm[:4]:
                     log("  " + x[:200])
     log(f"SUMMARY {results}")
+
+
+    # ---- O1 decode walk: v5 vs v3 (DNA-like, A small) ----------
+    try:
+        import ctypes
+        from fqzcomp5_tpu import engine_tpu
+        L = engine_tpu._lib()
+        _u32p = ctypes.POINTER(ctypes.c_uint32)
+
+        def setup_o1(B, T):
+            motif = rng.choice(list(b"ACGT"), 48).astype(np.uint8)
+            datas = []
+            for _ in range(B):
+                n = T * 32
+                reps = np.tile(motif, n // 48 + 1)[:n].copy()
+                fl = rng.integers(0, n, n // 9)
+                reps[fl] = rng.choice(list(b"ACGT"), len(fl))
+                datas.append(reps.tobytes())
+            payloads = engine_tpu.encode_o1_batch(datas)
+            parsed = []
+            for p in payloads:
+                arr = np.frombuffer(p, np.uint8)
+                shift_c = ctypes.c_int(0)
+                s3 = np.empty(256 << 12, np.uint32)
+                used = L.fqz5_rans_o1_dec_prep(
+                    engine_tpu._ptr(arr), len(arr),
+                    s3.ctypes.data_as(_u32p), ctypes.byref(shift_c))
+                assert used > 0
+                parsed.append((shift_c.value,
+                               s3[:256 << shift_c.value], arr[used:]))
+            shift_g = parsed[0][0]
+            assert all(p[0] == shift_g for p in parsed)
+            tot = 1 << shift_g
+            s3s = np.stack([p[1] for p in parsed])
+            from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+            s3m = s3s.reshape(B, 256, tot)
+            sym_lut = (s3m & 0xFF).astype(np.int64)
+            f_lut = (s3m >> (shift_g + 8)).astype(np.uint32)
+            freqs = np.zeros((B, 256, 256), np.uint32)
+            gi = np.arange(B)[:, None, None]
+            ci = np.arange(256)[None, :, None]
+            freqs[gi, ci, sym_lut] = f_lut
+            packed, alphabet, A, A1, last0 = \
+                rpd.build_o1_dense_tables(freqs, shift_g)
+            Wmax = max((len(p[2]) - 128 + 1) // 2 for p in parsed)
+            Wmax128 = Wmax // 128 + 4
+            words128 = np.zeros((B, Wmax128, 128), np.int32)
+            R0 = np.zeros((B, 32), np.int32)
+            for g, p in enumerate(parsed):
+                body = p[2]
+                R0[g] = body[:128].copy().view("<u4").astype(np.int32)
+                wb = body[128:]
+                if len(wb) & 1:
+                    wb = np.concatenate([wb, np.zeros(1, np.uint8)])
+                w16 = wb.copy().view("<u2").astype(np.int32)
+                flat = np.zeros(Wmax128 * 128, np.int32)
+                flat[:len(w16)] = w16
+                words128[g] = flat.reshape(Wmax128, 128)
+            cexp = np.ascontiguousarray(
+                rpd.expand4(packed).transpose(1, 0, 2))
+            treal = np.full(B, T, np.int32)
+            texp = rpd.expand4(
+                treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
+            R0r = R0.reshape(B // 4, 128)
+            dev = [jax.device_put(jnp.asarray(x))
+                   for x in (words128, cexp, R0r, texp)]
+            return dev, (shift_g, A, A1, last0)
+
+        from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+        B = 256
+        T1o, T2o = 1024, 4096
+        a1, m1 = setup_o1(B, T1o)
+        a2, m2 = setup_o1(B, T2o)
+        assert m1 == m2, (m1, m2)
+        shift_g, A, A1, last0 = m1
+        log(f"O1 setup: shift={shift_g} A={A} A1={A1}")
+        for name, walk in (("v5", rpd.decode_walk4v5_o1),
+                           ("v3", rpd.decode_walk4v3_o1)):
+            try:
+                def run(args, T):
+                    syms, Rf, cur = walk(*args, T=T, shift=shift_g,
+                                         A=A, A1=A1, last0=last0)
+                    jax.block_until_ready((syms, Rf, cur))
+                    return float(syms[0, 0, 0].astype(jnp.float32))
+                run(a1, T1o); run(a2, T2o)
+                def best(args, T, n=5):
+                    b_ = 1e9
+                    for _ in range(n):
+                        t0 = time.perf_counter()
+                        run(args, T)
+                        b_ = min(b_, time.perf_counter() - t0)
+                    return b_
+                tA, tB = best(a1, T1o), best(a2, T2o)
+                mbps = B * 32 * (T2o - T1o) / max(tB - tA, 1e-9) / 1e6
+                log(f"O1 dec {name} A={A}: {mbps:.0f} MB/s "
+                    f"(tA={tA*1e3:.1f} tB={tB*1e3:.1f})")
+            except Exception as e:
+                log(f"O1 dec {name} FAILED {str(e)[:250]}")
+    except Exception as e:
+        log(f"O1 setup FAILED {str(e)[:250]}")
 
     # ---- pass-3 rc walk: pallas vs scan ------------------------
     try:
