@@ -389,9 +389,11 @@ def main():
         import jax.numpy as jnp
 
         dt = 1e9
+        host_mb = np.zeros(1 << 18, np.int32)   # HOST buffer: the put
+        # must actually cross the tunnel (jnp.zeros creates on-device)
         for _ in range(2):   # second put excludes warmup/RTT jitter
             t0 = time.perf_counter()
-            x = jax.device_put(jnp.zeros((1 << 18,), jnp.int32))  # 1MB
+            x = jax.device_put(host_mb)
             float(x.sum())
             dt = min(dt, time.perf_counter() - t0)
         if dt > 4.0:
@@ -401,6 +403,10 @@ def main():
                          "degraded; kernel metrics skipped"}),
                 flush=True)
             on_tpu = False
+            # keep the remaining (interpret-mode) benches off the
+            # degraded link: default all placements to the CPU device
+            jax.config.update("jax_default_device",
+                              jax.devices("cpu")[0])
     if not on_tpu:
         _CPU_FALLBACK = True
         os.environ["FQZ5_PALLAS"] = "0"  # interpret benches: scan path

@@ -337,14 +337,15 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
     Tmax = max(int(t_real.max()), 1)
 
     from fqzcomp5_tpu.ops import backend
-    if backend._use_pallas():
+    _mesh1 = backend.current_mesh()
+    if backend._use_pallas() and (_mesh1 is None or _mesh1.size == 1):
         syms, Rf = _decode_o0_pallas(bodies, s3s, t_real, Tmax)
     else:
         # mesh installed: shard the stream rows over dp x sp (blocks /
         # stripes are independent, results byte-identical).  All dims
         # bucket so compiles reuse across waves.
-        padm = backend.pad_rows(backend._bucket(B, lo=1))
-        Bp = backend._bucket(B, lo=1) + padm
+        Bb = backend._bucket(B, lo=1)
+        Bp = Bb + backend.pad_rows(Bb)
         Tmax = backend._bucket(Tmax)
         Wmax = backend._bucket(
             max(max((len(x) - 128 + 1) // 2 for x in bodies), 1))
@@ -357,13 +358,12 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
                 wb = np.concatenate([wb, np.zeros(1, np.uint8)])
             w16 = wb.copy().view("<u2")
             words[b, :len(w16)] = w16
-        del padm
         s3p = s3s
         trp = t_real
         if Bp > B:
             s3p = np.zeros((Bp, 1 << 12), np.uint32)
             s3p[:B] = s3s
-            s3p[B:] = 1 << 20   # degenerate: sym 0, f=1 everywhere
+            s3p[B:] = 1 << (rans_jax.TF_SHIFT + 8)  # degenerate: sym0, f=1
             trp = np.zeros(Bp, np.int32)
             trp[:B] = t_real
         syms, Rf, _ = rans_jax.decode_scan(
@@ -615,7 +615,9 @@ def decode_o1_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
 
         from fqzcomp5_tpu.ops import backend
         done = False
-        if backend._use_pallas():
+        _mesh1 = backend.current_mesh()
+        if backend._use_pallas() and (_mesh1 is None
+                                      or _mesh1.size == 1):
             r = _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax,
                                         group_shift)
             if r is not None:

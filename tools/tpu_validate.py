@@ -326,4 +326,3 @@ def main():
 if __name__ == "__main__":
     sys.exit(main())
 
-# NOTE: main() was extended inline below via main2; keep both.
