@@ -33,8 +33,8 @@ extern "C" int fqz5_have_avx512();
 extern "C" void fqz5_simd512_dec_o0_32(const uint32_t*, int,
                                        const uint8_t**, const uint8_t*,
                                        uint32_t*, uint8_t*, uint32_t);
-extern "C" void fqz5_simd512_dec_o1_32(const uint8_t*, const uint32_t*,
-                                       int, const uint8_t**,
+extern "C" void fqz5_simd512_dec_o1_32(const uint32_t*, int,
+                                       const uint8_t**,
                                        const uint8_t*, uint32_t*,
                                        uint8_t*, uint8_t*, uint32_t);
 extern "C" void fqz5_simd512_enc_o0_32(const uint8_t*, uint32_t,
@@ -48,7 +48,7 @@ extern "C" void fqz5_simd512_enc_o1_32(const uint8_t*, uint32_t,
 extern "C" void fqz5_simd_dec_o0_32(const uint32_t*, int, const uint8_t**,
                                     const uint8_t*, uint32_t*, uint8_t*,
                                     uint32_t);
-extern "C" void fqz5_simd_dec_o1_32(const uint8_t*, const uint32_t*, int,
+extern "C" void fqz5_simd_dec_o1_32(const uint32_t*, int,
                                     const uint8_t**, const uint8_t*,
                                     uint32_t*, uint8_t*, uint8_t*,
                                     uint32_t);
@@ -694,14 +694,14 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
     cp += fsz;
     if (cp >= c_freq_end) return false;
 
-    // fb tables: freq + cumulative base per (ctx, sym); sfb: slot -> sym
+    // merged s3 table: slot (ctx << shift) + m packs
+    // ((f-1) << 20) | (start << 8) | sym, so the SIMD/scalar decode
+    // loops need ONE table read per symbol (f <= 4096 stores as f-1
+    // in 12 bits; start < 2^shift <= 4096 fits 12; sym 8)
     const uint32_t tot = 1u << shift;
-    static thread_local std::vector<uint8_t> sfbv;
-    static thread_local std::vector<uint32_t> fbv;
-    sfbv.resize(256 * tot + 4);  // +4: SIMD dword gathers of bytes
-    fbv.resize(256 * 256);
-    uint8_t* sfb = sfbv.data();
-    uint32_t* fb = fbv.data();
+    static thread_local std::vector<uint32_t> s3v;
+    s3v.resize(256 * tot);
+    uint32_t* s3o1 = s3v.data();
 
     for (int i = 0; i < 256; i++) {
         if (F0[i] == 0) continue;
@@ -715,8 +715,10 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
         for (int j = 0; j < 256; j++) {
             if (!F[j]) continue;
             if (F[j] > tot - x) return false;
-            memset(&sfb[i * tot + x], j, F[j]);
-            fb[i * 256 + j] = (F[j] << 16) | x;
+            const uint32_t ent = ((F[j] - 1) << 20) | (x << 8)
+                                 | uint32_t(j);
+            uint32_t* row = &s3o1[i * tot + x];
+            for (uint32_t k = 0; k < F[j]; k++) row[k] = ent;
             x += F[j];
         }
         if (x != tot) return false;
@@ -741,10 +743,10 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
         static thread_local std::vector<uint8_t> tbuf;
         tbuf.resize(size_t(isz) * 32);
         if (fqz5_have_avx512())
-            fqz5_simd512_dec_o1_32(sfb, fb, int(shift), &cp, limit, R, l,
+            fqz5_simd512_dec_o1_32(s3o1, int(shift), &cp, limit, R, l,
                                    tbuf.data(), isz);
         else
-            fqz5_simd_dec_o1_32(sfb, fb, int(shift), &cp, limit, R, l,
+            fqz5_simd_dec_o1_32(s3o1, int(shift), &cp, limit, R, l,
                                 tbuf.data(), isz);
         // un-transpose (isz x 32) into the 32 contiguous lane chunks
         for (int z = 0; z < N; z++) {
@@ -758,9 +760,10 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
         for (uint32_t i = 0; i < isz; i++) {
             for (int z = 0; z < N; z++) {
                 uint32_t m = R[z] & mask;
-                uint8_t c = sfb[l[z] * tot + m];
-                uint32_t fbe = fb[l[z] * 256 + c];
-                R[z] = (fbe >> 16) * (R[z] >> shift) + m - (fbe & 0xffff);
+                uint32_t sv = s3o1[(uint32_t(l[z]) << shift) + m];
+                uint8_t c = uint8_t(sv & 0xFF);
+                R[z] = ((sv >> 20) + 1) * (R[z] >> shift) + m
+                       - ((sv >> 8) & 0xFFF);
                 out[i4[z]++] = c;
                 l[z] = c;
                 dec_renorm(R[z], cp, limit);
@@ -770,9 +773,10 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
     // tail on the last state
     for (uint32_t i = i4[N - 1]; i < out_sz; i++) {
         uint32_t m = R[N - 1] & mask;
-        uint8_t c = sfb[l[N - 1] * tot + m];
-        uint32_t fbe = fb[l[N - 1] * 256 + c];
-        R[N - 1] = (fbe >> 16) * (R[N - 1] >> shift) + m - (fbe & 0xffff);
+        uint32_t sv = s3o1[(uint32_t(l[N - 1]) << shift) + m];
+        uint8_t c = uint8_t(sv & 0xFF);
+        R[N - 1] = ((sv >> 20) + 1) * (R[N - 1] >> shift) + m
+                   - ((sv >> 8) & 0xFFF);
         out[i] = c;
         l[N - 1] = c;
         dec_renorm(R[N - 1], cp, limit);

@@ -118,14 +118,19 @@ void fqz5_simd_dec_o0_32(const uint32_t* s3, int shift,
 
 // Order-1 main loop: isz steps over 32 lanes, writing a transposed
 // (isz x 32) buffer the caller must provide (tbuf), plus final last[].
-void fqz5_simd_dec_o1_32(const uint8_t* sfb, const uint32_t* fb,
-                         int shift, const uint8_t** cp_io,
+void fqz5_simd_dec_o1_32(const uint32_t* s3o1, int shift,
+                         const uint8_t** cp_io,
                          const uint8_t* limit, uint32_t* Rs,
                          uint8_t* lastv, uint8_t* tbuf, uint32_t isz) {
+    // s3o1[(last << shift) + m] = ((f-1) << 20) | (start << 8) | sym:
+    // ONE gather per lane per symbol (the two-table version gathered
+    // sym and (f,start) separately; gathers dominate this loop)
     const uint8_t* cp = *cp_io;
     const uint32_t mask = (1u << shift) - 1;
     const __m256i vmask = _mm256_set1_epi32(int(mask));
     const __m256i vff = _mm256_set1_epi32(0xFF);
+    const __m256i v12 = _mm256_set1_epi32(0xFFF);
+    const __m256i v1 = _mm256_set1_epi32(1);
     __m256i R[4], last[4];
     for (int g = 0; g < 4; g++) {
         R[g] = _mm256_loadu_si256((const __m256i*)(Rs + 8 * g));
@@ -136,29 +141,24 @@ void fqz5_simd_dec_o1_32(const uint8_t* sfb, const uint32_t* fb,
 
     for (uint32_t i = 0; i < isz; i++) {
         uint8_t* trow = tbuf + size_t(i) * 32;
-        __m256i m[4], c[4];
+        __m256i m[4], sv[4];
         for (int g = 0; g < 4; g++) {
             m[g] = _mm256_and_si256(R[g], vmask);
             __m256i sidx = _mm256_add_epi32(
                 _mm256_slli_epi32(last[g], shift), m[g]);
-            __m256i sv = _mm256_i32gather_epi32((const int*)sfb, sidx, 1);
-            c[g] = _mm256_and_si256(sv, vff);
-        }
-        __m256i fbe[4];
-        for (int g = 0; g < 4; g++) {
-            pack8_low_bytes(c[g], trow + 8 * g);
-            __m256i fidx = _mm256_add_epi32(
-                _mm256_slli_epi32(last[g], 8), c[g]);
-            fbe[g] = _mm256_i32gather_epi32((const int*)fb, fidx, 4);
+            sv[g] = _mm256_i32gather_epi32((const int*)s3o1, sidx, 4);
         }
         for (int g = 0; g < 4; g++) {
-            __m256i f = _mm256_srli_epi32(fbe[g], 16);
-            __m256i st = _mm256_and_si256(fbe[g],
-                                          _mm256_set1_epi32(0xFFFF));
+            __m256i c = _mm256_and_si256(sv[g], vff);
+            pack8_low_bytes(c, trow + 8 * g);
+            __m256i f = _mm256_add_epi32(
+                _mm256_srli_epi32(sv[g], 20), v1);
+            __m256i st = _mm256_and_si256(_mm256_srli_epi32(sv[g], 8),
+                                          v12);
             __m256i q = _mm256_srli_epi32(R[g], shift);
             R[g] = _mm256_sub_epi32(
                 _mm256_add_epi32(_mm256_mullo_epi32(f, q), m[g]), st);
-            last[g] = c[g];
+            last[g] = c;
         }
         for (int g = 0; g < 4; g++) R[g] = renorm8(R[g], cp, limit);
     }
@@ -179,7 +179,7 @@ extern "C" {
 int fqz5_have_avx2() { return 0; }
 void fqz5_simd_dec_o0_32(const uint32_t*, int, const uint8_t**,
                          const uint8_t*, uint32_t*, uint8_t*, uint32_t) {}
-void fqz5_simd_dec_o1_32(const uint8_t*, const uint32_t*, int,
+void fqz5_simd_dec_o1_32(const uint32_t*, int,
                          const uint8_t**, const uint8_t*, uint32_t*,
                          uint8_t*, uint8_t*, uint32_t) {}
 }
@@ -263,16 +263,19 @@ extern "C" void fqz5_simd512_dec_o0_32(const uint32_t* s3, int shift,
     *cp_io = cp;
 }
 
-extern "C" void fqz5_simd512_dec_o1_32(const uint8_t* sfb,
-                                       const uint32_t* fb, int shift,
+extern "C" void fqz5_simd512_dec_o1_32(const uint32_t* s3o1,
+                                       int shift,
                                        const uint8_t** cp_io,
                                        const uint8_t* limit, uint32_t* Rs,
                                        uint8_t* lastv, uint8_t* tbuf,
                                        uint32_t isz) {
+    // merged (f-1)<<20|start<<8|sym table: one gather per lane/symbol
     const uint8_t* cp = *cp_io;
     const uint32_t mask = (1u << shift) - 1;
     const __m512i vmask = _mm512_set1_epi32(int(mask));
     const __m512i vff = _mm512_set1_epi32(0xFF);
+    const __m512i v12 = _mm512_set1_epi32(0xFFF);
+    const __m512i v1 = _mm512_set1_epi32(1);
     __m512i R[2], last[2];
     for (int g = 0; g < 2; g++) {
         R[g] = _mm512_loadu_si512(Rs + 16 * g);
@@ -283,29 +286,24 @@ extern "C" void fqz5_simd512_dec_o1_32(const uint8_t* sfb,
 
     for (uint32_t i = 0; i < isz; i++) {
         uint8_t* trow = tbuf + size_t(i) * 32;
-        __m512i m[2], c[2];
+        __m512i m[2], sv[2];
         for (int g = 0; g < 2; g++) {
             m[g] = _mm512_and_si512(R[g], vmask);
             __m512i sidx = _mm512_add_epi32(
                 _mm512_slli_epi32(last[g], shift), m[g]);
-            __m512i sv = _mm512_i32gather_epi32(sidx, (const int*)sfb, 1);
-            c[g] = _mm512_and_si512(sv, vff);
-        }
-        __m512i fbe[2];
-        for (int g = 0; g < 2; g++) {
-            pack16_low_bytes(c[g], trow + 16 * g);
-            __m512i fidx = _mm512_add_epi32(
-                _mm512_slli_epi32(last[g], 8), c[g]);
-            fbe[g] = _mm512_i32gather_epi32(fidx, (const int*)fb, 4);
+            sv[g] = _mm512_i32gather_epi32(sidx, (const int*)s3o1, 4);
         }
         for (int g = 0; g < 2; g++) {
-            __m512i f = _mm512_srli_epi32(fbe[g], 16);
-            __m512i st = _mm512_and_si512(fbe[g],
-                                          _mm512_set1_epi32(0xFFFF));
+            __m512i c = _mm512_and_si512(sv[g], vff);
+            pack16_low_bytes(c, trow + 16 * g);
+            __m512i f = _mm512_add_epi32(
+                _mm512_srli_epi32(sv[g], 20), v1);
+            __m512i st = _mm512_and_si512(_mm512_srli_epi32(sv[g], 8),
+                                          v12);
             __m512i q = _mm512_srli_epi32(R[g], shift);
             R[g] = _mm512_sub_epi32(
                 _mm512_add_epi32(_mm512_mullo_epi32(f, q), m[g]), st);
-            last[g] = c[g];
+            last[g] = c;
         }
         for (int g = 0; g < 2; g++) R[g] = renorm16(R[g], cp, limit);
     }
@@ -324,7 +322,7 @@ extern "C" int fqz5_have_avx512() { return 0; }
 extern "C" void fqz5_simd512_dec_o0_32(const uint32_t*, int,
                                        const uint8_t**, const uint8_t*,
                                        uint32_t*, uint8_t*, uint32_t) {}
-extern "C" void fqz5_simd512_dec_o1_32(const uint8_t*, const uint32_t*,
+extern "C" void fqz5_simd512_dec_o1_32(const uint32_t*,
                                        int, const uint8_t**,
                                        const uint8_t*, uint32_t*,
                                        uint8_t*, uint8_t*, uint32_t) {}
