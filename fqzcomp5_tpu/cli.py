@@ -11,11 +11,10 @@ Same flag surface as the reference binary (fqzcomp5.c:4697-5302):
 
 from __future__ import annotations
 
-import gzip
 import struct
 import sys
 
-from fqzcomp5_tpu import inspect_tool
+from fqzcomp5_tpu import fastq, inspect_tool
 from fqzcomp5_tpu.constants import Method, bit
 from fqzcomp5_tpu.drivers import (Timings, decode_file, encode_file,
                                   encode_paired, make_deinterleave_writer,
@@ -230,9 +229,9 @@ def _main(argv=None) -> int:
         in_fp = open(in_name, "rb") if in_name else sys.stdin.buffer
         if len(files) == 3:
             arg.paired_mode = 1
-            o1 = gzip.open(files[1], "wb") if is_gz(files[1]) \
+            o1 = fastq.GzExactWriter(files[1]) if is_gz(files[1]) \
                 else open(files[1], "wb")
-            o2 = gzip.open(files[2], "wb") if is_gz(files[2]) \
+            o2 = fastq.GzExactWriter(files[2]) if is_gz(files[2]) \
                 else open(files[2], "wb")
             try:
                 writer = make_deinterleave_writer(o1, o2, arg)
@@ -247,8 +246,8 @@ def _main(argv=None) -> int:
         else:
             out_name = files[1] if len(files) >= 2 else None
             if out_name:
-                out = gzip.open(out_name, "wb") if is_gz(out_name) \
-                    else open(out_name, "wb")
+                out = fastq.GzExactWriter(out_name) \
+                    if is_gz(out_name) else open(out_name, "wb")
             else:
                 out = sys.stdout.buffer
             try:

@@ -481,6 +481,49 @@ class InterleavedParser:
         )
 
 
+class GzExactWriter:
+    """gzwrite-compatible .gz output stream.
+
+    Python's gzip module stamps FNAME/mtime/XFL/OS fields, so its
+    container bytes differ from the reference's zlib gzwrite output
+    even though the deflate body is identical (level 6).  This writer
+    emits the exact gzwrite framing — header 1f8b 08 00, mtime 0,
+    XFL 0, OS 3 (unix), one level-6 raw-deflate stream, CRC32+ISIZE
+    trailer — so .gz outputs byte-match the reference binary's
+    (fqzcomp5.c output_fastq gzprintf path)."""
+
+    def __init__(self, path: str):
+        import zlib
+
+        self._zlib = zlib
+        self._fp = open(path, "wb")
+        self._fp.write(b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03")
+        self._co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        self._crc = 0
+        self._size = 0
+
+    def write(self, data) -> int:
+        data = bytes(data)
+        self._crc = self._zlib.crc32(data, self._crc)
+        self._size += len(data)
+        self._fp.write(self._co.compress(data))
+        return len(data)
+
+    def close(self) -> None:
+        import struct
+
+        self._fp.write(self._co.flush())
+        self._fp.write(struct.pack(
+            "<II", self._crc & 0xFFFFFFFF, self._size & 0xFFFFFFFF))
+        self._fp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def open_input(path: Optional[str]):
     """Open a FASTQ/FASTA input, transparently decoding gzip.
 

@@ -89,6 +89,27 @@ def test_gzip_io(tmp_path, data_dir):
     assert gzip.decompress(out_gz.read_bytes()) == src.read_bytes()
 
 
+def test_gz_output_bytes_match_reference(tmp_path, data_dir):
+    """.gz CONTAINER bytes (not just content) match the reference
+    binary's gzwrite output: header 1f8b 08 00 mtime=0 xfl=0 os=3 +
+    one zlib level-6 deflate stream (GzExactWriter)."""
+    from tests import oracle_util
+
+    if not oracle_util.FQZ5_BIN.exists():
+        import pytest
+        pytest.skip("reference binary not built")
+    import subprocess
+    src = data_dir / "sample.fastq"
+    comp = tmp_path / "c.fqz5"
+    assert run_cli(["-1", "-V", str(src), str(comp)]) == 0
+    ref_gz = tmp_path / "ref.fastq.gz"
+    subprocess.run([str(oracle_util.FQZ5_BIN), "-d", str(comp),
+                    str(ref_gz)], check=True, capture_output=True)
+    our_gz = tmp_path / "our.fastq.gz"
+    assert run_cli(["-d", "-V", str(comp), str(our_gz)]) == 0
+    assert our_gz.read_bytes() == ref_gz.read_bytes()
+
+
 # Group 4: -p plus-name, -b block size, threads
 def test_plus_name(tmp_path, data_dir):
     src = data_dir / "sample.fastq"
