@@ -23,12 +23,24 @@ def wait_tpu():
         # probe in a SUBPROCESS: a half-up tunnel can HANG backend
         # init, and a failed init is cached per process
         try:
+            # in-process retries matter: the plugin's first attempts
+            # fail/hang but later attempts in the SAME process can
+            # connect (that is how bench.py got through)
             r = subprocess.run(
                 [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "assert jax.default_backend() == 'tpu';"
-                 "print(float(jax.jit(lambda x: x + 1)(jnp.float32(1))))"],
-                capture_output=True, timeout=180)
+                 "import time\n"
+                 "import jax\n"
+                 "for i in range(8):\n"
+                 "    try:\n"
+                 "        assert jax.default_backend() == 'tpu'\n"
+                 "        import jax.numpy as jnp\n"
+                 "        print(float(jax.jit(lambda x: x + 1)(jnp.float32(1))))\n"
+                 "        break\n"
+                 "    except (RuntimeError, AssertionError) as e:\n"
+                 "        time.sleep(15)\n"
+                 "else:\n"
+                 "    raise SystemExit(3)\n"],
+                capture_output=True, timeout=500)
             if r.returncode == 0:
                 log("probe subprocess ok; initialising in-process")
                 return True
@@ -46,6 +58,18 @@ def main():
         return 1
     import jax
     import jax.numpy as jnp
+    for attempt in range(30):
+        try:
+            assert jax.default_backend() == "tpu"
+            float(jax.jit(lambda x: x + 1)(jnp.float32(1)))
+            log("main process on tpu")
+            break
+        except (RuntimeError, AssertionError) as e:
+            log(f"main init retry {attempt}: {str(e)[:80]}")
+            time.sleep(15)
+    else:
+        log("main process never initialised; giving up")
+        return 1
     from fqzcomp5_tpu.ops import backend, rans_jax
     from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
     backend.ensure_compile_cache()
