@@ -357,29 +357,70 @@ def bench_encode_walk(on_tpu):
     _emit("rans32x16_o0_encode_walk_throughput", mbps, "MB/s", 328.0)
 
 
+def _tpu_reachable():
+    """Probe the TPU in a SUBPROCESS: a half-up tunnel can hang
+    backend init indefinitely (not raise), and a failed init is cached
+    per process.  The subprocess retries in-process (that is how
+    connections actually succeed through flaps) but is hard-bounded by
+    the timeout, so this can never stall the driver."""
+    import subprocess
+    import sys
+
+    code = (
+        "import time, jax\n"
+        "for i in range(4):\n"
+        "    try:\n"
+        "        assert jax.default_backend() == 'tpu'\n"
+        "        import jax.numpy as jnp\n"
+        "        float(jax.jit(lambda x: x + 1)(jnp.float32(1)))\n"
+        "        raise SystemExit(0)\n"
+        "    except (RuntimeError, AssertionError):\n"
+        "        time.sleep(10)\n"
+        "raise SystemExit(3)\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=300)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import signal
     import tempfile
 
     import jax
 
     global _CPU_FALLBACK
     on_tpu = False
-    for attempt in range(10):
-        try:
-            on_tpu = jax.default_backend() == "tpu"
-            if on_tpu:
-                # the tunnel can list the device while its compile
-                # service is down; prove it with a tiny computation
-                import jax.numpy as jnp
+    if _tpu_reachable():
+        # in-process init can still hang even after a good probe;
+        # bound each attempt with SIGALRM
+        def _on_alarm(sig, frm):
+            raise TimeoutError("backend init hang")
 
-                float(jax.jit(lambda x: x + 1)(jnp.float32(1)))
-            break
-        except RuntimeError:
-            on_tpu = False
-            if attempt == 9:
-                jax.config.update("jax_platforms", "cpu")
-            else:
+        signal.signal(signal.SIGALRM, _on_alarm)
+        for attempt in range(10):
+            signal.alarm(120)
+            try:
+                on_tpu = jax.default_backend() == "tpu"
+                if on_tpu:
+                    # the tunnel can list the device while its compile
+                    # service is down; prove it with a computation
+                    import jax.numpy as jnp
+
+                    float(jax.jit(lambda x: x + 1)(jnp.float32(1)))
+                break
+            except (RuntimeError, TimeoutError):
+                on_tpu = False
                 time.sleep(10)
+            finally:
+                signal.alarm(0)
+    if not on_tpu:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backends already initialised (e.g. axon-less box)
     if on_tpu:
         # the tunnel sometimes degrades to ~0.1-0.5 MB/s while staying
         # "up"; the kernel benches device_put tens of MB of operands,

@@ -15,6 +15,7 @@ section selected.
 
 from __future__ import annotations
 
+import concurrent.futures as cf
 import struct
 import zlib
 from typing import BinaryIO
@@ -591,12 +592,31 @@ def decode_file_tpu(in_fp: BinaryIO, writer, arg: Options,
         for key, parts in stripe_parts.items():
             if all(p is not None for p in parts):
                 dev_results[key] = _unstripe(parts, stripe_ulen[key])
-        for i, raw in enumerate(wave):
-            pre = {k[1]: v for k, v in dev_results.items() if k[0] == i}
+        # residual host decode (names/adaptive sections) threads
+        # across the wave's blocks, mirroring the host driver's pool;
+        # writes drain in order
+        def job(i, raw):
+            pre = {k[1]: v for k, v in dev_results.items()
+                   if k[0] == i}
             bt = Timings()
-            fq = decode_block(raw, file_version, predecoded=pre, timings=bt)
-            t.append_block(bt, arg.verbose)
-            writer(fq)
+            fq = decode_block(raw, file_version, predecoded=pre,
+                              timings=bt)
+            return fq, bt
+
+        nthread = max(1, arg.nthread)
+        if nthread == 1 or len(wave) == 1:
+            for i, raw in enumerate(wave):
+                fq, bt = job(i, raw)
+                t.append_block(bt, arg.verbose)
+                writer(fq)
+        else:
+            with cf.ThreadPoolExecutor(max_workers=nthread) as pool:
+                futs = [pool.submit(job, i, raw)
+                        for i, raw in enumerate(wave)]
+                for f in futs:
+                    fq, bt = f.result()
+                    t.append_block(bt, arg.verbose)
+                    writer(fq)
 
     for raw in container.iter_raw_blocks(in_fp, index_offset):
         wave_raw.append(raw)
