@@ -57,10 +57,13 @@ int64_t seq_encode(const uint8_t* in, uint32_t in_size, const uint32_t* lens,
         // avoids re-faulting pages on every growth step.
         model_cap = size_t(1) << 30;  // 4^14 contexts * 4 bytes
         if (model_cap < size_t(msize) * 4) model_cap = size_t(msize) * 4;
-        model_mem.reset(new uint8_t[model_cap]);
+        model_mem.reset(new uint8_t[model_cap + 64]);
     }
-    memset(model_mem.get(), 1, size_t(msize) * 4);
-    TinyModel<4>* seq_model = reinterpret_cast<TinyModel<4>*>(model_mem.get());
+    // 64-align so each 16-model prefetch block is one cache line
+    uint8_t* marena = reinterpret_cast<uint8_t*>(
+        (reinterpret_cast<uintptr_t>(model_mem.get()) + 63) & ~uintptr_t(63));
+    memset(marena, 1, size_t(msize) * 4);
+    TinyModel<4>* seq_model = reinterpret_cast<TinyModel<4>*>(marena);
     TinyModel<2> state_model[3];
     AdaptiveModel<256, 16> run_len[3];
     AdaptiveModel<256, 16> literal;
@@ -108,13 +111,33 @@ int64_t seq_encode(const uint8_t* in, uint32_t in_size, const uint32_t* lens,
                 uint8_t b = uint8_t(L[in[i + k]] & 3);
                 seq_model[last].encode(rc, b);
                 last = ((last << 2) + b) & mask;
-                __builtin_prefetch(&seq_model[last]);
+                // The walk is DRAM-latency bound (the model array is
+                // 4^k * 4 bytes); a 1-ahead prefetch cannot hide the
+                // miss.  Bases are known ahead on encode, so prefetch
+                // the EXACT context 3 iterations out (the reference's
+                // scheme, fqzcomp5.c:1176-1183).
+                uint32_t nb = i + k + 3 < in_size
+                    ? uint32_t(L[in[i + k + 1]] & 3) * 16 +
+                      uint32_t(L[in[i + k + 2]] & 3) * 4 +
+                      uint32_t(L[in[i + k + 3]] & 3)
+                    : 0;
+                __builtin_prefetch(
+                    &seq_model[(((last << 6) & mask) + nb) & mask]);
                 if (both_strands) {
                     int b2 = last2 & 3;
                     last2 = last2 / 4 + ((3 - b) << (2 * ctx_size - 2));
                     seq_model[last2].update(b2);
+                    // exact bottom-strand context 3 ahead
+                    // (fqzcomp5.c:1192-1198: "~25% speed gain")
+                    uint32_t r3 = i + k + 3 < in_size
+                        ? uint32_t(L[in[i + k + 1]] & 3) +
+                          uint32_t(L[in[i + k + 2]] & 3) * 4 +
+                          uint32_t(L[in[i + k + 3]] & 3) * 16
+                        : 0;
                     __builtin_prefetch(
-                        &seq_model[(last2 / 4) & mask]);
+                        &seq_model[((last2 >> 6) +
+                                    ((0x3f - r3)
+                                     << (2 * ctx_size - 6))) & mask]);
                 }
                 if (--seq_len == 0 && i + k + 1 < in_size) {
                     if (nseq >= nrecords) return -1;
@@ -175,10 +198,13 @@ int64_t seq_decode(const uint8_t* in, uint32_t in_size, const uint32_t* lens,
         // avoids re-faulting pages on every growth step.
         model_cap = size_t(1) << 30;  // 4^14 contexts * 4 bytes
         if (model_cap < size_t(msize) * 4) model_cap = size_t(msize) * 4;
-        model_mem.reset(new uint8_t[model_cap]);
+        model_mem.reset(new uint8_t[model_cap + 64]);
     }
-    memset(model_mem.get(), 1, size_t(msize) * 4);
-    TinyModel<4>* seq_model = reinterpret_cast<TinyModel<4>*>(model_mem.get());
+    // 64-align so each 16-model prefetch block is one cache line
+    uint8_t* marena = reinterpret_cast<uint8_t*>(
+        (reinterpret_cast<uintptr_t>(model_mem.get()) + 63) & ~uintptr_t(63));
+    memset(marena, 1, size_t(msize) * 4);
+    TinyModel<4>* seq_model = reinterpret_cast<TinyModel<4>*>(marena);
     TinyModel<2> state_model[3];
     AdaptiveModel<256, 16> run_len[3];
     AdaptiveModel<256, 16> literal;
@@ -222,14 +248,16 @@ int64_t seq_decode(const uint8_t* in, uint32_t in_size, const uint32_t* lens,
             for (uint32_t k = 0; k < run; k++) {
                 uint8_t b = uint8_t(seq_model[last].decode(rc));
                 last = ((last << 2) + b) & mask;
-                __builtin_prefetch(&seq_model[last]);
+                // Bases are unknown ahead on decode; prefetch the
+                // 2-ahead candidate block instead — all 16 possible
+                // contexts span 16*4 = 64 bytes, one cache line
+                // (reference scheme, fqzcomp5.c:1339-1343).
+                __builtin_prefetch(&seq_model[(last << 4) & mask]);
                 out[i + k] = uint8_t(bases[b]);
                 if (both_strands) {
                     int b2 = last2 & 3;
                     last2 = last2 / 4 + ((3 - b) << (2 * ctx_size - 2));
                     seq_model[last2].update(b2);
-                    __builtin_prefetch(
-                        &seq_model[(last2 / 4) & mask]);
                 }
                 if (--seq_len == 0 && i + k + 1 < out_size) {
                     if (nseq >= nrecords) return -1;
