@@ -694,14 +694,47 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
     cp += fsz;
     if (cp >= c_freq_end) return false;
 
-    // merged s3 table: slot (ctx << shift) + m packs
-    // ((f-1) << 20) | (start << 8) | sym, so the SIMD/scalar decode
-    // loops need ONE table read per symbol (f <= 4096 stores as f-1
-    // in 12 bits; start < 2^shift <= 4096 fits 12; sym 8)
     const uint32_t tot = 1u << shift;
+    // Table layout is picked by footprint: the per-symbol read is a
+    // RANDOM index into a (256 << shift)-entry table, so its size
+    // decides the cache-hit rate of the whole walk.
+    //  - SIMD 32-way and shift==10: merged u32 s3 — slot
+    //    (ctx << shift) + m packs ((f-1) << 20) | (start << 8) | sym,
+    //    ONE read per symbol (1 MB at shift 10).
+    //  - scalar: merged is 4 MB at shift 12 (spills L2) and 1 MB at
+    //    shift 10; the split is a u8 symbol table (1 MB / 256 KB) + a
+    //    (ctx, sym)-indexed packed (f << 16 | start) u32 table
+    //    (256 KB, and hot: few distinct symbols per context) — a
+    //    strictly smaller random-access footprint at either shift.
+    //    Reference analog: rANS_static4x16pr.c:601-700 (sfb/fb).
+    const bool use_simd =
+        N == 32 && out_sz / N && (fqz5_have_avx2() || fqz5_have_avx512());
+    // merged single-load wins at shift 10 on big (low-compression)
+    // payloads where renorm traffic dominates; the split tables win
+    // at shift 12 (4 MB merged spills L2) and on small inputs (less
+    // table-build cost) — the reference's s3_fast_on heuristic
+    // (rANS_static4x16pr.c:599)
+    const bool two_tab =
+        !use_simd && (shift == kShiftO1 || in_size < 100000);
     static thread_local std::vector<uint32_t> s3v;
-    s3v.resize(256 * tot);
-    uint32_t* s3o1 = s3v.data();
+    static thread_local std::vector<uint8_t> sfbv;
+    static thread_local std::vector<uint32_t> fbv;
+    uint32_t* s3o1 = nullptr;
+    uint8_t* sfb = nullptr;
+    uint32_t* fb = nullptr;
+    // stagger sfb rows by a non-power-of-2 pad so the 256 rows don't
+    // alias the same cache sets / 4K pages (reference MAGIC2 tuning,
+    // rANS_static4x16pr.c:520-558)
+    const uint32_t row_stride = tot + 179;
+    if (two_tab) {
+        sfbv.resize(size_t(256) * row_stride);
+        fbv.assign(256 * 256, 0);
+        sfb = sfbv.data();
+        fb = fbv.data();
+    } else {
+        s3v.resize(256 * tot);
+        s3o1 = s3v.data();
+    }
 
     for (int i = 0; i < 256; i++) {
         if (F0[i] == 0) continue;
@@ -715,10 +748,15 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
         for (int j = 0; j < 256; j++) {
             if (!F[j]) continue;
             if (F[j] > tot - x) return false;
-            const uint32_t ent = ((F[j] - 1) << 20) | (x << 8)
-                                 | uint32_t(j);
-            uint32_t* row = &s3o1[i * tot + x];
-            for (uint32_t k = 0; k < F[j]; k++) row[k] = ent;
+            if (two_tab) {
+                memset(&sfb[uint32_t(i) * row_stride + x], j, F[j]);
+                fb[(uint32_t(i) << 8) + j] = (F[j] << 16) | x;
+            } else {
+                const uint32_t ent = ((F[j] - 1) << 20) | (x << 8)
+                                     | uint32_t(j);
+                uint32_t* row = &s3o1[i * tot + x];
+                for (uint32_t k = 0; k < F[j]; k++) row[k] = ent;
+            }
             x += F[j];
         }
         if (x != tot) return false;
@@ -739,7 +777,7 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
     for (int z = 0; z < N; z++) i4[z] = z * isz;
     const uint32_t mask = tot - 1;
 
-    if (N == 32 && isz && (fqz5_have_avx2() || fqz5_have_avx512())) {
+    if (use_simd) {
         static thread_local std::vector<uint8_t> tbuf;
         tbuf.resize(size_t(isz) * 32);
         if (fqz5_have_avx512())
@@ -757,13 +795,121 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
             i4[z] += isz;
         }
     } else {
-        for (uint32_t i = 0; i < isz; i++) {
+        // Scalar walk.  The fast loop is specialised per shift value
+        // and table layout (the reference's "15% faster to specialise
+        // for 10/12", rANS_static4x16pr.c:598-640); the bounds check
+        // hoists to once per N renorms (each consumes <= 2 bytes),
+        // and the renorms are grouped AFTER the N table steps so all
+        // N symbol loads issue before the serial cp chain.
+        const uint8_t* fast_end = limit - 2 * N;
+        uint32_t i = 0;
+        auto fast_walk = [&](auto shc, auto mgc) {
+            constexpr uint32_t kSh = decltype(shc)::value;
+            constexpr bool kMg = decltype(mgc)::value;
+            constexpr uint32_t kMsk = (1u << kSh) - 1;
+            // branchless renorm: the condition is ~50% taken and
+            // pattern-free, so a branch mispredicts constantly
+            // (reference rANS_word.h:439-450)
+            auto ren = [&](uint32_t& Rz) {
+                uint32_t adv = (Rz < kRansL) * 2;
+                uint32_t y = uint32_t(cp[0]) | (uint32_t(cp[1]) << 8);
+                uint32_t x2 = (Rz << 16) | y;
+                Rz = adv ? x2 : Rz;
+                cp += adv;
+            };
+            if (N == 4) {
+                // lane state in scalar locals: the out[] byte stores
+                // would otherwise force reloads of l[]/R[]/i4[] every
+                // symbol (uint8 aliasing)
+                uint32_t R0 = R[0], R1 = R[1], R2 = R[2], R3 = R[3];
+                uint32_t l0 = l[0], l1 = l[1], l2 = l[2], l3 = l[3];
+                uint32_t o0 = i4[0], o1 = i4[1], o2 = i4[2],
+                         o3 = i4[3];
+                auto step = [&](uint32_t& Rz, uint32_t& lz,
+                                uint32_t& oz) {
+                    uint32_t m = Rz & kMsk;
+                    uint32_t c;
+                    if constexpr (kMg) {
+                        uint32_t sv = s3o1[(lz << kSh) + m];
+                        c = sv & 0xFF;
+                        Rz = ((sv >> 20) + 1) * (Rz >> kSh) + m
+                             - ((sv >> 8) & 0xFFF);
+                    } else {
+                        c = sfb[lz * row_stride + m];
+                        uint32_t e = fb[(lz << 8) + c];
+                        Rz = (e >> 16) * (Rz >> kSh) + m
+                             - (e & 0xFFFF);
+                    }
+                    out[oz++] = uint8_t(c);
+                    lz = c;
+                };
+                for (; i < isz && cp < fast_end; i++) {
+                    step(R0, l0, o0);
+                    step(R1, l1, o1);
+                    step(R2, l2, o2);
+                    step(R3, l3, o3);
+                    ren(R0);
+                    ren(R1);
+                    ren(R2);
+                    ren(R3);
+                }
+                R[0] = R0; R[1] = R1; R[2] = R2; R[3] = R3;
+                l[0] = uint8_t(l0); l[1] = uint8_t(l1);
+                l[2] = uint8_t(l2); l[3] = uint8_t(l3);
+                i4[0] = o0; i4[1] = o1; i4[2] = o2; i4[3] = o3;
+            } else {
+                for (; i < isz && cp < fast_end; i++) {
+                    for (int z = 0; z < N; z++) {
+                        uint32_t m = R[z] & kMsk;
+                        uint32_t c;
+                        if constexpr (kMg) {
+                            uint32_t sv =
+                                s3o1[(uint32_t(l[z]) << kSh) + m];
+                            c = sv & 0xFF;
+                            R[z] = ((sv >> 20) + 1) * (R[z] >> kSh)
+                                   + m - ((sv >> 8) & 0xFFF);
+                        } else {
+                            c = sfb[uint32_t(l[z]) * row_stride + m];
+                            uint32_t e = fb[(uint32_t(l[z]) << 8) + c];
+                            R[z] = (e >> 16) * (R[z] >> kSh) + m
+                                   - (e & 0xFFFF);
+                        }
+                        out[i4[z]++] = uint8_t(c);
+                        l[z] = uint8_t(c);
+                        ren(R[z]);
+                    }
+                }
+            }
+        };
+        using u32c10 = std::integral_constant<uint32_t, kShiftO1Fast>;
+        using u32c12 = std::integral_constant<uint32_t, kShiftO1>;
+        if (two_tab) {
+            if (shift == kShiftO1)
+                fast_walk(u32c12{}, std::false_type{});
+            else
+                fast_walk(u32c10{}, std::false_type{});
+        } else {
+            if (shift == kShiftO1)
+                fast_walk(u32c12{}, std::true_type{});
+            else
+                fast_walk(u32c10{}, std::true_type{});
+        }
+        // safe remainder (runtime shift, checked renorm)
+        for (; i < isz; i++) {
             for (int z = 0; z < N; z++) {
                 uint32_t m = R[z] & mask;
-                uint32_t sv = s3o1[(uint32_t(l[z]) << shift) + m];
-                uint8_t c = uint8_t(sv & 0xFF);
-                R[z] = ((sv >> 20) + 1) * (R[z] >> shift) + m
-                       - ((sv >> 8) & 0xFFF);
+                uint8_t c;
+                if (two_tab) {
+                    c = sfb[uint32_t(l[z]) * row_stride + m];
+                    uint32_t e = fb[(uint32_t(l[z]) << 8) + c];
+                    R[z] = (e >> 16) * (R[z] >> shift) + m
+                           - (e & 0xFFFF);
+                } else {
+                    uint32_t sv = s3o1[(uint32_t(l[z]) << shift) + m];
+                    c = uint8_t(sv & 0xFF);
+                    R[z] = ((sv >> 20) + 1) * (R[z] >> shift) + m
+                           - ((sv >> 8) & 0xFFF);
+                }
                 out[i4[z]++] = c;
                 l[z] = c;
                 dec_renorm(R[z], cp, limit);
@@ -773,10 +919,17 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
     // tail on the last state
     for (uint32_t i = i4[N - 1]; i < out_sz; i++) {
         uint32_t m = R[N - 1] & mask;
-        uint32_t sv = s3o1[(uint32_t(l[N - 1]) << shift) + m];
-        uint8_t c = uint8_t(sv & 0xFF);
-        R[N - 1] = ((sv >> 20) + 1) * (R[N - 1] >> shift) + m
-                   - ((sv >> 8) & 0xFFF);
+        uint8_t c;
+        if (two_tab) {
+            c = sfb[uint32_t(l[N - 1]) * row_stride + m];
+            uint32_t e = fb[(uint32_t(l[N - 1]) << 8) + c];
+            R[N - 1] = (e >> 16) * (R[N - 1] >> shift) + m - (e & 0xFFFF);
+        } else {
+            uint32_t sv = s3o1[(uint32_t(l[N - 1]) << shift) + m];
+            c = uint8_t(sv & 0xFF);
+            R[N - 1] = ((sv >> 20) + 1) * (R[N - 1] >> shift) + m
+                       - ((sv >> 8) & 0xFFF);
+        }
         out[i] = c;
         l[N - 1] = c;
         dec_renorm(R[N - 1], cp, limit);
