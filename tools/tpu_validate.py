@@ -3,10 +3,13 @@
 Appends results to /tmp/tpu_results.txt; retries through tunnel flaps.
 """
 import functools
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(msg):
