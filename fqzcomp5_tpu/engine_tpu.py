@@ -386,19 +386,21 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
 
 
 def dec_walk_o0():
-    """The Pallas O0 decode walk in effect (FQZ5_DEC_V5 selects the
-    compact-chunk v5 feed; default v3 until hardware-validated)."""
+    """The Pallas O0 decode walk in effect.  v5 (compact-chunk word
+    feed) is the default — hardware-validated on v5e: 3.4 GB/s S=64 /
+    4.7 GB/s S=16 vs v3's 2.6/3.2 (tools/tpu_validate.py, round 2).
+    FQZ5_DEC_V3=1 falls back to the v3 aligned-window kernel."""
     from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
 
-    return (rpd.decode_walk4v5 if os.environ.get("FQZ5_DEC_V5")
-            else rpd.decode_walk4v3)
+    return (rpd.decode_walk4v3 if os.environ.get("FQZ5_DEC_V3")
+            else rpd.decode_walk4v5)
 
 
 def dec_walk_o1():
     from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
 
-    return (rpd.decode_walk4v5_o1 if os.environ.get("FQZ5_DEC_V5")
-            else rpd.decode_walk4v3_o1)
+    return (rpd.decode_walk4v3_o1 if os.environ.get("FQZ5_DEC_V3")
+            else rpd.decode_walk4v5_o1)
 
 
 def _decode_o0_pallas(bodies, s3s, t_real, Tmax):

@@ -120,75 +120,87 @@ template <int NSYM, int STEP = 16>
 class AdaptiveModel {
   public:
     static constexpr uint32_t kMaxFreq = (1u << 16) - 17;
+    struct SymFreq { uint16_t sym, freq; };
 
     void init(int max_sym) {
         tot_ = max_sym;
+        // a_[0] is a sentinel (freq 0xFFFF): the bubble step's
+        // p[-1] compare never swaps into it, so the hot paths carry
+        // no i>0 guard.  a_[NSYM+2] is a terminal (freq 0xFFFF) that
+        // stops the decode scan on corrupt input, so the scan body is
+        // a single compare per step (reference layout,
+        // c_simple_model.h sentinel/terminal).
+        a_[0].sym = 0;
+        a_[0].freq = 0xFFFF;
+        SymFreq* F = a_ + 1;
         for (int i = 0; i < max_sym; i++) {
-            f_[i].sym = uint16_t(i);
-            f_[i].freq = 1;
+            F[i].sym = uint16_t(i);
+            F[i].freq = 1;
         }
         for (int i = max_sym; i <= NSYM; i++) {
-            f_[i].sym = uint16_t(i);
-            f_[i].freq = 0;
+            F[i].sym = uint16_t(i);
+            F[i].freq = 0;  // F[NSYM].freq==0 terminates normalize
         }
+        a_[NSYM + 2].sym = 0;
+        a_[NSYM + 2].freq = 0xFFFF;
     }
 
     void encode(RangeCoder& rc, uint16_t s) {
-        int i = 0;
+        SymFreq* p = a_ + 1;
         uint32_t acc = 0;
-        while (f_[i].sym != s) acc += f_[i++].freq;
-        rc.encode(acc, f_[i].freq, tot_);
-        bump(i);
+        while (p->sym != s) acc += p++->freq;
+        rc.encode(acc, p->freq, tot_);
+        bump(p);
     }
 
     // encode() minus the coder: dump the triple (test oracle for the
     // vectorised model-evolution kernel)
     void encode_dump(uint16_t s, uint32_t* cum, uint32_t* freq,
                      uint32_t* tot) {
-        int i = 0;
+        SymFreq* p = a_ + 1;
         uint32_t acc = 0;
-        while (f_[i].sym != s) acc += f_[i++].freq;
+        while (p->sym != s) acc += p++->freq;
         *cum = acc;
-        *freq = f_[i].freq;
+        *freq = p->freq;
         *tot = tot_;
-        bump(i);
+        bump(p);
     }
 
     uint16_t decode(RangeCoder& rc) {
         uint32_t f = rc.get_freq(tot_);
         if (f > kMaxFreq) return 0;
-        int i = 0;
+        SymFreq* p = a_ + 1;
         uint32_t acc = 0;
-        while ((acc += f_[i].freq) <= f) {
-            i++;
-            if (i > NSYM) return 0;
-        }
-        acc -= f_[i].freq;
-        rc.decode(acc, f_[i].freq, tot_);
-        return bump(i);
+        while ((acc += p->freq) <= f) p++;  // terminal bounds the scan
+        if (p > a_ + 1 + NSYM) return 0;    // corrupt input
+        acc -= p->freq;
+        rc.decode(acc, p->freq, tot_);
+        return bump(p);
     }
 
   private:
     // Adapt and keep the array approximately frequency-sorted by one
     // bubble step; the reordering is observable coded state.
-    uint16_t bump(int i) {
-        f_[i].freq += STEP;
+    uint16_t bump(SymFreq* p) {
+        p->freq += STEP;
         tot_ += STEP;
         if (tot_ > kMaxFreq) normalize();
-        if (i > 0 && f_[i].freq > f_[i - 1].freq) {
-            SymFreq t = f_[i];
-            f_[i] = f_[i - 1];
-            f_[i - 1] = t;
+        // p[-1] may be the sentinel; its 0xFFFF freq blocks the swap
+        // (a real freq never reaches it: normalize runs first).
+        if (p[0].freq > p[-1].freq) {
+            SymFreq t = p[0];
+            p[0] = p[-1];
+            p[-1] = t;
             return t.sym;
         }
-        return f_[i].sym;
+        return p->sym;
     }
 
     void normalize() {
         tot_ = 0;
-        for (int i = 0; i < NSYM && f_[i].freq; i++) {
-            f_[i].freq -= f_[i].freq >> 1;
-            tot_ += f_[i].freq;
+        for (SymFreq* p = a_ + 1; p->freq; p++) {
+            p->freq -= p->freq >> 1;
+            tot_ += p->freq;
         }
     }
 
@@ -196,8 +208,9 @@ class AdaptiveModel {
     // stream per model — with 65536 x ~400B fqz models the lookup is
     // cache-miss bound, and the split-array layout paid two
     uint32_t tot_ = 0;
-    struct SymFreq { uint16_t sym, freq; };
-    SymFreq f_[NSYM + 1] = {};  // +1: zero terminator for normalize
+    // [0]=sentinel, [1..NSYM+1]=F (+1: zero terminator for
+    // normalize), [NSYM+2]=terminal
+    SymFreq a_[NSYM + 3] = {};
 };
 
 // Tiny direct-indexed model with u8 frequencies (reference

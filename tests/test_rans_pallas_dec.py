@@ -93,6 +93,7 @@ def test_decode_o0_batch_pallas_path(monkeypatch):
 
     monkeypatch.setattr(rpd, "decode_walk4v3", walk_interp)
     monkeypatch.setenv("FQZ5_PALLAS", "1")
+    monkeypatch.setenv("FQZ5_DEC_V3", "1")  # v5 is the default now
     got = engine_tpu.decode_o0_batch(payloads, szs)
     assert got == datas
 
@@ -110,6 +111,7 @@ def test_decode_o1_batch_pallas_path(monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(rpd, "decode_walk4v3_o1", walk_interp)
+    monkeypatch.setenv("FQZ5_DEC_V3", "1")  # v5 is the default now
 
     rng = np.random.default_rng(7)
     motif = rng.choice(list(b"ACGT"), 48).astype(np.uint8)
@@ -371,6 +373,7 @@ def test_decode_o0_s32_bucket(monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(rpd, "decode_walk4v3", walk_interp)
+    monkeypatch.setenv("FQZ5_DEC_V3", "1")  # v5 is the default now
     rng = np.random.default_rng(41)
     alpha = np.arange(24, dtype=np.uint8) + 3   # 24 symbols -> S=32
     datas = [rng.choice(alpha, int(rng.integers(200, 2000))).tobytes()
