@@ -396,6 +396,20 @@ inline void dec_renorm(uint32_t& x, const uint8_t*& ptr,
     }
 }
 
+// Unchecked 16-bit renorm for the fast walks (caller guarantees >= 2
+// readable bytes).  gcc lowers the ternary to a branch; on real
+// genomic streams the renorm cadence is near-periodic (symbol
+// frequencies cluster), so the predicted branch beats forced cmovs
+// (measured: an asm-cmov variant ran 25% SLOWER on DNA O0).
+inline void dec_renorm16(uint32_t& x, const uint8_t*& cp) {
+    uint16_t w;
+    memcpy(&w, cp, 2);  // single little-endian 16-bit load
+    uint32_t adv = (x < kRansL) * 2;
+    uint32_t x2 = (x << 16) | w;
+    x = adv ? x2 : x;
+    cp += adv;
+}
+
 // ---------------------------------------------------------------------
 // Order-0 Nx16 core (payload = freq table + rANS stream)
 template <int N>
@@ -474,17 +488,46 @@ bool rans_dec_o0(const uint8_t* in, uint32_t in_size, uint8_t* out,
     cp += fsz;
     normalise_freq_shift(F, fsum, kTot);
 
-    // s3-style flattened lookup: sym, freq, bias per slot
+    // Table layout per walk: the SIMD 32-way cores take the merged u32
+    // s3 (one gather per symbol); the scalar walk takes SPLIT tables —
+    // u8 symbol + u16 freq + u16 base per slot (20 KB, all L1) — so
+    // the state update is two small loads and one multiply with no
+    // field unpacking (reference rANS_static4x16pr.c:254-283).
     static thread_local std::vector<uint32_t> s3v;
-    s3v.resize(kTot);
-    uint32_t* s3 = s3v.data();
-    {
+    static thread_local std::vector<uint8_t> ssymv;
+    static thread_local std::vector<uint16_t> sfv;
+    uint32_t* s3 = nullptr;
+    uint8_t* ssym = nullptr;
+    uint16_t* sfreq = nullptr;
+    uint16_t* sbase = nullptr;
+    const bool use_simd =
+        N == 32 && (fqz5_have_avx512() || fqz5_have_avx2());
+    if (use_simd) {
+        s3v.resize(kTot);
+        s3 = s3v.data();
         uint32_t x = 0;
         for (int j = 0; j < 256; j++) {
             if (!F[j]) continue;
             if (F[j] > kTot - x) return false;
             uint32_t base = (F[j] << (kShift + 8)) | uint32_t(j);
             for (uint32_t y = 0; y < F[j]; y++, x++) s3[x] = base + (y << 8);
+        }
+        if (x != kTot) return false;
+    } else {
+        ssymv.resize(kTot);
+        sfv.resize(2 * kTot);
+        ssym = ssymv.data();
+        sfreq = sfv.data();
+        sbase = sfv.data() + kTot;
+        uint32_t x = 0;
+        for (int j = 0; j < 256; j++) {
+            if (!F[j]) continue;
+            if (F[j] > kTot - x) return false;
+            memset(&ssym[x], j, F[j]);
+            for (uint32_t y = 0; y < F[j]; y++, x++) {
+                sfreq[x] = uint16_t(F[j]);
+                sbase[x] = uint16_t(y);
+            }
         }
         if (x != kTot) return false;
     }
@@ -506,13 +549,53 @@ bool rans_dec_o0(const uint8_t* in, uint32_t in_size, uint8_t* out,
         uint32_t main_sz = out_sz & ~31u;
         fqz5_simd_dec_o0_32(s3, kShift, &cp, limit, R, out, main_sz);
         start = main_sz;
+    } else if (N == 4) {
+        // 4-state unrolled main walk, states in scalar registers; the
+        // renorm bound check hoists to once per group (4 renorms
+        // consume <= 8 bytes) and the renorm itself is branchless
+        // (reference rANS_static4x16pr.c:309-352, rANS_word.h cmov)
+        auto ren = [&cp](uint32_t& x) { dec_renorm16(x, cp); };
+        uint32_t R0 = R[0], R1 = R[1], R2 = R[2], R3 = R[3];
+        const uint8_t* fast_lim = limit - 16;  // 8 renorms per iter
+        uint32_t main_sz = out_sz & ~7u;
+        uint32_t i = 0;
+        for (; i < main_sz && cp < fast_lim; i += 8) {
+            for (uint32_t j = 0; j < 8; j += 4) {
+                uint32_t m0 = R0 & mask, m1 = R1 & mask;
+                out[i + j] = ssym[m0];
+                out[i + j + 1] = ssym[m1];
+                R0 = sfreq[m0] * (R0 >> kShift) + sbase[m0];
+                R1 = sfreq[m1] * (R1 >> kShift) + sbase[m1];
+                uint32_t m2 = R2 & mask, m3 = R3 & mask;
+                ren(R0);
+                ren(R1);
+                R2 = sfreq[m2] * (R2 >> kShift) + sbase[m2];
+                R3 = sfreq[m3] * (R3 >> kShift) + sbase[m3];
+                ren(R2);
+                ren(R3);
+                out[i + j + 2] = ssym[m2];
+                out[i + j + 3] = ssym[m3];
+            }
+        }
+        R[0] = R0; R[1] = R1; R[2] = R2; R[3] = R3;
+        start = i;
     }
     for (uint32_t i = start; i < out_sz; i++) {
         int z = i & (N - 1);
-        uint32_t S = s3[R[z] & mask];
-        out[i] = uint8_t(S);
+        uint32_t m = R[z] & mask;
+        uint32_t f, b;
+        if (use_simd) {
+            uint32_t S = s3[m];
+            out[i] = uint8_t(S);
+            f = S >> (kShift + 8);
+            b = (S >> 8) & mask;
+        } else {
+            out[i] = ssym[m];
+            f = sfreq[m];
+            b = sbase[m];
+        }
         if (i + (N - z) <= out_sz) {  // all but trailing partial group
-            R[z] = (S >> (kShift + 8)) * (R[z] >> kShift) + ((S >> 8) & mask);
+            R[z] = f * (R[z] >> kShift) + b;
             dec_renorm(R[z], cp, limit);
         }
     }
@@ -660,6 +743,90 @@ bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
     return true;
 }
 
+// --- flat 4-state order-1 fast walk ----------------------------------
+// Free-standing (not a nested lambda): with the loop body at function
+// scope gcc keeps the table pointers, the output pointer and all
+// twelve per-state values in hardware registers; the lambda-in-lambda
+// form spilled every pointer to the stack and reloaded them per
+// symbol.  Caller guarantees >= 8 readable bytes past cp while
+// cp < fast_end.  Returns the new symbol index i.
+template <uint32_t kSh, bool kMg>
+static uint32_t rans_o1_walk4(const uint32_t* s3o1, const uint8_t* sfb,
+                              const uint32_t* fb, uint32_t row_stride,
+                              uint8_t* out, uint32_t isz, uint32_t i,
+                              const uint8_t** cpp,
+                              const uint8_t* fast_end, uint32_t* R,
+                              uint8_t* l, uint32_t* i4) {
+    constexpr uint32_t kMsk = (1u << kSh) - 1;
+    const uint8_t* cp = *cpp;
+    uint32_t R0 = R[0], R1 = R[1], R2 = R[2], R3 = R[3];
+    uint32_t l0 = l[0], l1 = l[1], l2 = l[2], l3 = l[3];
+    // The four output cursors advance in lockstep at z*isz + i, so two
+    // base pointers plus one register displacement replace the four
+    // counters — without this the loop needs 18+ live values and gcc
+    // spills the table/output pointers (it even parked lane state in
+    // AVX-512 mask registers), reloading them every symbol.
+    (void)i;
+    uint8_t* p0 = out + i4[0];
+    uint8_t* p2 = out + i4[2];
+    uint8_t* e0 = out + isz;
+    const size_t dz = isz;
+#define FQZ5_O1_STEP(Rz, lz)                                           \
+    do {                                                               \
+        uint32_t m = Rz & kMsk;                                        \
+        if (kMg) {                                                     \
+            uint32_t sv = s3o1[(lz << kSh) + m];                       \
+            lz = sv & 0xFF;                                            \
+            Rz = (sv >> (kSh + 8)) * (Rz >> kSh) + ((sv >> 8) & kMsk); \
+        } else {                                                       \
+            uint32_t c = sfb[lz * row_stride + m];                     \
+            uint32_t e = fb[(lz << 8) + c];                            \
+            Rz = (e >> 16) * (Rz >> kSh) + m - (e & 0xFFFF);           \
+            lz = c;                                                    \
+        }                                                              \
+    } while (0)
+    // Counted inner loop: the 4 renorms consume <= 8 bytes, so
+    // min(out room, in room / 8) iterations need NO cp bound check —
+    // one loop-carried compare instead of two, and fast_end leaves
+    // the register set.
+    for (;;) {
+        size_t n = size_t(e0 - p0);
+        if (cp < fast_end) {
+            size_t rin = size_t(fast_end - cp) / 8;
+            if (rin < n) n = rin;
+        } else {
+            n = 0;
+        }
+        if (!n) break;
+        uint8_t* pe = p0 + n;
+        for (; p0 < pe; p0++, p2++) {
+            FQZ5_O1_STEP(R0, l0);
+            FQZ5_O1_STEP(R1, l1);
+            p0[0] = uint8_t(l0);
+            p0[dz] = uint8_t(l1);
+            dec_renorm16(R0, cp);
+            dec_renorm16(R1, cp);
+            FQZ5_O1_STEP(R2, l2);
+            FQZ5_O1_STEP(R3, l3);
+            p2[0] = uint8_t(l2);
+            p2[dz] = uint8_t(l3);
+            dec_renorm16(R2, cp);
+            dec_renorm16(R3, cp);
+        }
+    }
+#undef FQZ5_O1_STEP
+    R[0] = R0; R[1] = R1; R[2] = R2; R[3] = R3;
+    l[0] = uint8_t(l0); l[1] = uint8_t(l1);
+    l[2] = uint8_t(l2); l[3] = uint8_t(l3);
+    uint32_t idone = uint32_t(p0 - out);
+    i4[0] = idone;
+    i4[1] = idone + isz;
+    i4[2] = idone + 2 * isz;
+    i4[3] = idone + 3 * isz;
+    *cpp = cp;
+    return idone;
+}
+
 template <int N>
 bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
                  uint32_t out_sz) {
@@ -751,11 +918,25 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
             if (two_tab) {
                 memset(&sfb[uint32_t(i) * row_stride + x], j, F[j]);
                 fb[(uint32_t(i) << 8) + j] = (F[j] << 16) | x;
-            } else {
+            } else if (use_simd) {
+                // SIMD layout: ((f-1) << 20)|(start << 8)|sym — the
+                // f-1 trick fits shift-12 freqs (4096) in 12 bits
                 const uint32_t ent = ((F[j] - 1) << 20) | (x << 8)
                                      | uint32_t(j);
                 uint32_t* row = &s3o1[i * tot + x];
                 for (uint32_t k = 0; k < F[j]; k++) row[k] = ent;
+            } else {
+                // scalar per-slot packing (F << 18)|(y << 8)|sym:
+                // storing the within-run offset y makes the state
+                // update a pure mul-add (no -x correction).  Only
+                // built at shift 10 (F <= 1024 -> 29 bits; shift 12
+                // takes the two-table layout), reference
+                // rANS_static4x16pr.c:625-627.
+                uint32_t* row = &s3o1[i * tot + x];
+                const uint32_t base = (F[j] << (kShiftO1Fast + 8))
+                                      | uint32_t(j);
+                for (uint32_t k = 0; k < F[j]; k++)
+                    row[k] = base + (k << 8);
             }
             x += F[j];
         }
@@ -803,61 +984,25 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
         // N symbol loads issue before the serial cp chain.
         const uint8_t* fast_end = limit - 2 * N;
         uint32_t i = 0;
-        auto fast_walk = [&](auto shc, auto mgc) {
-            constexpr uint32_t kSh = decltype(shc)::value;
-            constexpr bool kMg = decltype(mgc)::value;
-            constexpr uint32_t kMsk = (1u << kSh) - 1;
-            // branchless renorm: the condition is ~50% taken and
-            // pattern-free, so a branch mispredicts constantly
-            // (reference rANS_word.h:439-450)
-            auto ren = [&](uint32_t& Rz) {
-                uint32_t adv = (Rz < kRansL) * 2;
-                uint32_t y = uint32_t(cp[0]) | (uint32_t(cp[1]) << 8);
-                uint32_t x2 = (Rz << 16) | y;
-                Rz = adv ? x2 : Rz;
-                cp += adv;
-            };
-            if (N == 4) {
-                // lane state in scalar locals: the out[] byte stores
-                // would otherwise force reloads of l[]/R[]/i4[] every
-                // symbol (uint8 aliasing)
-                uint32_t R0 = R[0], R1 = R[1], R2 = R[2], R3 = R[3];
-                uint32_t l0 = l[0], l1 = l[1], l2 = l[2], l3 = l[3];
-                uint32_t o0 = i4[0], o1 = i4[1], o2 = i4[2],
-                         o3 = i4[3];
-                auto step = [&](uint32_t& Rz, uint32_t& lz,
-                                uint32_t& oz) {
-                    uint32_t m = Rz & kMsk;
-                    uint32_t c;
-                    if constexpr (kMg) {
-                        uint32_t sv = s3o1[(lz << kSh) + m];
-                        c = sv & 0xFF;
-                        Rz = ((sv >> 20) + 1) * (Rz >> kSh) + m
-                             - ((sv >> 8) & 0xFFF);
-                    } else {
-                        c = sfb[lz * row_stride + m];
-                        uint32_t e = fb[(lz << 8) + c];
-                        Rz = (e >> 16) * (Rz >> kSh) + m
-                             - (e & 0xFFFF);
-                    }
-                    out[oz++] = uint8_t(c);
-                    lz = c;
-                };
-                for (; i < isz && cp < fast_end; i++) {
-                    step(R0, l0, o0);
-                    step(R1, l1, o1);
-                    step(R2, l2, o2);
-                    step(R3, l3, o3);
-                    ren(R0);
-                    ren(R1);
-                    ren(R2);
-                    ren(R3);
-                }
-                R[0] = R0; R[1] = R1; R[2] = R2; R[3] = R3;
-                l[0] = uint8_t(l0); l[1] = uint8_t(l1);
-                l[2] = uint8_t(l2); l[3] = uint8_t(l3);
-                i4[0] = o0; i4[1] = o1; i4[2] = o2; i4[3] = o3;
-            } else {
+        if (N == 4) {
+            // flat per-(shift, layout) walks — see rans_o1_walk4
+            if (!two_tab)  // merged s3 exists only at shift 10
+                i = rans_o1_walk4<kShiftO1Fast, true>(
+                    s3o1, nullptr, nullptr, 0, out, isz, i, &cp,
+                    fast_end, R, l, i4);
+            else if (shift == kShiftO1)
+                i = rans_o1_walk4<kShiftO1, false>(
+                    nullptr, sfb, fb, row_stride, out, isz, i, &cp,
+                    fast_end, R, l, i4);
+            else
+                i = rans_o1_walk4<kShiftO1Fast, false>(
+                    nullptr, sfb, fb, row_stride, out, isz, i, &cp,
+                    fast_end, R, l, i4);
+        } else {
+            auto fast_walk = [&](auto shc, auto mgc) {
+                constexpr uint32_t kSh = decltype(shc)::value;
+                constexpr bool kMg = decltype(mgc)::value;
+                constexpr uint32_t kMsk = (1u << kSh) - 1;
                 for (; i < isz && cp < fast_end; i++) {
                     for (int z = 0; z < N; z++) {
                         uint32_t m = R[z] & kMsk;
@@ -866,8 +1011,8 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
                             uint32_t sv =
                                 s3o1[(uint32_t(l[z]) << kSh) + m];
                             c = sv & 0xFF;
-                            R[z] = ((sv >> 20) + 1) * (R[z] >> kSh)
-                                   + m - ((sv >> 8) & 0xFFF);
+                            R[z] = (sv >> (kSh + 8)) * (R[z] >> kSh)
+                                   + ((sv >> 8) & kMsk);
                         } else {
                             c = sfb[uint32_t(l[z]) * row_stride + m];
                             uint32_t e = fb[(uint32_t(l[z]) << 8) + c];
@@ -876,23 +1021,22 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
                         }
                         out[i4[z]++] = uint8_t(c);
                         l[z] = uint8_t(c);
-                        ren(R[z]);
+                        dec_renorm16(R[z], cp);
                     }
                 }
-            }
-        };
-        using u32c10 = std::integral_constant<uint32_t, kShiftO1Fast>;
-        using u32c12 = std::integral_constant<uint32_t, kShiftO1>;
-        if (two_tab) {
-            if (shift == kShiftO1)
-                fast_walk(u32c12{}, std::false_type{});
-            else
-                fast_walk(u32c10{}, std::false_type{});
-        } else {
-            if (shift == kShiftO1)
-                fast_walk(u32c12{}, std::true_type{});
-            else
+            };
+            using u32c10 =
+                std::integral_constant<uint32_t, kShiftO1Fast>;
+            using u32c12 = std::integral_constant<uint32_t, kShiftO1>;
+            if (two_tab) {
+                if (shift == kShiftO1)
+                    fast_walk(u32c12{}, std::false_type{});
+                else
+                    fast_walk(u32c10{}, std::false_type{});
+            } else {
+                // merged s3 exists only at shift 10
                 fast_walk(u32c10{}, std::true_type{});
+            }
         }
         // safe remainder (runtime shift, checked renorm)
         for (; i < isz; i++) {
@@ -904,11 +1048,16 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
                     uint32_t e = fb[(uint32_t(l[z]) << 8) + c];
                     R[z] = (e >> 16) * (R[z] >> shift) + m
                            - (e & 0xFFFF);
-                } else {
+                } else if (use_simd) {
                     uint32_t sv = s3o1[(uint32_t(l[z]) << shift) + m];
                     c = uint8_t(sv & 0xFF);
                     R[z] = ((sv >> 20) + 1) * (R[z] >> shift) + m
                            - ((sv >> 8) & 0xFFF);
+                } else {
+                    uint32_t sv = s3o1[(uint32_t(l[z]) << shift) + m];
+                    c = uint8_t(sv & 0xFF);
+                    R[z] = (sv >> (shift + 8)) * (R[z] >> shift)
+                           + ((sv >> 8) & mask);
                 }
                 out[i4[z]++] = c;
                 l[z] = c;
@@ -924,11 +1073,16 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
             c = sfb[uint32_t(l[N - 1]) * row_stride + m];
             uint32_t e = fb[(uint32_t(l[N - 1]) << 8) + c];
             R[N - 1] = (e >> 16) * (R[N - 1] >> shift) + m - (e & 0xFFFF);
-        } else {
+        } else if (use_simd) {
             uint32_t sv = s3o1[(uint32_t(l[N - 1]) << shift) + m];
             c = uint8_t(sv & 0xFF);
             R[N - 1] = ((sv >> 20) + 1) * (R[N - 1] >> shift) + m
                        - ((sv >> 8) & 0xFFF);
+        } else {
+            uint32_t sv = s3o1[(uint32_t(l[N - 1]) << shift) + m];
+            c = uint8_t(sv & 0xFF);
+            R[N - 1] = (sv >> (shift + 8)) * (R[N - 1] >> shift)
+                       + ((sv >> 8) & mask);
         }
         out[i] = c;
         l[N - 1] = c;
