@@ -12,8 +12,55 @@
 #include <cmath>
 #include <cstring>
 
+#if defined(__SSE2__)
+#include <immintrin.h>
+#endif
+
 namespace fqz5 {
 namespace {
+
+#if defined(__SSE2__)
+// Transpose a 16x16 byte tile with the classic 4-level unpack network:
+// src rows are 16 bytes at stride src_stride; dst rows land at stride
+// dst_stride.  Used to un-transpose the SIMD O1 decoder's (isz x 32)
+// lane buffer — a scalar byte-strided walk re-reads every cache line
+// 32 times and was the dominant cost of the X_32 order-1 decode path.
+inline void transpose16x16(const uint8_t* src, size_t src_stride,
+                           uint8_t* dst, size_t dst_stride) {
+    __m128i v[16];
+    for (int r = 0; r < 16; r++)
+        v[r] = _mm_loadu_si128(
+            (const __m128i*)(src + size_t(r) * src_stride));
+    __m128i w[16];
+    for (int r = 0; r < 8; r++) {
+        w[2 * r] = _mm_unpacklo_epi8(v[2 * r], v[2 * r + 1]);
+        w[2 * r + 1] = _mm_unpackhi_epi8(v[2 * r], v[2 * r + 1]);
+    }
+    for (int r = 0; r < 4; r++) {
+        v[4 * r] = _mm_unpacklo_epi16(w[4 * r], w[4 * r + 2]);
+        v[4 * r + 1] = _mm_unpackhi_epi16(w[4 * r], w[4 * r + 2]);
+        v[4 * r + 2] = _mm_unpacklo_epi16(w[4 * r + 1], w[4 * r + 3]);
+        v[4 * r + 3] = _mm_unpackhi_epi16(w[4 * r + 1], w[4 * r + 3]);
+    }
+    for (int r = 0; r < 2; r++) {
+        w[8 * r] = _mm_unpacklo_epi32(v[8 * r], v[8 * r + 4]);
+        w[8 * r + 1] = _mm_unpackhi_epi32(v[8 * r], v[8 * r + 4]);
+        w[8 * r + 2] = _mm_unpacklo_epi32(v[8 * r + 1], v[8 * r + 5]);
+        w[8 * r + 3] = _mm_unpackhi_epi32(v[8 * r + 1], v[8 * r + 5]);
+        w[8 * r + 4] = _mm_unpacklo_epi32(v[8 * r + 2], v[8 * r + 6]);
+        w[8 * r + 5] = _mm_unpackhi_epi32(v[8 * r + 2], v[8 * r + 6]);
+        w[8 * r + 6] = _mm_unpacklo_epi32(v[8 * r + 3], v[8 * r + 7]);
+        w[8 * r + 7] = _mm_unpackhi_epi32(v[8 * r + 3], v[8 * r + 7]);
+    }
+    for (int r = 0; r < 8; r++) {
+        v[2 * r] = _mm_unpacklo_epi64(w[r], w[r + 8]);
+        v[2 * r + 1] = _mm_unpackhi_epi64(w[r], w[r + 8]);
+    }
+    for (int r = 0; r < 16; r++)
+        _mm_storeu_si128((__m128i*)(dst + size_t(r) * dst_stride),
+                         v[r]);
+}
+#endif  // __SSE2__
 
 // ---------------------------------------------------------------------
 // Order-byte flags (file format, rANS_static4x16.h:66-103)
@@ -968,6 +1015,19 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
             fqz5_simd_dec_o1_32(s3o1, int(shift), &cp, limit, R, l,
                                 tbuf.data(), isz);
         // un-transpose (isz x 32) into the 32 contiguous lane chunks
+#if defined(__SSE2__)
+        {
+            uint32_t it = 0;
+            for (; it + 16 <= isz; it += 16)
+                for (int g = 0; g < 2; g++)
+                    transpose16x16(tbuf.data() + size_t(it) * 32 + 16 * g,
+                                   32, out + i4[16 * g] + it, isz);
+            for (; it < isz; it++)
+                for (int z = 0; z < N; z++)
+                    out[i4[z] + it] = tbuf[size_t(it) * 32 + z];
+            for (int z = 0; z < N; z++) i4[z] += isz;
+        }
+#else
         for (int z = 0; z < N; z++) {
             uint8_t* dst = out + i4[z];
             const uint8_t* src = tbuf.data() + z;
@@ -975,6 +1035,7 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
                 dst[i] = src[size_t(i) * 32];
             i4[z] += isz;
         }
+#endif
     } else {
         // Scalar walk.  The fast loop is specialised per shift value
         // and table layout (the reference's "15% faster to specialise
@@ -1202,14 +1263,21 @@ bool unpack_bytes(const uint8_t* data, uint32_t len, uint8_t* out,
         memcpy(out, data, len);
         return true;
     }
+    // Each packed byte expands through a 256-entry pre-expanded LUT
+    // with one wide store — the per-symbol scalar form ran at ~1
+    // byte/cycle and dominated the PACK-decode paths.
     switch (nsym) {
         case 8: {
             if ((out_len + 7) / 8 > len) return false;
-            uint64_t i = 0, j = 0;
-            for (; i + 8 <= out_len; i += 8) {
-                uint8_t c = data[j++];
-                for (int k = 0; k < 8; k++) out[i + k] = map[(c >> k) & 1];
+            uint64_t lut[256];
+            for (int c = 0; c < 256; c++) {
+                uint8_t b8[8];
+                for (int k = 0; k < 8; k++) b8[k] = map[(c >> k) & 1];
+                memcpy(&lut[c], b8, 8);
             }
+            uint64_t i = 0, j = 0;
+            for (; i + 8 <= out_len; i += 8)
+                memcpy(out + i, &lut[data[j++]], 8);
             if (i < out_len) {
                 uint8_t c = data[j++];
                 for (; i < out_len; i++, c >>= 1) out[i] = map[c & 1];
@@ -1218,14 +1286,15 @@ bool unpack_bytes(const uint8_t* data, uint32_t len, uint8_t* out,
         }
         case 4: {
             if ((out_len + 3) / 4 > len) return false;
-            uint64_t i = 0, j = 0;
-            for (; i + 4 <= out_len; i += 4) {
-                uint8_t c = data[j++];
-                out[i] = map[c & 3];
-                out[i + 1] = map[(c >> 2) & 3];
-                out[i + 2] = map[(c >> 4) & 3];
-                out[i + 3] = map[(c >> 6) & 3];
+            uint32_t lut[256];
+            for (int c = 0; c < 256; c++) {
+                uint8_t b4[4] = {map[c & 3], map[(c >> 2) & 3],
+                                 map[(c >> 4) & 3], map[(c >> 6) & 3]};
+                memcpy(&lut[c], b4, 4);
             }
+            uint64_t i = 0, j = 0;
+            for (; i + 4 <= out_len; i += 4)
+                memcpy(out + i, &lut[data[j++]], 4);
             if (i < out_len) {
                 uint8_t c = data[j++];
                 for (; i < out_len; i++, c >>= 2) out[i] = map[c & 3];
@@ -1234,12 +1303,14 @@ bool unpack_bytes(const uint8_t* data, uint32_t len, uint8_t* out,
         }
         case 2: {
             if ((out_len + 1) / 2 > len) return false;
-            uint64_t i = 0, j = 0;
-            for (; i + 2 <= out_len; i += 2) {
-                uint8_t c = data[j++];
-                out[i] = map[c & 15];
-                out[i + 1] = map[(c >> 4) & 15];
+            uint16_t lut[256];
+            for (int c = 0; c < 256; c++) {
+                uint8_t b2[2] = {map[c & 15], map[(c >> 4) & 15]};
+                memcpy(&lut[c], b2, 2);
             }
+            uint64_t i = 0, j = 0;
+            for (; i + 2 <= out_len; i += 2)
+                memcpy(out + i, &lut[data[j++]], 2);
             if (i < out_len) out[i] = map[data[j] & 15];
             return true;
         }

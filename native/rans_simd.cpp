@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 
 extern "C" int fqz5_have_avx2();
 
@@ -64,6 +65,27 @@ inline __m256i renorm8(__m256i R, const uint8_t*& ptr,
     return R;
 }
 
+// Emulated gather: hardware vpgatherdd is microcoded on every CPU
+// carrying the Downfall mitigation (this image's Ice Lake-class Xeon
+// included) and runs ~5-10x slower than scalar loads.  The index
+// vector spills through a volatile array (stops the autovectorizer
+// from fusing the loads back into a gather) and the lanes rebuild via
+// two independent insert chains.  Reference default does the same
+// (rANS_static32x16pr_avx2.c USE_GATHER off).
+inline __m256i gather8(const uint32_t* tab, __m256i idx) {
+    volatile uint32_t c[8] __attribute__((aligned(32)));
+    _mm256_store_si256((__m256i*)(uint32_t*)c, idx);
+    __m128i lo = _mm_cvtsi32_si128(int(tab[c[0]]));
+    __m128i hi = _mm_cvtsi32_si128(int(tab[c[4]]));
+    lo = _mm_insert_epi32(lo, int(tab[c[1]]), 1);
+    hi = _mm_insert_epi32(hi, int(tab[c[5]]), 1);
+    lo = _mm_insert_epi32(lo, int(tab[c[2]]), 2);
+    hi = _mm_insert_epi32(hi, int(tab[c[6]]), 2);
+    lo = _mm_insert_epi32(lo, int(tab[c[3]]), 3);
+    hi = _mm_insert_epi32(hi, int(tab[c[7]]), 3);
+    return _mm256_inserti128_si256(_mm256_castsi128_si256(lo), hi, 1);
+}
+
 inline void pack8_low_bytes(__m256i S, uint8_t* dst) {
     __m256i b = _mm256_shuffle_epi8(
         S, _mm256_setr_epi8(0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1,
@@ -99,7 +121,7 @@ void fqz5_simd_dec_o0_32(const uint32_t* s3, int shift,
         __m256i S[4];
         for (int g = 0; g < 4; g++) {
             __m256i m = _mm256_and_si256(R[g], vmask);
-            S[g] = _mm256_i32gather_epi32((const int*)s3, m, 4);
+            S[g] = gather8(s3, m);
         }
         for (int g = 0; g < 4; g++) {
             pack8_low_bytes(_mm256_and_si256(S[g], vff), out + i + 8 * g);
@@ -146,7 +168,7 @@ void fqz5_simd_dec_o1_32(const uint32_t* s3o1, int shift,
             m[g] = _mm256_and_si256(R[g], vmask);
             __m256i sidx = _mm256_add_epi32(
                 _mm256_slli_epi32(last[g], shift), m[g]);
-            sv[g] = _mm256_i32gather_epi32((const int*)s3o1, sidx, 4);
+            sv[g] = gather8(s3o1, sidx);
         }
         for (int g = 0; g < 4; g++) {
             __m256i c = _mm256_and_si256(sv[g], vff);
@@ -222,9 +244,53 @@ inline void pack16_low_bytes(__m512i S, uint8_t* dst) {
     _mm_storeu_si128((__m128i*)dst, b);
 }
 
+// Emulated 16-lane gather (see gather8 above: post-Downfall microcode
+// makes vpgatherdd ~5-10x slower than scalar loads).  Four independent
+// 4-insert chains keep the port-5 pressure spread.
+inline __m512i gather16(const uint32_t* tab, __m512i idx) {
+    volatile uint32_t c[16] __attribute__((aligned(64)));
+    _mm512_store_si512((void*)(uint32_t*)c, idx);
+    __m128i q0 = _mm_cvtsi32_si128(int(tab[c[0]]));
+    __m128i q1 = _mm_cvtsi32_si128(int(tab[c[4]]));
+    __m128i q2 = _mm_cvtsi32_si128(int(tab[c[8]]));
+    __m128i q3 = _mm_cvtsi32_si128(int(tab[c[12]]));
+    q0 = _mm_insert_epi32(q0, int(tab[c[1]]), 1);
+    q1 = _mm_insert_epi32(q1, int(tab[c[5]]), 1);
+    q2 = _mm_insert_epi32(q2, int(tab[c[9]]), 1);
+    q3 = _mm_insert_epi32(q3, int(tab[c[13]]), 1);
+    q0 = _mm_insert_epi32(q0, int(tab[c[2]]), 2);
+    q1 = _mm_insert_epi32(q1, int(tab[c[6]]), 2);
+    q2 = _mm_insert_epi32(q2, int(tab[c[10]]), 2);
+    q3 = _mm_insert_epi32(q3, int(tab[c[14]]), 2);
+    q0 = _mm_insert_epi32(q0, int(tab[c[3]]), 3);
+    q1 = _mm_insert_epi32(q1, int(tab[c[7]]), 3);
+    q2 = _mm_insert_epi32(q2, int(tab[c[11]]), 3);
+    q3 = _mm_insert_epi32(q3, int(tab[c[15]]), 3);
+    __m512i r = _mm512_castsi128_si512(q0);
+    r = _mm512_inserti32x4(r, q1, 1);
+    r = _mm512_inserti32x4(r, q2, 2);
+    r = _mm512_inserti32x4(r, q3, 3);
+    return r;
+}
+
+// Same, over a byte base with unaligned 32-bit loads (encode's strided
+// input fetch).
+inline __m512i gather16_bytes(const uint8_t* base, __m512i idx) {
+    volatile uint32_t c[16] __attribute__((aligned(64)));
+    _mm512_store_si512((void*)(uint32_t*)c, idx);
+    alignas(64) uint32_t v[16];
+    for (int k = 0; k < 16; k++) {
+        uint32_t w;
+        memcpy(&w, base + c[k], 4);
+        v[k] = w;
+    }
+    return _mm512_load_si512(v);
+}
+
 }  // namespace
 
 extern "C" int fqz5_have_avx512() {
+    if (getenv("FQZ5_NO_AVX512")) return 0;
     return (__builtin_cpu_supports("avx512f") &&
             __builtin_cpu_supports("avx512bw") &&
             __builtin_cpu_supports("avx512vl"))
@@ -422,7 +488,7 @@ void fqz5_simd512_enc_o1_32(const uint8_t* in, uint32_t isz,
     auto gather_bytes = [&](int64_t i, int g) {
         __m512i idx = _mm512_add_epi32(zoff[g],
                                        _mm512_set1_epi32(int(i)));
-        __m512i v = _mm512_i32gather_epi32(idx, (const int*)in, 1);
+        __m512i v = gather16_bytes(in, idx);
         return _mm512_and_si512(v, vff);
     };
     __m512i R[2], last[2];
@@ -440,10 +506,10 @@ void fqz5_simd512_enc_o1_32(const uint8_t* in, uint32_t isz,
             __m512i ctx = gather_bytes(i, g);
             __m512i flat = _mm512_add_epi32(
                 _mm512_slli_epi32(ctx, 8), last[g]);
-            __m512i xm = _mm512_i32gather_epi32(flat, (const int*)xmax, 4);
-            __m512i rc = _mm512_i32gather_epi32(flat, (const int*)rcp, 4);
-            __m512i bi = _mm512_i32gather_epi32(flat, (const int*)bias, 4);
-            __m512i cr = _mm512_i32gather_epi32(flat, (const int*)crs, 4);
+            __m512i xm = gather16(xmax, flat);
+            __m512i rc = gather16(rcp, flat);
+            __m512i bi = gather16(bias, flat);
+            __m512i cr = gather16(crs, flat);
             R[g] = enc16(R[g], xm, rc, bi, cr, ptr);
             last[g] = ctx;
         }
@@ -451,10 +517,10 @@ void fqz5_simd512_enc_o1_32(const uint8_t* in, uint32_t isz,
     // final step: ctx 0, symbol = last
     for (int g = 1; g >= 0; g--) {
         __m512i flat = last[g];
-        __m512i xm = _mm512_i32gather_epi32(flat, (const int*)xmax, 4);
-        __m512i rc = _mm512_i32gather_epi32(flat, (const int*)rcp, 4);
-        __m512i bi = _mm512_i32gather_epi32(flat, (const int*)bias, 4);
-        __m512i cr = _mm512_i32gather_epi32(flat, (const int*)crs, 4);
+        __m512i xm = gather16(xmax, flat);
+        __m512i rc = gather16(rcp, flat);
+        __m512i bi = gather16(bias, flat);
+        __m512i cr = gather16(crs, flat);
         R[g] = enc16(R[g], xm, rc, bi, cr, ptr);
     }
     for (int g = 0; g < 2; g++) _mm512_storeu_si512(Rs + 16 * g, R[g]);
