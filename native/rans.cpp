@@ -511,6 +511,8 @@ bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
         fqz5_simd512_enc_o0_32(in, in_size & ~uint32_t(31), sxm, src_,
                                sbi, scr, R, &ptr);
     } else {
+        // (a register-flattened N==4 variant measured SLOWER than this
+        // array form — the four enc_puts already serialize on ptr)
         for (uint32_t i = in_size & ~uint32_t(N - 1); i > 0; i -= N)
             for (int z = N - 1; z >= 0; z--)
                 enc_put(R[z], ptr, syms[in[i - N + z]]);
