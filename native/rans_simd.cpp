@@ -309,21 +309,76 @@ extern "C" void fqz5_simd512_dec_o0_32(const uint32_t* s3, int shift,
     for (int g = 0; g < 2; g++)
         R[g] = _mm512_loadu_si512(Rs + 16 * g);
 
-    for (uint32_t i = 0; i < main_sz; i += 32) {
-        __m512i S[2];
-        for (int g = 0; g < 2; g++) {
-            __m512i m = _mm512_and_si512(R[g], vmask);
-            S[g] = _mm512_i32gather_epi32(m, (const int*)s3, 4);
+    // Software-pipelined: each iteration issues the NEXT iteration's
+    // two gathers right after the state updates, so their latency
+    // overlaps the renorm and output packing of the current one
+    // (reference avx512 core does the same, :371-440).
+    if (main_sz) {
+        const __m512i vL = _mm512_set1_epi32(int(kRansL));
+        __m512i S0 = _mm512_i32gather_epi32(
+            _mm512_and_si512(R[0], vmask), (const int*)s3, 4);
+        __m512i S1 = _mm512_i32gather_epi32(
+            _mm512_and_si512(R[1], vmask), (const int*)s3, 4);
+        for (uint32_t i = 0;;) {
+            __m512i f0 = _mm512_srli_epi32(S0, shift + 8);
+            __m512i f1 = _mm512_srli_epi32(S1, shift + 8);
+            __m512i b0 = _mm512_and_si512(_mm512_srli_epi32(S0, 8),
+                                          vmask);
+            __m512i b1 = _mm512_and_si512(_mm512_srli_epi32(S1, 8),
+                                          vmask);
+            if (cp + 64 <= limit) {
+                // renorm words for group 0 load BEFORE the multiply
+                // chain completes; one bound check covers both groups
+                // (each consumes <= 32 bytes)
+                __m256i wa = _mm256_loadu_si256((const __m256i*)cp);
+                R[0] = _mm512_add_epi32(
+                    _mm512_mullo_epi32(_mm512_srli_epi32(R[0], shift),
+                                       f0),
+                    b0);
+                R[1] = _mm512_add_epi32(
+                    _mm512_mullo_epi32(_mm512_srli_epi32(R[1], shift),
+                                       f1),
+                    b1);
+                __mmask16 n0 = _mm512_cmplt_epu32_mask(R[0], vL);
+                __m512i v0 = _mm512_maskz_expand_epi32(
+                    n0, _mm512_cvtepu16_epi32(wa));
+                R[0] = _mm512_mask_mov_epi32(
+                    R[0], n0,
+                    _mm512_or_si512(_mm512_slli_epi32(R[0], 16), v0));
+                cp += 2 * __builtin_popcount(unsigned(n0));
+                __m256i wb = _mm256_loadu_si256((const __m256i*)cp);
+                __mmask16 n1 = _mm512_cmplt_epu32_mask(R[1], vL);
+                __m512i v1 = _mm512_maskz_expand_epi32(
+                    n1, _mm512_cvtepu16_epi32(wb));
+                R[1] = _mm512_mask_mov_epi32(
+                    R[1], n1,
+                    _mm512_or_si512(_mm512_slli_epi32(R[1], 16), v1));
+                cp += 2 * __builtin_popcount(unsigned(n1));
+            } else {
+                R[0] = _mm512_add_epi32(
+                    _mm512_mullo_epi32(_mm512_srli_epi32(R[0], shift),
+                                       f0),
+                    b0);
+                R[1] = _mm512_add_epi32(
+                    _mm512_mullo_epi32(_mm512_srli_epi32(R[1], shift),
+                                       f1),
+                    b1);
+                R[0] = renorm16(R[0], cp, limit);
+                R[1] = renorm16(R[1], cp, limit);
+            }
+            __m512i So0 = S0, So1 = S1;
+            uint32_t inext = i + 32;
+            if (inext < main_sz) {
+                S0 = _mm512_i32gather_epi32(
+                    _mm512_and_si512(R[0], vmask), (const int*)s3, 4);
+                S1 = _mm512_i32gather_epi32(
+                    _mm512_and_si512(R[1], vmask), (const int*)s3, 4);
+            }
+            pack16_low_bytes(So0, out + i);
+            pack16_low_bytes(So1, out + i + 16);
+            i = inext;
+            if (i >= main_sz) break;
         }
-        for (int g = 0; g < 2; g++) {
-            pack16_low_bytes(S[g], out + i + 16 * g);
-            __m512i f = _mm512_srli_epi32(S[g], shift + 8);
-            __m512i b = _mm512_and_si512(_mm512_srli_epi32(S[g], 8),
-                                         vmask);
-            __m512i q = _mm512_srli_epi32(R[g], shift);
-            R[g] = _mm512_add_epi32(_mm512_mullo_epi32(f, q), b);
-        }
-        for (int g = 0; g < 2; g++) R[g] = renorm16(R[g], cp, limit);
     }
     for (int g = 0; g < 2; g++) _mm512_storeu_si512(Rs + 16 * g, R[g]);
     *cp_io = cp;
@@ -371,7 +426,28 @@ extern "C" void fqz5_simd512_dec_o1_32(const uint32_t* s3o1,
                 _mm512_add_epi32(_mm512_mullo_epi32(f, q), m[g]), st);
             last[g] = c;
         }
-        for (int g = 0; g < 2; g++) R[g] = renorm16(R[g], cp, limit);
+        if (cp + 64 <= limit) {
+            // unchecked renorms, words preloaded (see the O0 loop)
+            const __m512i vL = _mm512_set1_epi32(int(kRansL));
+            __m256i wa = _mm256_loadu_si256((const __m256i*)cp);
+            __mmask16 n0 = _mm512_cmplt_epu32_mask(R[0], vL);
+            __m512i v0 = _mm512_maskz_expand_epi32(
+                n0, _mm512_cvtepu16_epi32(wa));
+            R[0] = _mm512_mask_mov_epi32(
+                R[0], n0,
+                _mm512_or_si512(_mm512_slli_epi32(R[0], 16), v0));
+            cp += 2 * __builtin_popcount(unsigned(n0));
+            __m256i wb = _mm256_loadu_si256((const __m256i*)cp);
+            __mmask16 n1 = _mm512_cmplt_epu32_mask(R[1], vL);
+            __m512i vv1 = _mm512_maskz_expand_epi32(
+                n1, _mm512_cvtepu16_epi32(wb));
+            R[1] = _mm512_mask_mov_epi32(
+                R[1], n1,
+                _mm512_or_si512(_mm512_slli_epi32(R[1], 16), vv1));
+            cp += 2 * __builtin_popcount(unsigned(n1));
+        } else {
+            for (int g = 0; g < 2; g++) R[g] = renorm16(R[g], cp, limit);
+        }
     }
     for (int g = 0; g < 2; g++) {
         _mm512_storeu_si512(Rs + 16 * g, R[g]);
