@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import dataclasses
+import os
 import sys
 import time
 from typing import BinaryIO, Optional
@@ -129,6 +130,21 @@ def _encode_stream(batches, out_fp: BinaryIO, arg: Options,
         blk = encode_block(learner, arg, fq, bt)
         return blk, fq, bt
 
+    if nthread == 1 and (os.cpu_count() or 1) == 1:
+        # One worker on one core: parse/encode overlap can't win, the
+        # executor + queue handoffs only add GIL switches.  Run inline.
+        for fq in batches:
+            if fq is None or fq.num_records == 0:
+                break
+            blk, fq, bt = job(fq)
+            idx.add(out_fp.tell(), len(fq.seq_buf), fq.num_records)
+            out_fp.write(blk)
+            t.append_block(bt, arg.verbose)
+        index_offset = out_fp.tell()
+        container.write_index(out_fp, idx)
+        container.patch_index_offset(out_fp, index_offset)
+        return
+
     with cf.ThreadPoolExecutor(max_workers=nthread) as pool:
         pending = []
         max_inflight = nthread * 2
@@ -157,7 +173,10 @@ def _prefetched(gen, depth: int = 2):
     """Run a batch generator on a background thread (the reference
     overlaps its main-thread kseq parse with pool compression; this is
     the same overlap — parsing is numpy/native work that releases the
-    GIL)."""
+    GIL).  On a single-core machine overlap can't win; yield inline."""
+    if (os.cpu_count() or 1) == 1:
+        yield from gen
+        return
     import queue
     import threading
 

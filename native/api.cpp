@@ -8,7 +8,28 @@
 #include <cstring>
 #include <vector>
 
+#ifdef __GLIBC__
+#include <malloc.h>
+#endif
+
 #include "rans.h"
+
+// The codecs stage multi-MB buffers per call; glibc serves those from
+// mmap by default and unmaps on free, so every call re-faults tens of
+// MB of pages (measured: O0 decode 291 -> ~500 MB/s from this alone).
+// Keep large chunks on the heap and don't trim them back to the kernel
+// (reference analog: the fqzcomp5 binary reuses caller buffers and its
+// TLS arena, utils.c:119-205, so it never pays these faults).
+namespace {
+struct MallocTuning {
+    MallocTuning() {
+#ifdef __GLIBC__
+        mallopt(M_MMAP_THRESHOLD, 512 << 20);
+        mallopt(M_TRIM_THRESHOLD, 512 << 20);
+#endif
+    }
+} malloc_tuning_;
+}  // namespace
 
 extern "C" {
 
