@@ -104,6 +104,9 @@ def _register_optional(L: ctypes.CDLL) -> None:
         ("fqz5_join_names", ctypes.c_int64,
          [u8p, ctypes.c_int64, u8p, ctypes.c_int64, u8p,
           ctypes.c_int64, u8p, u32p]),
+        ("fqz5_format_fastq", ctypes.c_int64,
+         [u8p, ctypes.c_int64, u8p, u8p, u32p, ctypes.c_int64,
+          ctypes.c_int, u8p]),
     ]:
         try:
             fn = getattr(L, name)
@@ -115,6 +118,20 @@ def _register_optional(L: ctypes.CDLL) -> None:
 
 _scratch = threading.local()
 _SCRATCH_MAX = 96 << 20  # reuse buffers up to 96MB; larger are one-shot
+
+# Uninitialised bytes constructor (callers overwrite every byte).
+_pybytes_uninit = ctypes.pythonapi.PyBytes_FromStringAndSize
+_pybytes_uninit.restype = ctypes.py_object
+_pybytes_uninit.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+
+
+def _fresh(nbytes):
+    """Writable fresh bytes, uninitialised (the C kernels fill every
+    byte).  Safe because the object is brand new, unhashed and solely
+    owned — EXCEPT len<=1 bytes, which CPython interns (mutating those
+    would corrupt shared singletons), hence the bytearray fallback."""
+    return (_pybytes_uninit(None, nbytes) if nbytes > 1
+            else bytearray(nbytes))
 
 
 def out_scratch(cap: int) -> tuple:
@@ -235,12 +252,7 @@ def build_soa(data: np.ndarray, name_s, name_e, core_len, seq_s,
     nb_total = int((name_e - name_s).sum()) + n
     sq_total = int((seq_e - seq_s).sum())
     # C++ fills fresh PyBytes buffers in place: no numpy scratch +
-    # tobytes double copy.  Safe because the objects are brand new,
-    # unhashed and solely owned — EXCEPT len<=1 bytes, which CPython
-    # interns (mutating those would corrupt shared singletons).
-    def _fresh(nbytes):
-        return bytes(nbytes) if nbytes > 1 else bytearray(nbytes)
-
+    # tobytes double copy (see _fresh).
     name_buf = _fresh(nb_total)
     seq_buf = _fresh(sq_total)
     qual_buf = _fresh(sq_total)
@@ -274,6 +286,33 @@ def build_soa(data: np.ndarray, name_s, name_e, core_len, seq_s,
             lens[:n], flags[:n])
 
 
+def format_fastq(name_buf: bytes, seq_buf: bytes, qual_buf: bytes,
+                 lens: np.ndarray, plus_name: bool) -> bytes:
+    """Single-pass FASTQ text assembly (C kernel; decode hot path)."""
+    L = lib()
+    n = len(lens)
+    name_total = len(name_buf) - n  # NUL per record
+    out_total = (name_total * (2 if plus_name else 1)
+                 + 2 * len(seq_buf) + 6 * n)
+    out = _fresh(out_total)
+    lens = np.ascontiguousarray(lens, np.uint32)
+    _, np_ = _u8(name_buf)
+    _, sp = _u8(seq_buf)
+    _, qp = _u8(qual_buf)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    if isinstance(out, bytes):
+        op = ctypes.cast(ctypes.c_char_p(out), u8)
+    else:
+        op = ctypes.cast((ctypes.c_uint8 * len(out)).from_buffer(out), u8)
+    rc = L.fqz5_format_fastq(
+        np_, len(name_buf), sp, qp,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
+        1 if plus_name else 0, op)
+    if rc != out_total:
+        raise ValueError("malformed name buffer in format_fastq")
+    return bytes(out) if isinstance(out, bytearray) else out
+
+
 def parse_fastq_chunk(data: np.ndarray):
     """Single-pass 4-line FASTQ chunk scan.  Returns
     (name_s, name_e, core_len, seq_s, seq_e, qual_s, tail) or None when
@@ -281,7 +320,17 @@ def parse_fastq_chunk(data: np.ndarray):
     L = lib()
     size = int(data.size)
     max_rec = size // 6 + 2  # minimal record "@\n\n+\n\n" is 6 bytes
-    arrs = [np.empty(max_rec, np.int64) for _ in range(6)]
+    # Reusable scratch: the worst-case bound is ~size/6 entries per
+    # array (6 x 21MB per 16MB chunk); allocating fresh ones per chunk
+    # dominated parse cost.  The used prefix (~n entries) is copied out
+    # because ParsedRecords outlives the next chunk.
+    arrs = getattr(_scratch, "parse_arrs", None)
+    if arrs is None or arrs[0].size < max_rec:
+        # +1/8 headroom: chunk sizes wobble by the carried tail, and
+        # re-allocating 6 x ~20MB per chunk defeats the reuse
+        arrs = [np.empty(max_rec + (max_rec >> 3), np.int64)
+                for _ in range(6)]
+        _scratch.parse_arrs = arrs
     tail = np.zeros(1, np.int64)
     data = np.ascontiguousarray(data)
     _, dp = _u8(data)
@@ -290,7 +339,7 @@ def parse_fastq_chunk(data: np.ndarray):
     if rc < 0:
         return None
     n = int(rc)
-    return tuple(a[:n] for a in arrs) + (int(tail[0]),)
+    return tuple(a[:n].copy() for a in arrs) + (int(tail[0]),)
 
 
 def derive_flags(name_buf: bytes, nrec: int) -> np.ndarray:

@@ -253,6 +253,17 @@ def decode_file(in_fp: BinaryIO, writer, arg: Options, t: Timings) -> None:
             return fmt(fq), bt
         return fq, bt
 
+    if nthread == 1 and (os.cpu_count() or 1) == 1:
+        # see _encode_stream: no overlap to win on one core
+        for raw in container.iter_raw_blocks(in_fp, index_offset):
+            res, bt = job(raw)
+            t.append_block(bt, arg.verbose)
+            if fmt is not None:
+                sink(res)
+            else:
+                writer(res)
+        return
+
     with cf.ThreadPoolExecutor(max_workers=nthread) as pool:
         pending = []
         max_inflight = nthread * 2

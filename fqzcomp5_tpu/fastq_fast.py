@@ -289,6 +289,11 @@ def format_fastq_fast(batch, plus_name: bool = False) -> bytes:
     n = batch.num_records
     if n == 0:
         return b""
+    if _have_native():
+        from fqzcomp5_tpu.codecs import native
+
+        return native.format_fastq(batch.name_buf, batch.seq_buf,
+                                   batch.qual_buf, batch.lens, plus_name)
     nb = np.frombuffer(batch.name_buf, np.uint8)
     sq = np.frombuffer(batch.seq_buf, np.uint8)
     ql = np.frombuffer(batch.qual_buf, np.uint8)

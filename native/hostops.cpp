@@ -276,4 +276,46 @@ int64_t fqz5_build_soa(const uint8_t* data, int64_t nrec,
     return np_ - name_buf;
 }
 
+// Single-pass FASTQ text assembly (decode-side inverse of
+// fqz5_build_soa; replaces a 5-pass numpy gather/scatter pipeline).
+// Record: '@' name '\n' seq '\n' '+' [name] '\n' (qual+33) '\n'.
+// Returns bytes written, or -1 if the name buffer is malformed.
+int64_t fqz5_format_fastq(const uint8_t* names, int64_t names_len,
+                          const uint8_t* seq, const uint8_t* qual,
+                          const uint32_t* lens, int64_t nrec,
+                          int plus_name, uint8_t* out) {
+    const uint8_t* np_ = names;
+    const uint8_t* nend = names + names_len;
+    const uint8_t* sp = seq;
+    const uint8_t* qp = qual;
+    uint8_t* o = out;
+    for (int64_t i = 0; i < nrec; i++) {
+        const uint8_t* ne = static_cast<const uint8_t*>(
+            memchr(np_, 0, size_t(nend - np_)));
+        if (!ne) return -1;
+        size_t nl = size_t(ne - np_);
+        *o++ = '@';
+        memcpy(o, np_, nl);
+        o += nl;
+        *o++ = '\n';
+        size_t L = lens[i];
+        memcpy(o, sp, L);
+        o += L;
+        sp += L;
+        *o++ = '\n';
+        *o++ = '+';
+        if (plus_name) {
+            memcpy(o, np_, nl);
+            o += nl;
+        }
+        *o++ = '\n';
+        for (size_t k = 0; k < L; k++) o[k] = uint8_t(qp[k] + 33);
+        o += L;
+        qp += L;
+        *o++ = '\n';
+        np_ = ne + 1;
+    }
+    return o - out;
+}
+
 }  // extern "C"

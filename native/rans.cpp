@@ -762,7 +762,12 @@ bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
         uint32_t* src_ = sxm + 65536;
         uint32_t* sbi = src_ + 65536;
         uint32_t* scr = sbi + 65536;
-        for (int i2 = 0; i2 < 256; i2++)
+        // Only contexts that occur in the data are ever gathered
+        // (the walk's row index is a data byte), so skip unused rows —
+        // for sparse alphabets this cuts the fill from 65536 entries
+        // to nsym*256 (the dominant per-call cost on ~1MB inputs).
+        for (int i2 = 0; i2 < 256; i2++) {
+            if (T[i2] == 0) continue;
             for (int j = 0; j < 256; j++) {
                 const EncSym& e = syms[i2][j];
                 int k = i2 * 256 + j;
@@ -771,6 +776,7 @@ bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
                 sbi[k] = e.bias;
                 scr[k] = uint32_t(e.cmpl) | (uint32_t(e.rcp_shift) << 16);
             }
+        }
         fqz5_simd512_enc_o1_32(in, isz, sxm, src_, sbi, scr, R, &ptr);
     } else {
         for (; iN[0] >= 0;) {
@@ -1190,41 +1196,50 @@ bool pack_bytes(const uint8_t* in, uint32_t len, std::vector<uint8_t>& meta,
     if (n > 16) return false;
 
     int vpb = n > 4 ? 2 : n > 2 ? 4 : n > 1 ? 8 : 0;
+    // byte-wide LUT + sized output with raw stores (a push_back per
+    // packed byte was ~15% of the whole PACK+O1 encode)
+    uint8_t pl[256];
+    for (int i = 0; i < 256; i++) pl[i] = uint8_t(p[i]);
     packed.clear();
     switch (vpb) {
         case 2: {
+            packed.resize((len + 1) / 2);
+            uint8_t* o = packed.data();
             uint32_t i = 0;
             for (; i < (len & ~1u); i += 2)
-                packed.push_back(uint8_t(p[in[i]] | (p[in[i + 1]] << 4)));
-            if (len & 1) packed.push_back(uint8_t(p[in[len - 1]]));
+                *o++ = uint8_t(pl[in[i]] | (pl[in[i + 1]] << 4));
+            if (len & 1) *o++ = pl[in[len - 1]];
             break;
         }
         case 4: {
+            packed.resize((len + 3) / 4);
+            uint8_t* o = packed.data();
             uint32_t i = 0;
             for (; i + 4 <= len; i += 4)
-                packed.push_back(uint8_t(p[in[i]] | (p[in[i + 1]] << 2) |
-                                         (p[in[i + 2]] << 4) |
-                                         (p[in[i + 3]] << 6)));
+                *o++ = uint8_t(pl[in[i]] | (pl[in[i + 1]] << 2) |
+                               (pl[in[i + 2]] << 4) | (pl[in[i + 3]] << 6));
             if (i < len) {
                 uint8_t b = 0;
                 int x = 0;
-                for (; i < len; i++, x += 2) b |= p[in[i]] << x;
-                packed.push_back(b);
+                for (; i < len; i++, x += 2) b |= pl[in[i]] << x;
+                *o++ = b;
             }
             break;
         }
         case 8: {
+            packed.resize((len + 7) / 8);
+            uint8_t* o = packed.data();
             uint32_t i = 0;
             for (; i + 8 <= len; i += 8) {
                 uint8_t b = 0;
-                for (int k = 0; k < 8; k++) b |= p[in[i + k]] << k;
-                packed.push_back(b);
+                for (int k = 0; k < 8; k++) b |= pl[in[i + k]] << k;
+                *o++ = b;
             }
             if (i < len) {
                 uint8_t b = 0;
                 int x = 0;
-                for (; i < len; i++, x++) b |= p[in[i]] << x;
-                packed.push_back(b);
+                for (; i < len; i++, x++) b |= pl[in[i]] << x;
+                *o++ = b;
             }
             break;
         }

@@ -545,6 +545,12 @@ void fqz5_simd512_enc_o0_32(const uint8_t* in, uint32_t main_sz,
 // Order-1: lanes read their strided chunk bytes (in[z*isz + i]) via
 // gathers, so no input transpose is needed; lanes carry their own
 // `last`.  Tables are flat (ctx*256 + sym) SoA.
+//
+// Hardware vpgatherdd throughout: unlike the decode walks (where the
+// loop-carried state->table dependency made manual pipelined gathers
+// win), the encode's gathers are independent across columns, so the
+// HW gather's throughput dominates (measured 3.3x: 213 -> 706 MB/s on
+// tokenised-name data, 181 -> 543 MB/s on 40-symbol quality data).
 void fqz5_simd512_enc_o1_32(const uint8_t* in, uint32_t isz,
                             const uint32_t* xmax, const uint32_t* rcp,
                             const uint32_t* bias, const uint32_t* crs,
@@ -564,7 +570,7 @@ void fqz5_simd512_enc_o1_32(const uint8_t* in, uint32_t isz,
     auto gather_bytes = [&](int64_t i, int g) {
         __m512i idx = _mm512_add_epi32(zoff[g],
                                        _mm512_set1_epi32(int(i)));
-        __m512i v = gather16_bytes(in, idx);
+        __m512i v = _mm512_i32gather_epi32(idx, (const int*)in, 1);
         return _mm512_and_si512(v, vff);
     };
     __m512i R[2], last[2];
@@ -582,10 +588,10 @@ void fqz5_simd512_enc_o1_32(const uint8_t* in, uint32_t isz,
             __m512i ctx = gather_bytes(i, g);
             __m512i flat = _mm512_add_epi32(
                 _mm512_slli_epi32(ctx, 8), last[g]);
-            __m512i xm = gather16(xmax, flat);
-            __m512i rc = gather16(rcp, flat);
-            __m512i bi = gather16(bias, flat);
-            __m512i cr = gather16(crs, flat);
+            __m512i xm = _mm512_i32gather_epi32(flat, (const int*)xmax, 4);
+            __m512i rc = _mm512_i32gather_epi32(flat, (const int*)rcp, 4);
+            __m512i bi = _mm512_i32gather_epi32(flat, (const int*)bias, 4);
+            __m512i cr = _mm512_i32gather_epi32(flat, (const int*)crs, 4);
             R[g] = enc16(R[g], xm, rc, bi, cr, ptr);
             last[g] = ctx;
         }
@@ -593,10 +599,10 @@ void fqz5_simd512_enc_o1_32(const uint8_t* in, uint32_t isz,
     // final step: ctx 0, symbol = last
     for (int g = 1; g >= 0; g--) {
         __m512i flat = last[g];
-        __m512i xm = gather16(xmax, flat);
-        __m512i rc = gather16(rcp, flat);
-        __m512i bi = gather16(bias, flat);
-        __m512i cr = gather16(crs, flat);
+        __m512i xm = _mm512_i32gather_epi32(flat, (const int*)xmax, 4);
+        __m512i rc = _mm512_i32gather_epi32(flat, (const int*)rcp, 4);
+        __m512i bi = _mm512_i32gather_epi32(flat, (const int*)bias, 4);
+        __m512i cr = _mm512_i32gather_epi32(flat, (const int*)crs, 4);
         R[g] = enc16(R[g], xm, rc, bi, cr, ptr);
     }
     for (int g = 0; g < 2; g++) _mm512_storeu_si512(Rs + 16 * g, R[g]);
