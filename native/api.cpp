@@ -47,12 +47,8 @@ int64_t fqz5_rans_compress(const uint8_t* in, uint32_t in_size, int order,
 int64_t fqz5_rans_uncompress(const uint8_t* in, uint32_t in_size,
                              uint8_t* out, uint32_t out_cap,
                              uint32_t out_hint, int know_size) {
-    std::vector<uint8_t> v;
-    if (!fqz5::rans_uncompress(in, in_size, v, out_hint, know_size != 0))
-        return -1;
-    if (v.size() > out_cap) return -1;
-    memcpy(out, v.data(), v.size());
-    return int64_t(v.size());
+    return fqz5::rans_uncompress_into(in, in_size, out, out_cap, out_hint,
+                                      know_size != 0);
 }
 
 }  // extern "C"

@@ -1277,7 +1277,9 @@ int unpack_meta(const uint8_t* data, uint32_t data_len, uint8_t* map,
 bool unpack_bytes(const uint8_t* data, uint32_t len, uint8_t* out,
                   uint64_t out_len, int nsym, const uint8_t* map) {
     if (nsym == 1) {
-        memcpy(out, data, len);
+        // memmove: the zero-copy decode path stages `data` in the tail
+        // of `out` itself (rans_uncompress_into), so ranges may overlap
+        memmove(out, data, len);
         return true;
     }
     // Each packed byte expands through a 256-entry pre-expanded LUT
@@ -1599,21 +1601,26 @@ std::vector<uint8_t> rans_compress(const uint8_t* in, uint32_t in_size,
     return out;
 }
 
-bool rans_uncompress(const uint8_t* in, uint32_t in_size,
-                     std::vector<uint8_t>& out, uint32_t out_hint,
-                     bool know_size) {
-    if (in_size == 0) return false;
+// Zero-copy decode: writes the decoded stream directly into `out`
+// (reference analog: rans_uncompress_to_4x16 decodes into the caller
+// buffer; the old vector staging cost 3 extra 100MB+ passes per block
+// on the hot plain-order path).  Returns decoded size or -1.
+int64_t rans_uncompress_into(const uint8_t* in, uint32_t in_size,
+                             uint8_t* out, uint32_t out_cap,
+                             uint32_t out_hint, bool know_size) {
+    if (in_size == 0) return -1;
     const uint8_t* in_end = in + in_size;
 
     if (*in & kStripe) {
         uint32_t c_meta_len = 1, ulen;
         int n = get_uv(in + c_meta_len, in_end, &ulen);
-        if (!n) return false;
+        if (!n) return -1;
         c_meta_len += n;
-        if (c_meta_len >= in_size) return false;
+        if (c_meta_len >= in_size) return -1;
         unsigned int N = in[c_meta_len++];
-        if (N < 1) return false;
-        if (know_size && ulen != out_hint) return false;
+        if (N < 1) return -1;
+        if (know_size && ulen != out_hint) return -1;
+        if (ulen > out_cap) return -1;
 
         uint32_t clenN[256], ulenN[256], idxN[256];
         uint64_t clen_tot = 0;
@@ -1621,33 +1628,30 @@ bool rans_uncompress(const uint8_t* in, uint32_t in_size,
             ulenN[i] = ulen / N + ((ulen % N) > i);
             idxN[i] = i ? idxN[i - 1] + ulenN[i - 1] : 0;
             n = get_uv(in + c_meta_len, in_end, &clenN[i]);
-            if (!n) return false;
+            if (!n) return -1;
             c_meta_len += n;
             clen_tot += clenN[i];
             if (c_meta_len > in_size || clenN[i] > in_size || clenN[i] < 1)
-                return false;
+                return -1;
         }
-        if (c_meta_len + clen_tot > in_size) return false;
+        if (c_meta_len + clen_tot > in_size) return -1;
 
         std::vector<uint8_t> outN(ulen);
         for (unsigned int i = 0; i < N; i++) {
-            std::vector<uint8_t> sub;
-            if (!rans_uncompress(in + c_meta_len, in_size - c_meta_len, sub,
-                                 ulenN[i], true) ||
-                sub.size() != ulenN[i])
-                return false;
-            memcpy(outN.data() + idxN[i], sub.data(), ulenN[i]);
+            int64_t rc = rans_uncompress_into(
+                in + c_meta_len, in_size - c_meta_len,
+                outN.data() + idxN[i], ulenN[i], ulenN[i], true);
+            if (rc != int64_t(ulenN[i])) return -1;
             c_meta_len += clenN[i];
         }
         // un-transpose
-        out.resize(ulen);
         uint32_t j = 0;
         uint32_t pos[256];
         memcpy(pos, idxN, sizeof(pos));
         while (j + N <= ulen)
             for (unsigned int k = 0; k < N; k++) out[j++] = outN[pos[k]++];
         for (unsigned int k = 0; j < ulen; k++) out[j++] = outN[pos[k]++];
-        return true;
+        return ulen;
     }
 
     int order = *in++;
@@ -1662,13 +1666,14 @@ bool rans_uncompress(const uint8_t* in, uint32_t in_size,
     uint32_t osz;
     if (!no_size) {
         int n = get_uv(in, in_end, &osz);
-        if (!n) return false;
+        if (!n) return -1;
         in += n;
         in_size -= n;
     } else {
-        if (!know_size) return false;
+        if (!know_size) return -1;
         osz = out_hint;
     }
+    if (osz > out_cap) return -1;
 
     uint32_t tmp1_size = osz;
 
@@ -1678,16 +1683,16 @@ bool rans_uncompress(const uint8_t* in, uint32_t in_size,
     uint64_t unpacked_sz = 0;
     if (do_pack) {
         int used = unpack_meta(in, in_size, map, &npacked_sym);
-        if (used == 0) return false;
+        if (used == 0) return -1;
         unpacked_sz = osz;
         in += used;
         in_size -= used;
         uint32_t psz;
         int n = get_uv(in, in_end, &psz);
-        if (!n) return false;
+        if (!n) return -1;
         in += n;
         in_size -= n;
-        if (psz > tmp1_size) return false;
+        if (psz > tmp1_size) return -1;
         tmp1_size = psz;
     }
 
@@ -1698,11 +1703,11 @@ bool rans_uncompress(const uint8_t* in, uint32_t in_size,
     if (do_rle) {
         uint32_t rle_len, c_meta_size;
         int sz = get_uv(in, in_end, &u_meta_size);
-        if (!sz) return false;
+        if (!sz) return -1;
         int sz2 = get_uv(in + sz, in_end, &rle_len);
-        if (!sz2) return false;
+        if (!sz2) return -1;
         sz += sz2;
-        if (rle_len > tmp1_size) return false;
+        if (rle_len > tmp1_size) return -1;
         if (u_meta_size & 1) {
             rmeta = in + sz;
             u_meta_size = u_meta_size / 2 > uint32_t(in_end - rmeta)
@@ -1711,67 +1716,111 @@ bool rans_uncompress(const uint8_t* in, uint32_t in_size,
             c_meta_size = u_meta_size;
         } else {
             int n = get_uv(in + sz, in_end, &c_meta_size);
-            if (!n) return false;
+            if (!n) return -1;
             sz += n;
             u_meta_size /= 2;
             rle_meta_store.resize(u_meta_size);
             if (!core_decode(in + sz, in_size - sz, do_simd, 0,
                              rle_meta_store.data(), u_meta_size))
-                return false;
+                return -1;
             rmeta = rle_meta_store.data();
         }
-        if (c_meta_size + sz > in_size) return false;
+        if (c_meta_size + sz > in_size) return -1;
         in += c_meta_size + sz;
         in_size -= c_meta_size + sz;
         tmp1_size = rle_len;
     }
 
-    // entropy payload -> tmp1
-    std::vector<uint8_t> tmp1(tmp1_size);
+    // Entropy payload.  Plain path decodes straight into `out`.
+    // PACK-only decodes the packed bytes into the TAIL of `out` and
+    // unpacks forward in place: with vpb values per byte the writer at
+    // k*vpb stays behind the reader at (cap - psz + k) because
+    // (vpb-1)*k < cap - psz for every k < psz (cap >= unpacked size).
+    // RLE stages through a scratch vector (rare path).
+    std::vector<uint8_t> tmp_store;
+    uint8_t* stage_w;      // where the entropy payload lands
+    if (do_rle) {
+        tmp_store.resize(tmp1_size);
+        stage_w = tmp_store.data();
+    } else if (do_pack) {
+        if (tmp1_size > out_cap) return -1;
+        stage_w = out + (out_cap - tmp1_size);
+    } else {
+        stage_w = out;
+    }
     if (in_size) {
         if (do_cat) {
-            if (tmp1_size > in_size) return false;
-            memcpy(tmp1.data(), in, tmp1_size);
+            if (tmp1_size > in_size) return -1;
+            memcpy(stage_w, in, tmp1_size);
         } else {
-            if (!core_decode(in, in_size, do_simd, order, tmp1.data(),
+            if (!core_decode(in, in_size, do_simd, order, stage_w,
                              tmp1_size))
-                return false;
+                return -1;
         }
     } else {
         tmp1_size = 0;
-        tmp1.clear();
     }
+
+    const uint8_t* stage = stage_w;
+    uint64_t stage_size = tmp1_size;
 
     // un-RLE
     std::vector<uint8_t> tmp2;
-    const uint8_t* stage = tmp1.data();
-    uint64_t stage_size = tmp1_size;
     if (do_rle) {
-        if (u_meta_size == 0) return false;
+        if (u_meta_size == 0) return -1;
         int rle_nsyms = rmeta[0] ? rmeta[0] : 256;
-        if (u_meta_size < uint32_t(1 + rle_nsyms)) return false;
+        if (u_meta_size < uint32_t(1 + rle_nsyms)) return -1;
         uint64_t unrle_size = osz;
-        tmp2.resize(osz);
+        uint8_t* unrle_dst;
+        if (do_pack) {
+            tmp2.resize(osz);
+            unrle_dst = tmp2.data();
+        } else {
+            unrle_dst = out;
+        }
         if (!rle_decode(stage, stage_size, rmeta + 1 + rle_nsyms,
                         u_meta_size - (1 + rle_nsyms), rmeta + 1, rle_nsyms,
-                        tmp2.data(), &unrle_size))
-            return false;
-        tmp2.resize(unrle_size);
-        stage = tmp2.data();
+                        unrle_dst, &unrle_size))
+            return -1;
+        stage = unrle_dst;
         stage_size = unrle_size;
+        if (!do_pack) return int64_t(stage_size);
     }
 
     // un-PACK
     if (do_pack) {
         if (npacked_sym == 1) unpacked_sz = stage_size;
-        out.resize(unpacked_sz);
-        if (!unpack_bytes(stage, uint32_t(stage_size), out.data(), unpacked_sz,
+        if (unpacked_sz > out_cap) return -1;
+        if (!unpack_bytes(stage, uint32_t(stage_size), out, unpacked_sz,
                           npacked_sym, map))
-            return false;
-        return true;
+            return -1;
+        return int64_t(unpacked_sz);
     }
 
-    out.assign(stage, stage + stage_size);
+    return int64_t(stage_size);
+}
+
+bool rans_uncompress(const uint8_t* in, uint32_t in_size,
+                     std::vector<uint8_t>& out, uint32_t out_hint,
+                     bool know_size) {
+    // Vector convenience wrapper (internal/tok3 callers): size the
+    // buffer from the header, then decode in place.
+    if (in_size == 0) return false;
+    const uint8_t* in_end = in + in_size;
+    uint32_t osz;
+    if (*in & kStripe) {
+        if (!get_uv(in + 1, in_end, &osz)) return false;
+    } else if (*in & kNosz) {
+        if (!know_size) return false;
+        osz = out_hint;
+    } else {
+        if (!get_uv(in + 1, in_end, &osz)) return false;
+    }
+    out.resize(osz);
+    int64_t rc = rans_uncompress_into(in, in_size, out.data(), osz,
+                                      out_hint, know_size);
+    if (rc < 0) return false;
+    out.resize(size_t(rc));
     return true;
 }
 

@@ -25,6 +25,12 @@ std::vector<uint8_t> rans_compress(const uint8_t* in, uint32_t in_size,
 bool rans_uncompress(const uint8_t* in, uint32_t in_size,
                      std::vector<uint8_t>& out, uint32_t out_hint = 0,
                      bool know_size = false);
+// Zero-copy variant: decodes directly into out (cap >= decoded size;
+// PACK paths stage the packed bytes in the tail of out).  Returns
+// decoded size or -1.
+int64_t rans_uncompress_into(const uint8_t* in, uint32_t in_size,
+                             uint8_t* out, uint32_t out_cap,
+                             uint32_t out_hint = 0, bool know_size = false);
 
 }  // namespace fqz5
 
