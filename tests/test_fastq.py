@@ -136,3 +136,50 @@ def test_compute_flags_zero_length_names():
         names = [bytes(rng.choice([65, 66, 47, 50], s))
                  for s in rng.integers(0, 4, rng.integers(1, 9))]
         run_case(names)
+
+
+def test_format_fastq_native_matches_numpy_fallback():
+    """The C fqz5_format_fastq kernel must agree with the numpy
+    formatter on edge shapes: zero-length reads, empty names,
+    plus_name, and varied record lengths."""
+    from fqzcomp5_tpu import fastq_fast
+    from fqzcomp5_tpu.codecs import native
+
+    rng = np.random.default_rng(7)
+    names, seqs, quals = [], [], []
+    for i in range(50):
+        nl = int(rng.integers(0, 30))
+        names.append(bytes(rng.integers(33, 127, nl, dtype=np.uint8)
+                           .tobytes().replace(b"\x00", b"A")))
+        L = int(rng.integers(0, 40)) if i % 7 else 0
+        seqs.append(rng.choice(np.frombuffer(b"ACGTN", np.uint8), L)
+                    .astype(np.uint8).tobytes())
+        quals.append(bytes(rng.integers(0, 60, L, dtype=np.uint8)))
+
+    class B:
+        num_records = len(names)
+        name_buf = b"".join(n + b"\x00" for n in names)
+        seq_buf = b"".join(seqs)
+        qual_buf = b"".join(quals)
+        lens = np.array([len(s) for s in seqs], np.uint32)
+        is_fasta = False
+
+    for plus in (False, True):
+        got = native.format_fastq(B.name_buf, B.seq_buf, B.qual_buf,
+                                  B.lens, plus)
+        # reference: hand-rolled record assembly
+        exp = b"".join(
+            b"@" + n + b"\n" + s + b"\n+" + (n if plus else b"") + b"\n"
+            + bytes(q + 33 for q in ql) + b"\n"
+            for n, s, ql in zip(names, seqs, quals))
+        assert got == exp, f"plus={plus}"
+
+
+def test_format_fastq_native_rejects_missing_nul():
+    import pytest
+
+    from fqzcomp5_tpu.codecs import native
+
+    with pytest.raises(ValueError):
+        native.format_fastq(b"noterminator", b"ACGT", b"\x00\x00\x00\x00",
+                            np.array([4], np.uint32), False)
