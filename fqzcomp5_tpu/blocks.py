@@ -137,11 +137,17 @@ def _compress_one(m: int, arg: Options, fq: FastqBatch, sec: int,
     if m in _SEQ_PARAMS:
         slevel, both = _SEQ_PARAMS[m]
         strat = (slevel << 4) | (both << 3) | 1
-        return _seq_encode(data, fq.lens, both, slevel), strat
+        try:
+            return _seq_encode(data, fq.lens, both, slevel), strat
+        except ValueError:
+            return None  # coder overflowed its cap on adversarial input
     if m == Method.SEQ_CUSTOM:
         strat = (arg.slevel << 4) | (arg.both_strands << 3) | 1
-        return _seq_encode(data, fq.lens, arg.both_strands,
-                           arg.slevel), strat
+        try:
+            return _seq_encode(data, fq.lens, arg.both_strands,
+                               arg.slevel), strat
+        except ValueError:
+            return None
     if m in (Method.FQZ0, Method.FQZ1, Method.FQZ2, Method.FQZ3,
              Method.FQZ4):
         strat_n = int(m) - int(Method.FQZ0)

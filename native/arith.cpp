@@ -188,7 +188,9 @@ uint8_t max_sym_of(const uint8_t* in, uint32_t n) {
     return uint8_t(m + 1);  // 256 wraps to 0
 }
 
-void enc_o0(const uint8_t* in, uint32_t in_size, std::vector<uint8_t>& out) {
+// Encoders return false when the adaptive coder would overflow the
+// 1.05x heuristic bound (reference: RC_ShiftLowCheck err -> NULL).
+bool enc_o0(const uint8_t* in, uint32_t in_size, std::vector<uint8_t>& out) {
     uint8_t m = max_sym_of(in, in_size);
     out.resize(size_t(1.05 * in_size) + 257 * 3 + 64);
     out[0] = m;
@@ -196,9 +198,12 @@ void enc_o0(const uint8_t* in, uint32_t in_size, std::vector<uint8_t>& out) {
     model.init(m ? m : 256);
     RangeCoder rc;
     rc.start_encode(out.data() + 1);
+    rc.set_output_end(out.data() + out.size());
     for (uint32_t i = 0; i < in_size; i++) model.encode(rc, in[i]);
     rc.finish_encode();
+    if (rc.error()) return false;
     out.resize(1 + rc.out_size());
+    return true;
 }
 
 bool dec_o0(const uint8_t* in, uint32_t in_size, uint8_t* out,
@@ -214,7 +219,7 @@ bool dec_o0(const uint8_t* in, uint32_t in_size, uint8_t* out,
     return !rc.error();
 }
 
-void enc_o1(const uint8_t* in, uint32_t in_size, std::vector<uint8_t>& out) {
+bool enc_o1(const uint8_t* in, uint32_t in_size, std::vector<uint8_t>& out) {
     uint8_t m = max_sym_of(in, in_size);
     out.resize(size_t(1.05 * in_size) + 257 * 3 + 64);
     out[0] = m;
@@ -222,13 +227,16 @@ void enc_o1(const uint8_t* in, uint32_t in_size, std::vector<uint8_t>& out) {
     for (int i = 0; i < 256; i++) model[i].init(m ? m : 256);
     RangeCoder rc;
     rc.start_encode(out.data() + 1);
+    rc.set_output_end(out.data() + out.size());
     uint8_t last = 0;
     for (uint32_t i = 0; i < in_size; i++) {
         model[last].encode(rc, in[i]);
         last = in[i];
     }
     rc.finish_encode();
+    if (rc.error()) return false;
     out.resize(1 + rc.out_size());
+    return true;
 }
 
 bool dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
@@ -250,7 +258,7 @@ bool dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
 // RLE variants: literal in byte model (O0/O1), runs in a 258-context
 // model of 4 symbols with escape-style continuation.
 template <bool kO1>
-void enc_rle(const uint8_t* in, uint32_t in_size, std::vector<uint8_t>& out) {
+bool enc_rle(const uint8_t* in, uint32_t in_size, std::vector<uint8_t>& out) {
     uint8_t m = max_sym_of(in, in_size);
     out.resize(size_t(1.05 * in_size) + 257 * 3 + 64);
     out[0] = m;
@@ -261,6 +269,7 @@ void enc_rle(const uint8_t* in, uint32_t in_size, std::vector<uint8_t>& out) {
 
     RangeCoder rc;
     rc.start_encode(out.data() + 1);
+    rc.set_output_end(out.data() + out.size());
     uint8_t last = 0;
     for (uint32_t i = 0; i < in_size;) {
         byte_model[kO1 ? last : 0].encode(rc, in[i]);
@@ -281,7 +290,9 @@ void enc_rle(const uint8_t* in, uint32_t in_size, std::vector<uint8_t>& out) {
         } while (run);
     }
     rc.finish_encode();
+    if (rc.error()) return false;
     out.resize(1 + rc.out_size());
+    return true;
 }
 
 template <bool kO1>
@@ -440,17 +451,15 @@ std::vector<uint8_t> compress_core(const uint8_t* in, uint32_t in_size,
     }
 
     std::vector<uint8_t> payload;
+    bool ok;
     if (do_rle) {
-        if (o01 == 1)
-            enc_rle<true>(cur, cur_size, payload);
-        else
-            enc_rle<false>(cur, cur_size, payload);
+        ok = o01 == 1 ? enc_rle<true>(cur, cur_size, payload)
+                      : enc_rle<false>(cur, cur_size, payload);
     } else {
-        if (o01 == 1)
-            enc_o1(cur, cur_size, payload);
-        else
-            enc_o0(cur, cur_size, payload);
+        ok = o01 == 1 ? enc_o1(cur, cur_size, payload)
+                      : enc_o0(cur, cur_size, payload);
     }
+    if (!ok) return {};  // coder overflow past bound (reference: NULL)
 
     if (payload.size() >= cur_size) {
         order_byte &= ~(3 | kExt);

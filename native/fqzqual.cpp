@@ -683,6 +683,9 @@ int64_t fqz_compress_impl(const uint8_t* in, size_t in_size, Slice* s,
 
     RangeCoder rc;
     rc.start_encode(out + comp_idx);
+    // the 1.1x cap is heuristic — adversarial qualities can expand
+    // past it; the guard turns that into a clean -1 (rc.h)
+    rc.set_output_end(out + out_cap);
 
     // per-record sequence offsets
     std::vector<size_t> seq_off;
@@ -768,6 +771,7 @@ int64_t fqz_compress_impl(const uint8_t* in, size_t in_size, Slice* s,
 
     for (int r = 0; r < s->num_records; r++) s->flags[r] &= 0xffff;
 
+    if (rc.error()) return -1;  // output exceeded the heuristic cap
     return comp_idx + int64_t(rc.out_size());
 }
 

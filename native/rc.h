@@ -24,12 +24,22 @@ class RangeCoder {
     // ---- encoding ----
     void start_encode(uint8_t* out) {
         out_start_ = out_ = out;
+        out_end_ = nullptr;
         range_ = 0xFFFFFFFFu;
         low_ = 0;
         ff_num_ = 0;
         carry_ = 0;
         cache_ = 0;
+        err_ = false;
     }
+
+    // Optional encode-side overflow guard (reference
+    // c_range_coder.h:RC_SetOutputEnd / RC_ShiftLowCheck): with an end
+    // set, shift_low stops writing and flags error() instead of
+    // running past the buffer.  Adaptive coders have no hard 1.05x
+    // bound — adversarial input can expand ~2x — so every encoder
+    // whose cap is heuristic must set this.
+    void set_output_end(uint8_t* end) { out_end_ = end; }
 
     void encode(uint32_t cum, uint32_t freq, uint32_t tot) {
         uint32_t old_low = low_;
@@ -91,6 +101,14 @@ class RangeCoder {
   private:
     void shift_low() {
         if (low_ < kThresh || carry_) {
+            if (out_end_ && ff_num_ >= size_t(out_end_ - out_)) {
+                // pending 1+ff_num_ bytes would cross the end: stop
+                // writing (caller checks error()); mirrors
+                // RC_ShiftLowCheck
+                err_ = true;
+                low_ <<= 8;
+                return;
+            }
             *out_++ = uint8_t(cache_ + carry_);
             while (ff_num_) {
                 *out_++ = uint8_t(carry_ - 1);
@@ -108,6 +126,7 @@ class RangeCoder {
     uint32_t ff_num_ = 0, cache_ = 0, carry_ = 0;
     uint8_t* out_ = nullptr;
     uint8_t* out_start_ = nullptr;
+    uint8_t* out_end_ = nullptr;
     const uint8_t* in_ = nullptr;
     const uint8_t* in_end_ = nullptr;
     bool err_ = false;

@@ -75,6 +75,9 @@ int64_t seq_encode(const uint8_t* in, uint32_t in_size, const uint32_t* lens,
 
     RangeCoder rc;
     rc.start_encode(out);
+    // in_size+100 is heuristic — N/run escapes on adversarial input
+    // can expand past it; the guard turns that into a clean -1 (rc.h)
+    rc.set_output_end(out + out_cap);
 
     uint32_t last = kSeedFwd & mask;
     uint32_t last2 = (kSeedRev >> (32 - 2 * ctx_size)) & mask;
@@ -176,6 +179,7 @@ int64_t seq_encode(const uint8_t* in, uint32_t in_size, const uint32_t* lens,
     }
 
     rc.finish_encode();
+    if (rc.error()) return -1;  // output exceeded the heuristic cap
     return int64_t(rc.out_size());
 }
 

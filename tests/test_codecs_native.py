@@ -164,3 +164,24 @@ def test_seq_roundtrip(ctx_size, both):
     comp = host.seq_encode(s, lens, both, ctx_size)
     got = host.seq_decode(comp, lens, both, ctx_size, total)
     assert got == s
+
+
+def test_tok3_arith_no_heap_overflow():
+    """Regression: tok3 with use_arith=1 on SRR-style names made the
+    arith O1 coder write past its 1.05x output bound (heap
+    corruption, caught by ASan).  The RangeCoder output-end guard
+    (rc.h, mirroring reference c_range_coder.h RC_ShiftLowCheck) must
+    make this a clean encode that still roundtrips."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    lens = rng.integers(80, 320, 120_000)
+    names = b"".join(
+        b"SRR123.%d %d length=%d\x00" % (i, i, L)
+        for i, L in enumerate(lens))
+    from fqzcomp5_tpu.codecs import host
+
+    comp = host.tok3_encode(names, 5, 1)
+    assert host.tok3_decode(comp) == names
+    comp0 = host.tok3_encode(names, 5, 0)
+    assert host.tok3_decode(comp0) == names
