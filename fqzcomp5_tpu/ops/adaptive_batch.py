@@ -15,7 +15,7 @@ Jobs are namespaced into one event stream:
   job j, model id m   ->  global row key  j * JOB_OFF + m
 
 and grouped into four model families, each evolved in one
-evolve_by_count batch across ALL jobs:
+evolve_grouped batch across ALL jobs:
 
   T4    TinyModel<4>        seq codec k-mer models
   T2    TinyModel<2>        seq codec state models
@@ -91,19 +91,24 @@ def _evolve_families(jobvec, fam, mid, sym, metas, n_total):
         sel = np.flatnonzero(fam == F)
         if not len(sel):
             continue
-        uniq, symplane, counts, posplane = \
-            fqz_model_jax.group_by_context(gmid[sel], sym[sel])
+        g = fqz_model_jax.group_stream(gmid[sel], sym[sel])
+        uniq = g[0]
+        nev = len(sel)
+        out = (np.zeros(nev, np.uint32), np.zeros(nev, np.uint32),
+               np.zeros(nev, np.uint32))
         if F in (F_T4, F_T2):
-            def run(sp, ct, ridx, _n=4 if F == F_T4 else 2):
+            def run(sp, ct, r, _n=4 if F == F_T4 else 2):
                 return fqz_model_jax.tiny_evolve(
                     jnp.asarray(sp), jnp.asarray(ct), nsym=_n)
+            fqz_model_jax.evolve_grouped(g, run, out=out)
         elif F == F_W256:
-            def run(sp, ct, ridx):
+            def run(sp, ct, r):
                 mr = np.full(len(ct), 2, np.int32)
-                mr[:len(ridx)] = 256
+                mr[:len(r)] = 256
                 return fqz_model_jax.evolve(
                     jnp.asarray(sp), jnp.asarray(ct), jnp.asarray(mr),
                     jnp.int32(16), lanes=256)
+            fqz_model_jax.evolve_grouped(g, run, out=out)
         else:
             # per-row alphabet: qual models use the job's max_sym+1,
             # the sel model max_sel+1, the dup model 2.  Rows whose
@@ -118,42 +123,29 @@ def _evolve_families(jobvec, fam, mid, sym, metas, n_total):
             ms_rows = np.where(ulm < MID_LEN0, msym[ujob],
                                np.where(ulm == MID_SEL, msel[ujob],
                                         2)).astype(np.int32)
-            wide_rows = np.flatnonzero(ms_rows > 128)
-            if len(wide_rows):
-                def run_w(sp, ct, ridx, _ms=ms_rows,
-                          _wr=wide_rows):
-                    mr = np.full(len(ct), 2, np.int32)
-                    mr[:len(ridx)] = _ms[_wr[ridx]]
-                    return fqz_model_jax.evolve(
-                        jnp.asarray(sp), jnp.asarray(ct),
-                        jnp.asarray(mr), jnp.int32(16), lanes=256)
-                cs, fs, ts = fqz_model_jax.evolve_by_count(
-                    symplane[wide_rows], counts[wide_rows], run_w)
-                valid = posplane[wide_rows] >= 0
-                gpos = sel[posplane[wide_rows][valid]]
-                cum[gpos] = cs[valid]
-                freq[gpos] = fs[valid]
-                tot[gpos] = ts[valid]
-                keep = np.flatnonzero(ms_rows <= 128)
-                if not len(keep):
-                    continue
-                uniq = uniq[keep]
-                symplane = symplane[keep]
-                counts = counts[keep]
-                posplane = posplane[keep]
-                ms_rows = ms_rows[keep]
 
-            def run(sp, ct, ridx, _ms=ms_rows):
+            def run_w(sp, ct, r, _ms=ms_rows):
                 mr = np.full(len(ct), 2, np.int32)
-                mr[:len(ridx)] = _ms[ridx]
+                mr[:len(r)] = _ms[r]
+                return fqz_model_jax.evolve(
+                    jnp.asarray(sp), jnp.asarray(ct),
+                    jnp.asarray(mr), jnp.int32(16), lanes=256)
+
+            def run(sp, ct, r, _ms=ms_rows):
+                mr = np.full(len(ct), 2, np.int32)
+                mr[:len(r)] = _ms[r]
                 return fqz_model_jax.evolve_128(sp, ct, mr, 16)
-        cs, fs, ts = fqz_model_jax.evolve_by_count(symplane, counts,
-                                                   run)
-        valid = posplane >= 0
-        gpos = sel[posplane[valid]]
-        cum[gpos] = cs[valid]
-        freq[gpos] = fs[valid]
-        tot[gpos] = ts[valid]
+
+            wide = ms_rows > 128
+            if wide.any():
+                fqz_model_jax.evolve_grouped(
+                    g, run_w, rows=np.flatnonzero(wide), out=out)
+            if not wide.all():
+                fqz_model_jax.evolve_grouped(
+                    g, run, rows=np.flatnonzero(~wide), out=out)
+        cum[sel] = out[0]
+        freq[sel] = out[1]
+        tot[sel] = out[2]
     return cum, freq, tot
 
 

@@ -68,6 +68,24 @@ def pad_rows(n: int) -> int:
 _cache_ready = False
 
 
+def honor_platform_env() -> None:
+    """Make `JAX_PLATFORMS=cpu` actually stick: site plugins (the axon
+    TPU tunnel) force-prepend their platform regardless of the env
+    var, so a host-only CLI run can silently block on a flapping
+    tunnel.  Re-asserting the user's choice through jax.config wins
+    over the plugin.  No-op once a backend is initialised or when the
+    env var is unset."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", env)
+    except Exception:
+        pass  # backends already initialised; too late to re-pin
+
+
 def ensure_compile_cache() -> None:
     """Persistent XLA compilation cache: kernel compiles survive across
     CLI invocations (a fresh process otherwise pays seconds per
@@ -76,6 +94,7 @@ def ensure_compile_cache() -> None:
     if _cache_ready:
         return
     _cache_ready = True
+    honor_platform_env()
     try:
         import pathlib
 

@@ -203,8 +203,8 @@ def encode_payload(qual: bytes, lens, sels, P,
     mids, syms, _ = build_stream(qual, lens, sels, P, seq=seq)
 
     # per-model alphabet sizes (Models::init, fqzqual.cpp:185-192)
-    uniq, symplane, counts, posplane = fqz_model_jax.group_by_context(
-        mids, syms)
+    g = fqz_model_jax.group_stream(mids, syms)
+    uniq = g[0]
     ms = np.where(uniq < MID_LEN0, P.max_sym + 1,
                   np.where(uniq < MID_SEL, 256,
                            np.where(uniq == MID_SEL, P.max_sel + 1,
@@ -212,33 +212,27 @@ def encode_payload(qual: bytes, lens, sels, P,
     import jax.numpy as jnp
 
     n = len(mids)
-    cum = np.zeros(n, np.uint32)
-    freq = np.zeros(n, np.uint32)
-    tot = np.zeros(n, np.uint32)
+    out = (np.zeros(n, np.uint32), np.zeros(n, np.uint32),
+           np.zeros(n, np.uint32))
     # the 256-symbol length-byte models need the wide (256-lane)
     # variant; everything else fits the single-register 128-lane one
     for wide in (False, True):
         rows = (ms > 128) == wide
         if not rows.any():
             continue
-        sub_ms = ms[rows]
 
-        def run(sp, ct, ridx, _ms=sub_ms, _wide=wide):
+        def run(sp, ct, r, _wide=wide):
             mr = np.full(len(ct), 2, np.int32)
-            mr[:len(ridx)] = _ms[ridx]
+            mr[:len(r)] = ms[r]
             if not _wide:
                 return fqz_model_jax.evolve_128(sp, ct, mr, 16)
             return fqz_model_jax.evolve(
                 jnp.asarray(sp), jnp.asarray(ct), jnp.asarray(mr),
                 jnp.int32(16), lanes=256)
 
-        cums, freqs, tots = fqz_model_jax.evolve_by_count(
-            symplane[rows], counts[rows], run)
-        pp = posplane[rows]
-        valid = pp >= 0
-        cum[pp[valid]] = cums[valid]
-        freq[pp[valid]] = freqs[valid]
-        tot[pp[valid]] = tots[valid]
+        fqz_model_jax.evolve_grouped(g, run,
+                                     rows=np.flatnonzero(rows), out=out)
+    cum, freq, tot = out
 
     state, (fl, ca, ff, cy) = _rc_scan_padded(cum, freq, tot)
     tails = rc_jax.finish_events(state)

@@ -178,87 +178,99 @@ def evolve_128(symplane, counts, max_sym, step_inc: int = 16):
                   lanes=128)
 
 
-def evolve_by_count(symplane, counts, run):
-    """Evolve with rows bucketed by occurrence count.
+def group_stream(ctx: np.ndarray, qm: np.ndarray):
+    """Stable-group a stream's (ctx, sym) sequence by context — CSR
+    form, memory O(n).
 
-    A skewed context distribution makes the naive (C, Tmax) plane
-    mostly padding (one hot context sets Tmax while thousands of cold
-    rows hold 1-2 events), so the scan does C x Tmax work for
-    sum(counts) useful cells.  Bucketing rows into power-of-4 count
-    classes bounds the padded area at ~4x the useful cells and keeps
-    a handful of compiled shapes.
+    Returns (uniq (C,), counts (C,) i64, starts (C,) i64 into the
+    sorted order, order (n,) i64 stream positions sorted by context,
+    syms_sorted (n,)).  The old dense (C, Tmax) plane form blew up to
+    gigabytes on skewed distributions (every record resets its model
+    context, so one context's count is >= nrec while C is huge)."""
+    order = np.argsort(ctx, kind="stable")
+    uniq, starts, counts = np.unique(ctx[order], return_index=True,
+                                     return_counts=True)
+    return (uniq, counts.astype(np.int64), starts.astype(np.int64),
+            order.astype(np.int64), np.ascontiguousarray(qm[order]))
 
-    run(sub_plane, sub_counts, row_idx) -> (cum, freq, tot) jnp
-    arrays; sub arrays arrive pow2-padded on both dims."""
-    C, T = symplane.shape
-    cum = np.zeros((C, T), np.uint32)
-    freq = np.zeros((C, T), np.uint32)
-    tot = np.zeros((C, T), np.uint32)
-    done = np.zeros(C, bool)
+
+def _concat_arange(seg: np.ndarray) -> np.ndarray:
+    """[0..seg[0]), [0..seg[1]), ... concatenated."""
+    total = int(seg.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(seg) - seg, seg))
+
+
+def evolve_grouped(g, run, rows=None, out=None):
+    """Pass-2 evolve over a CSR-grouped stream, rows bucketed by
+    occurrence count, results scattered straight back to per-event
+    stream positions.
+
+    A skewed context distribution makes a dense (C, Tmax) plane mostly
+    padding, so each power-of-4 count bucket builds its own
+    (rows, tb) plane from the sorted stream: total padded cells stay
+    within ~4x the useful events regardless of skew, and the handful
+    of pow2 shapes keeps compiles bounded.
+
+    g: group_stream result.  run(sub_plane, sub_counts, rows) ->
+    (cum, freq, tot) jnp arrays; sub arrays arrive pow2-padded on both
+    dims, `rows` are GLOBAL row indices (into g's uniq) for per-row
+    metadata lookups.  rows: optional subset of row indices to
+    process.  out: optional (cum, freq, tot) (n,) uint32 arrays to
+    scatter into (allocated when None).  Returns out."""
+    from fqzcomp5_tpu.ops import backend
+
+    uniq, counts, starts, order, ssorted = g
+    if rows is None:
+        rows = np.arange(len(uniq), dtype=np.int64)
+    if out is None:
+        n = len(order)
+        out = (np.zeros(n, np.uint32), np.zeros(n, np.uint32),
+               np.zeros(n, np.uint32))
+    cum, freq, tot = out
+    cnt = counts[rows]
+    maxc = int(cnt.max()) if len(cnt) else 0
+    done = np.zeros(len(rows), bool)
     tb = 16
     while True:
-        tb = min(tb, max(T, 1))
-        rows = np.flatnonzero(~done & (counts <= tb))
-        if len(rows):
-            from fqzcomp5_tpu.ops import backend
-
-            C2 = pow2(len(rows))
+        tbe = min(tb, max(maxc, 1))
+        sel = np.flatnonzero(~done & (cnt <= tbe))
+        if len(sel):
+            r = rows[sel]
+            C2 = pow2(len(sel))
             C2 += backend.pad_rows(C2)  # mesh-divisible row count
-            sp = np.zeros((C2, tb), symplane.dtype)
-            sp[:len(rows)] = symplane[rows, :tb]
-            ct = np.zeros(C2, counts.dtype)
-            ct[:len(rows)] = counts[rows]
+            seg = cnt[sel]
+            src = np.repeat(starts[r], seg) + _concat_arange(seg)
+            rloc = np.repeat(np.arange(len(sel)), seg)
+            occ = _concat_arange(seg)
+            sp = np.zeros((C2, tbe), np.int32)
+            sp[rloc, occ] = ssorted[src]
+            ct = np.zeros(C2, np.int32)
+            ct[:len(sel)] = seg
             cs, fs, ts = run(backend.shard_rows(sp, extra_dims=1),
-                             backend.shard_rows(ct), rows)
-            cs, fs, ts = (np.asarray(x)[:len(rows)]
-                          for x in (cs, fs, ts))
-            cum[rows, :tb] = cs
-            freq[rows, :tb] = fs
-            tot[rows, :tb] = ts
-            done[rows] = True
-        if tb >= T or done.all():
+                             backend.shard_rows(ct), r)
+            cs, fs, ts = map(np.asarray, (cs, fs, ts))
+            posn = order[src]
+            cum[posn] = cs[rloc, occ]
+            freq[posn] = fs[rloc, occ]
+            tot[posn] = ts[rloc, occ]
+            done[sel] = True
+        if tbe >= maxc or done.all():
             break
         tb *= 4
-    return cum, freq, tot
-
-
-def group_by_context(ctx: np.ndarray, qm: np.ndarray):
-    """Stable-group a stream's (ctx, sym) sequence by context.
-
-    Returns (uniq_ctx, symplane (C, Tmax), counts (C,), order) where
-    `order` maps plane cell (c, t) back to the stream position (for
-    un-sorting the triples)."""
-    order = np.argsort(ctx, kind="stable")
-    sorted_ctx = ctx[order]
-    uniq, starts, counts = np.unique(sorted_ctx, return_index=True,
-                                     return_counts=True)
-    C = len(uniq)
-    Tmax = int(counts.max()) if C else 0
-    symplane = np.zeros((C, Tmax), np.int32)
-    posplane = np.full((C, Tmax), -1, np.int64)
-    # occurrence index within each context
-    occ = np.arange(len(ctx)) - np.repeat(starts, counts)
-    rows = np.repeat(np.arange(C), counts)
-    symplane[rows, occ] = qm[order]
-    posplane[rows, occ] = order
-    return uniq, symplane, counts.astype(np.int32), posplane
+    return out
 
 
 def triples_for_stream(ctx: np.ndarray, qm: np.ndarray, max_sym: int,
                        step_inc: int = 16):
     """Convenience: full pass-2 for one stream — group, evolve,
     un-sort.  Returns (cum, freq, tot) uint32 arrays in stream order."""
-    uniq, symplane, counts, posplane = group_by_context(ctx, qm)
-    cums, freqs, tots = evolve(jnp.asarray(symplane),
-                               jnp.asarray(counts),
-                               jnp.int32(max_sym), jnp.int32(step_inc))
-    cums, freqs, tots = map(np.asarray, (cums, freqs, tots))
-    n = len(ctx)
-    out_c = np.zeros(n, np.uint32)
-    out_f = np.zeros(n, np.uint32)
-    out_t = np.zeros(n, np.uint32)
-    valid = posplane >= 0
-    out_c[posplane[valid]] = cums[valid]
-    out_f[posplane[valid]] = freqs[valid]
-    out_t[posplane[valid]] = tots[valid]
-    return out_c, out_f, out_t
+    g = group_stream(ctx, qm)
+
+    def run(sp, ct, r):
+        return evolve(jnp.asarray(sp), jnp.asarray(ct),
+                      jnp.int32(max_sym), jnp.int32(step_inc))
+
+    return evolve_grouped(g, run)
