@@ -216,15 +216,47 @@ def rc_walk_batch(streams):
     return outs
 
 
+def _batch_budget_bytes() -> int:
+    """Input bytes per batched chunk.  One event costs ~50-60 B of
+    transient host memory across the three passes (event triple +
+    sorted copies + rc planes), so an unbounded wave of 100 MB
+    sections would need tens of GB; chunking keeps the working set
+    bounded while leaving plenty of batch width for the device walks.
+    Jobs are independent, so chunking never changes payload bytes."""
+    import os
+
+    return int(os.environ.get("FQZ5_ADAPTIVE_BATCH_MB", "128")) << 20
+
+
 def encode_adaptive_batch(jobs) -> list[bytes]:
-    """Encode many adaptive-codec jobs in one batched three-pass run.
+    """Encode many adaptive-codec jobs in batched three-pass runs.
 
     jobs: list of ('fqz', qual, lens, flags, seq_buf, strat) or
     ('seq', seq_buf, lens, both, slevel) tuples.  Returns the complete
     section payload per job (fqz jobs include the native wire header),
-    byte-identical to the host codecs."""
+    byte-identical to the host codecs.  Waves whose summed input
+    exceeds the memory budget run as several independent chunks."""
     if not jobs:
         return []
+    budget = _batch_budget_bytes()
+    total_in = sum(len(j[1]) for j in jobs)
+    if total_in > budget and len(jobs) > 1:
+        outs: list[bytes] = []
+        chunk: list = []
+        acc = 0
+        for j in jobs:
+            if chunk and acc + len(j[1]) > budget:
+                outs.extend(_encode_adaptive_chunk(chunk))
+                chunk, acc = [], 0
+            chunk.append(j)
+            acc += len(j[1])
+        if chunk:
+            outs.extend(_encode_adaptive_chunk(chunk))
+        return outs
+    return _encode_adaptive_chunk(jobs)
+
+
+def _encode_adaptive_chunk(jobs) -> list[bytes]:
     preps = [_prep_job(j) for j in jobs]
     hdrs = [p[0] for p in preps]
     metas = [p[5] for p in preps]

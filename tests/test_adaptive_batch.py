@@ -157,3 +157,32 @@ def test_cli_wide_alphabet_encode_still_succeeds(tmp_path):
     assert cli.main(["-5", "-V", str(src), str(comp)]) == 0
     assert cli.main(["-d", "-V", str(comp), str(out)]) == 0
     assert out.read_bytes() == src.read_bytes()
+
+
+def test_memory_budget_chunking(monkeypatch):
+    """Waves over the input-byte budget split into independent chunks
+    with unchanged payloads (jobs share no state across the batch)."""
+    jobs = [_fqz_case(41), _seq_case(42, both=1, slevel=12),
+            _fqz_case(43, with_seq=True, strat=3), _seq_case(44)]
+    want = [_host_encode(j) for j in jobs]
+    monkeypatch.setenv("FQZ5_ADAPTIVE_BATCH_MB", "1")
+    # force the chunker itself (budget of 1MB >> these tiny jobs)
+    monkeypatch.setattr(adaptive_batch, "_batch_budget_bytes",
+                        lambda: max(len(j[1]) for j in jobs) + 1)
+    assert adaptive_batch.encode_adaptive_batch(jobs) == want
+
+
+def test_skewed_context_memory():
+    """The CSR pass-2 path must stay O(events): a block whose records
+    all reset to one hot context (count >= nrec) next to thousands of
+    cold contexts previously inflated dense (C, Tmax) planes to GBs."""
+    import resource
+
+    job = _seq_case(45, nrec=1500, both=1, slevel=14)
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    out = adaptive_batch.encode_adaptive_batch([job])[0]
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert out == _host_encode(job)
+    # ~150K events; anything dense in (C, Tmax) would add hundreds of
+    # MB here (k=14 -> 4^14 context space, hot init context x 1500)
+    assert (after - before) < 1_500_000  # KB
