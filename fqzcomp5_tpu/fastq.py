@@ -376,6 +376,116 @@ def _merge_batches(parts: list[FastqBatch],
     )
 
 
+def scan_blocks(path: str, blk_size: int):
+    """Pre-scan block BYTE RANGES without building batches.
+
+    The reference distributes parsed blocks from one reader
+    (fqzcomp5.c:3050-3077); the multi-process analog is this scan: one
+    cheap pass computes where each block's bytes live, so each process
+    can seek and fully parse ONLY the blocks it owns (parse bytes per
+    process ~ input/N instead of the replicated O(input) of round 2).
+
+    Returns a list of (start, end, nrec, seq_bytes) tuples — block k's
+    records occupy path[start:end] and re-parsing that slice yields
+    exactly the batch the streaming Parser would produce — or None when
+    the input is not clean single-line 4-line FASTQ (gzip, FASTA,
+    multi-line records, truncated tail): callers fall back to the
+    replicated-parse path.
+
+    Block packing replicates next_batch exactly: records accumulate
+    while ``acc_size`` fits the budget; the first record of a block is
+    always accepted (fqzcomp5.c:470-478 accounting).
+    """
+    from fqzcomp5_tpu import fastq_fast
+
+    CHUNK = 32 << 20
+    with open(path, "rb") as fp:
+        head = fp.read(2)
+        if head == b"\x1f\x8b":
+            return None  # gzip: no random access; replicated path
+        fp.seek(0)
+
+        out: list[tuple[int, int, int, int]] = []
+        base = 0          # absolute offset of buf[0]
+        buf = b""
+        eof = False
+        budget = blk_size
+        blk_start = 0     # absolute start of the open block
+        blk_nrec = 0
+        blk_seq = 0
+
+        def close_block(end_abs: int):
+            nonlocal budget, blk_nrec, blk_seq, blk_start
+            out.append((blk_start, end_abs, blk_nrec, blk_seq))
+            blk_start = end_abs
+            budget = blk_size
+            blk_nrec = 0
+            blk_seq = 0
+
+        while True:
+            if not eof and len(buf) < CHUNK:
+                chunk = fp.read(CHUNK)
+                if chunk:
+                    buf += chunk
+                else:
+                    eof = True
+            if not buf:
+                break
+            data = np.frombuffer(buf, np.uint8)
+            if eof and data[-1] != 10:
+                data = np.concatenate([data, np.array([10], np.uint8)])
+            r = fastq_fast.parse_chunk(data)
+            if r is None:
+                return None
+            recs, tail = r
+            if recs.n == 0:
+                if eof or len(buf) >= CHUNK:
+                    return None  # partial/degenerate input
+                continue
+            if eof and tail < len(buf):
+                return None  # unclean tail after the last record
+            # absolute record starts ('@' byte) and per-record seq lens
+            rstart = base + recs.name_s.astype(np.int64) - 1
+            slens = (recs.seq_e - recs.seq_s).astype(np.int64)
+            acc = recs.acc_size
+            cur = 0
+            n = recs.n
+            while cur < n:
+                c = np.cumsum(acc[cur:])
+                k = int(np.searchsorted(c, budget, side="right"))
+                if k == 0:
+                    if blk_nrec > 0:
+                        close_block(int(rstart[cur]))
+                        continue
+                    k = 1  # oversized first record: always accepted
+                blk_nrec += k
+                blk_seq += int(slens[cur:cur + k].sum())
+                budget -= int(c[k - 1])
+                cur += k
+                if budget <= 0:
+                    end = (int(rstart[cur]) if cur < n
+                           else base + tail)
+                    close_block(end)
+            buf = buf[tail:]
+            base += tail
+            if eof and not buf:
+                break
+        if blk_nrec > 0:
+            close_block(base)
+        return out
+
+
+def parse_block_range(path: str, start: int, end: int) -> FastqBatch:
+    """Parse one scanned block's byte range into a batch (identical to
+    what the streaming Parser produced for that block)."""
+    with open(path, "rb") as fp:
+        fp.seek(start)
+        blob = fp.read(end - start)
+    batch = Parser(io.BytesIO(blob)).next_batch(1 << 62)
+    assert batch is not None
+    return batch
+
+
 class InterleavedParser:
     """Paired-end reader: alternates R1/R2 records into one batch.
 

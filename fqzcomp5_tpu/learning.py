@@ -62,6 +62,13 @@ class MethodLearner:
         with self._lock:
             return max(self._trial[sec], 0)
 
+    def review_remaining(self, sec: int) -> int:
+        """Locked blocks left before the review re-opens the trial
+        (lets the distributed wave engine decide — identically on
+        every process — whether a wave can contain trial activity)."""
+        with self._lock:
+            return self._review[sec]
+
     def will_reopen(self, sec: int) -> bool:
         """True when the NEXT methods_for call re-opens the trial
         (review counter exhausted) — a wave segment boundary."""
@@ -77,3 +84,23 @@ class MethodLearner:
                 self._usize[sec][m] += u
                 self._csize[sec][m] += c
             self._trial[sec] -= 1
+            if self._journal is not None:
+                self._journal.append((sec, dict(sizes)))
+
+    # -- trial journal: lets a distributed owner ship one block's trial
+    # stats to its peers so every learner evolves in lock-step without
+    # redundant codec work (parallel/distributed.py) -----------------
+    _journal: list | None = None
+
+    def start_journal(self) -> None:
+        self._journal = []
+
+    def pop_journal(self) -> list:
+        j, self._journal = self._journal or [], None
+        return j
+
+    def replay_journal(self, journal) -> None:
+        """Apply a peer's trial stats (after calling methods_for for
+        the block exactly as the owner did)."""
+        for sec, sizes in journal:
+            self.record_trial(sec, sizes)

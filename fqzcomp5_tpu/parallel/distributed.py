@@ -1,35 +1,47 @@
-"""Multi-process (multi-host analog) encode over jax.distributed.
+"""Multi-process (multi-host analog) encode/decode over jax.distributed.
 
 The reference's whole parallelism story is one thread pool feeding
 serial-ordered results to a single writer (thread_pool.c:113-164 ->
-fqzcomp5.c:3063-3120).  The distributed analog here:
+fqzcomp5.c:3063-3120), with ONE reader parsing blocks for the workers
+(fqzcomp5.c:3050-3077, kseq.h:177-218).  The distributed analog:
 
 - every process runs `jax.distributed.initialize` (gRPC coordinator —
-  the DCN-analog control plane) and parses the input identically, so
-  block boundaries and serials agree everywhere;
+  the DCN-analog control plane);
+- a cheap BYTE-RANGE PRE-SCAN (fastq.scan_blocks) computes every
+  block's byte extent once, so each process seeks and fully parses
+  ONLY the blocks it owns: parse bytes per process ~ input/N (the
+  round-2 implementation re-parsed the whole input everywhere);
 - blocks round-robin by serial: process p owns serials with
   `serial % num_processes == p`;
 - the method-learning state machine must evolve identically on every
-  process (it is shared mutable state in the reference, guarded by
-  metric_m).  Blocks where any section is in trial — or where a
-  review re-opens — are encoded REDUNDANTLY by all processes (the
-  payload is deterministic, so the learners stay in lock-step);
-  locked blocks advance the other processes' learners with bare
-  methods_for calls, no codec work;
+  process (shared mutable state in the reference, guarded by
+  metric_m).  Trial blocks are encoded by their OWNER only; the
+  owner's per-method trial stats travel to the peers as a tiny
+  pickled journal (learning.MethodLearner.start_journal) through one
+  allgather per trial block, so the learners stay in lock-step with
+  no redundant codec or parse work.  Locked blocks advance the other
+  processes' learners with bare methods_for calls;
 - per round of num_processes blocks, payloads all-gather to every
   process (jax.experimental.multihost_utils.process_allgather — the
   collective rides the distributed backend), and process 0 writes
-  them in serial order and accumulates the index.
+  them in serial order and accumulates the index;
+- inputs the scanner cannot pre-split (gzip, FASTA, multi-line
+  records) fall back to the replicated-parse path of round 2, which
+  is always correct.
 
-Because blocks are model-independent, the output file is byte
--identical to the single-process encoder for any process count
-(tests/test_distributed.py proves it with 2 CPU processes).
+Because blocks are model-independent and the learner is in lock-step,
+the output file is byte-identical to the single-process encoder for
+any process count (tests/test_distributed.py proves it with 2 and 3
+CPU processes).
 """
 
 from __future__ import annotations
 
+import os
+import pickle
 import struct
 import sys
+import time
 from typing import BinaryIO
 
 import numpy as np
@@ -42,6 +54,10 @@ from fqzcomp5_tpu.options import Options, method_avail_for
 
 _SECS = (Section.NAME, Section.SEQ, Section.QUAL)
 
+# per-process work accounting (FQZ5_DIST_STATS=1 prints it at exit;
+# the scaling bench and the parse-once test read these)
+STATS = {"parse_bytes": 0, "blocks_encoded": 0, "blocks_ticked": 0}
+
 
 def init(coordinator: str, num_processes: int, process_id: int) -> None:
     import jax
@@ -51,30 +67,135 @@ def init(coordinator: str, num_processes: int, process_id: int) -> None:
                                process_id=process_id)
 
 
-def _gather_round(payloads: list[bytes | None], pid: int):
-    """All-gather one round's payloads (one owned block per process).
-    Processes that own no block this round contribute an empty slot."""
+def _allgather_bytes(mine: bytes) -> list[bytes]:
+    """All-gather one variable-length byte blob per process."""
     from jax.experimental import multihost_utils
 
-    mine = payloads[pid] if pid < len(payloads) and \
-        payloads[pid] is not None else b""
     sizes = multihost_utils.process_allgather(
         np.array([len(mine)], np.int64))
     sizes = np.asarray(sizes).reshape(-1)
     cap = max(int(sizes.max()), 1)
     buf = np.zeros(cap, np.uint8)
     buf[:len(mine)] = np.frombuffer(mine, np.uint8)
-    all_bufs = multihost_utils.process_allgather(buf)
-    all_bufs = np.asarray(all_bufs).reshape(len(sizes), cap)
+    all_bufs = np.asarray(
+        multihost_utils.process_allgather(buf)).reshape(len(sizes), cap)
     return [all_bufs[p, :int(sizes[p])].tobytes()
             for p in range(len(sizes))]
 
 
+def _gather_round(payloads: list[bytes | None], pid: int):
+    """All-gather one round's payloads (one owned block per process).
+    Processes that own no block this round contribute an empty slot."""
+    mine = payloads[pid] if pid < len(payloads) and \
+        payloads[pid] is not None else b""
+    return _allgather_bytes(mine)
+
+
+def _tick_block(learner: MethodLearner, is_fasta: bool) -> None:
+    """Advance the learner for a peer-owned locked block (mirror
+    encode_block's methods_for calls exactly)."""
+    learner.methods_for(Section.NAME)
+    learner.methods_for(Section.SEQ)
+    if not is_fasta:
+        learner.methods_for(Section.QUAL)
+    STATS["blocks_ticked"] += 1
+
+
 def encode_file_distributed(in_path: str, out_fp: BinaryIO | None,
                             arg: Options, *, process_id: int,
-                            num_processes: int) -> None:
+                            num_processes: int,
+                            engine: str = "host") -> None:
     """Distributed encode; only process 0 writes to out_fp (pass None
     elsewhere).  Output bytes match the single-process encoder."""
+    blocks = fastq.scan_blocks(in_path, arg.blk_size)
+    if engine == "tpu":
+        if blocks is None:
+            raise ValueError(
+                "engine=tpu distributed encode needs a scannable "
+                "(plain, clean 4-line FASTQ) input")
+        from fqzcomp5_tpu.parallel.dist_tpu import encode_file_dist_tpu
+
+        encode_file_dist_tpu(in_path, out_fp, arg, blocks,
+                             process_id=process_id,
+                             num_processes=num_processes)
+        return
+    if blocks is None:
+        _encode_replicated(in_path, out_fp, arg,
+                           process_id=process_id,
+                           num_processes=num_processes)
+        return
+
+    learner = MethodLearner()
+    learner.method_avail = method_avail_for(arg)
+    if process_id == 0:
+        container.write_header(out_fp)
+    idx = container.FileIndex()
+
+    round_pay: list[bytes | None] = [None] * num_processes
+    round_meta: list[tuple[int, int] | None] = [None] * num_processes
+
+    def flush_round():
+        nonlocal round_pay, round_meta
+        if not any(m is not None for m in round_meta):
+            return
+        gathered = _gather_round(round_pay, process_id)
+        if process_id == 0:
+            for p in range(num_processes):
+                if round_meta[p] is None:
+                    continue
+                usize, nrec = round_meta[p]
+                pay = round_pay[p] if round_pay[p] is not None \
+                    else gathered[p]
+                if not pay:
+                    raise RuntimeError(
+                        f"missing payload from process {p}")
+                idx.add(out_fp.tell(), usize, nrec)
+                out_fp.write(pay)
+        round_pay = [None] * num_processes
+        round_meta = [None] * num_processes
+
+    for serial, (start, end, nrec, seq_bytes) in enumerate(blocks):
+        owner = serial % num_processes
+        trial = any(learner.in_trial(s) or learner.will_reopen(s)
+                    for s in _SECS)
+        if owner == process_id:
+            fq = fastq.parse_block_range(in_path, start, end)
+            STATS["parse_bytes"] += end - start
+            STATS["blocks_encoded"] += 1
+            if trial:
+                learner.start_journal()
+                round_pay[owner] = encode_block(learner, arg, fq)
+                blob = pickle.dumps(learner.pop_journal())
+            else:
+                round_pay[owner] = encode_block(learner, arg, fq)
+        elif trial:
+            blob = b""
+        else:
+            _tick_block(learner, is_fasta=False)
+        if trial and num_processes > 1:
+            # lock-step: ship the owner's trial stats to every peer
+            blobs = _allgather_bytes(blob)
+            if owner != process_id:
+                _tick_block(learner, is_fasta=False)
+                learner.replay_journal(pickle.loads(blobs[owner]))
+        round_meta[owner] = (seq_bytes, nrec)
+        if (serial + 1) % num_processes == 0:
+            flush_round()
+    flush_round()
+
+    if process_id == 0:
+        index_offset = out_fp.tell()
+        container.write_index(out_fp, idx)
+        container.patch_index_offset(out_fp, index_offset)
+
+
+def _encode_replicated(in_path: str, out_fp: BinaryIO | None,
+                       arg: Options, *, process_id: int,
+                       num_processes: int) -> None:
+    """Fallback for inputs the scanner cannot pre-split (gzip, FASTA,
+    multi-line records): every process parses the whole stream, so
+    block boundaries and serials agree everywhere; trial blocks are
+    encoded redundantly to keep the learners in lock-step."""
     learner = MethodLearner()
     learner.method_avail = method_avail_for(arg)
 
@@ -111,11 +232,14 @@ def encode_file_distributed(in_path: str, out_fp: BinaryIO | None,
         fq = parser.next_batch(arg.blk_size)
         if fq is None or fq.num_records == 0:
             break
+        STATS["parse_bytes"] += (len(fq.name_buf) + len(fq.seq_buf)
+                                 + len(fq.qual_buf))
         owner = serial % num_processes
         redundant = any(learner.in_trial(s) or learner.will_reopen(s)
                         for s in _SECS)
         if redundant or owner == process_id:
             pay = encode_block(learner, arg, fq)
+            STATS["blocks_encoded"] += 1
             if redundant:
                 # every process has the identical bytes; the writer
                 # uses its own copy, no gather slot needed
@@ -124,12 +248,7 @@ def encode_file_distributed(in_path: str, out_fp: BinaryIO | None,
             else:
                 round_pay[owner] = pay
         else:
-            # advance the learner in lock-step without codec work
-            # (mirror encode_block's methods_for calls exactly)
-            learner.methods_for(Section.NAME)
-            learner.methods_for(Section.SEQ)
-            if not fq.is_fasta:
-                learner.methods_for(Section.QUAL)
+            _tick_block(learner, fq.is_fasta)
         round_meta[owner] = (len(fq.seq_buf), fq.num_records)
         serial += 1
         if serial % num_processes == 0:
@@ -148,9 +267,10 @@ def decode_file_distributed(in_path: str, out_fp: BinaryIO | None,
                             out_fp2: BinaryIO | None = None,
                             paired: bool | None = None) -> None:
     """Distributed decode: blocks round-robin by serial (no shared
-    state — blocks are self-contained), each owner decodes AND formats
-    its blocks, and the FASTQ text all-gathers per round to process 0,
-    which writes in serial order.  Byte-identical to the
+    state — blocks are self-contained), each owner reads (via the
+    file index: peers' blocks are SKIPPED, not read), decodes AND
+    formats its blocks, and the FASTQ text all-gathers per round to
+    process 0, which writes in serial order.  Byte-identical to the
     single-process decoder for any process count.  Pass out_fp2 for
     paired (deinterleaved) output; the two formatted halves travel
     through the gather length-prefixed."""
@@ -184,6 +304,8 @@ def decode_file_distributed(in_path: str, out_fp: BinaryIO | None,
 
     with open(in_path, "rb") as in_fp:
         file_version, index_offset = container.read_header(in_fp)
+        idx = (container.read_index(in_fp, index_offset)
+               if index_offset else None)
 
         serial = 0
         round_pay: list[bytes | None] = [None] * num_processes
@@ -205,24 +327,50 @@ def decode_file_distributed(in_path: str, out_fp: BinaryIO | None,
             round_pay = [None] * num_processes
             round_has = [False] * num_processes
 
-        for raw in container.iter_raw_blocks(in_fp, index_offset):
+        def handle(serial, read_raw):
+            nonlocal round_pay, round_has
             owner = serial % num_processes
             if owner == process_id:
+                raw = read_raw()
+                STATS["parse_bytes"] += len(raw)
                 fq = decode_block(raw, file_version)
+                STATS["blocks_encoded"] += 1
                 round_pay[owner] = fmt(fq)
             round_has[owner] = True
-            serial += 1
-            if serial % num_processes == 0:
-                flush_round()
+
+        if idx is not None:
+            # index-seek path: owners read ONLY their blocks
+            header_end = in_fp.tell()
+
+            def reader_for(entry):
+                def read_raw():
+                    in_fp.seek(entry.offset)
+                    szb = in_fp.read(4)
+                    (bsz,) = _struct.unpack("<I", szb)
+                    return szb + in_fp.read(bsz)
+                return read_raw
+
+            del header_end
+            for serial, entry in enumerate(idx.entries):
+                handle(serial, reader_for(entry))
+                if (serial + 1) % num_processes == 0:
+                    flush_round()
+        else:
+            for raw in container.iter_raw_blocks(in_fp, index_offset):
+                handle(serial, lambda raw=raw: raw)
+                serial += 1
+                if serial % num_processes == 0:
+                    flush_round()
         flush_round()
 
 
 def main(argv=None) -> int:
     """Subprocess entry: FQZ5_DIST_COORD / _NPROCS / _PID env vars +
     `python -m fqzcomp5_tpu.parallel.distributed [-d] [-LEVEL]
-    [-b SIZE] in out` (out written by process 0 only)."""
-    import os
-
+    [-b SIZE] [-e tpu] in out` (out written by process 0 only).
+    FQZ5_DIST_STATS=1 prints a per-process work-accounting JSON line
+    at exit (the scaling bench consumes it)."""
+    t_start = time.perf_counter()
     argv = sys.argv[1:] if argv is None else argv
     coord = os.environ["FQZ5_DIST_COORD"]
     nprocs = int(os.environ["FQZ5_DIST_NPROCS"])
@@ -232,6 +380,7 @@ def main(argv=None) -> int:
     arg = Options()
     files = []
     decode = False
+    engine = "host"
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -242,6 +391,9 @@ def main(argv=None) -> int:
         elif a == "-b":
             i += 1
             arg.blk_size = int(argv[i])
+        elif a == "-e":
+            i += 1
+            engine = argv[i]
         else:
             files.append(a)
         i += 1
@@ -262,11 +414,20 @@ def main(argv=None) -> int:
         else:
             encode_file_distributed(in_path, out_fp, arg,
                                     process_id=pid,
-                                    num_processes=nprocs)
+                                    num_processes=nprocs,
+                                    engine=engine)
     finally:
         for f in (out_fp, out_fp2):
             if f:
                 f.close()
+    if os.environ.get("FQZ5_DIST_STATS", "0") not in ("", "0"):
+        import json
+
+        print(json.dumps({
+            "dist_stat": pid,
+            "cpu_s": round(time.process_time(), 3),
+            "wall_s": round(time.perf_counter() - t_start, 3),
+            **STATS}), flush=True)
     return 0
 
 
