@@ -1,11 +1,16 @@
 """TPU-engine file pipelines: wave-batched block compression.
 
-Blocks are gathered into waves; every wave's seq and qual sections walk
-the device together (engine_tpu batched rANS order-0 + order-1), and
-the smaller result wins per section — batching makes the reference's
-"trial" phase free, so every block gets the full method comparison
-instead of fqzcomp5's lock-in after 3 blocks.  Names/lengths (small,
-pointer-heavy codecs) stay on the host.
+Blocks are gathered into waves (auto-sized by input bytes, see
+_wave_budget); each wave replicates the reference's trial/lock/review
+method-learning state machine block-by-block (_encode_section_wave),
+but batches every segment's codec work into cross-block device calls:
+the rANS family runs as one batched best-of walk per segment
+(engine_tpu batched order-0 + order-1 + PACK/STRIPE candidates), and
+the adaptive SEQ*/FQZ* candidates run through ONE cross-block adaptive
+batch (ops/adaptive_batch).  Names/lengths (small, pointer-heavy
+codecs) stay on the host.  Method selection follows the learner, so
+trial waves compare the allowed methods and locked waves run only the
+winner — the same output semantics as the host driver's learning loop.
 
 Files written here are fully FQZ5-compatible: sections carry ordinary
 rANS order bytes (X32 variants) that the reference binary decodes.
@@ -34,8 +39,40 @@ from fqzcomp5_tpu.engine_tpu import (decode_o0_batch, decode_o1_batch,
 from fqzcomp5_tpu.learning import MethodLearner
 from fqzcomp5_tpu.options import Options, method_avail_for
 
-WAVE = 8            # blocks per device wave
+WAVE = 8            # max blocks per device wave
 MIN_DEVICE = 4096   # sections smaller than this stay on the host
+
+
+def _wave_budget() -> int:
+    """Wave auto-sizing: a wave flushes when its accumulated
+    seq+qual bytes reach this budget (or at WAVE blocks, whichever
+    first).  Batching many blocks amortises the per-call device/link
+    fixed cost, but unbounded waves of -5/-9-sized blocks (100MB-1GB
+    each) would hold gigabytes in flight; the byte budget bounds
+    memory while keeping -1's 10MB blocks batched 8-deep
+    (docs/DEVICE_ADAPTIVE_CODECS.md batching regime).  Override with
+    FQZ5_WAVE_MB."""
+    import os
+
+    return int(float(os.environ.get("FQZ5_WAVE_MB", "128")) * 1e6)
+
+
+def wave_groups_from_sizes(sq_sizes: list[int]) -> list[int]:
+    """Wave lengths for a stream of blocks with the given seq+qual
+    byte sizes (shared by the streaming driver and the distributed
+    wave engine so both produce identical grouping)."""
+    budget = _wave_budget()
+    groups = []
+    n = acc = 0
+    for s in sq_sizes:
+        n += 1
+        acc += s
+        if n >= WAVE or acc >= budget:
+            groups.append(n)
+            n = acc = 0
+    if n:
+        groups.append(n)
+    return groups
 
 X_PACK = 0x80
 X_32 = 0x04
@@ -351,6 +388,63 @@ def _encode_section_wave(learner, arg, blocks, sec, datas):
     return results
 
 
+def encode_wave_blocks(learner: MethodLearner, arg: Options,
+                       wave: list[fastq.FastqBatch]
+                       ) -> list[tuple[bytes, Timings]]:
+    """Encode one wave of batches into serialized blocks (framing +
+    CRC included).  Shared by the streaming driver and the distributed
+    wave engine (parallel/dist_tpu.py)."""
+    seqs = _encode_section_wave(learner, arg, wave, Section.SEQ,
+                                [fq.seq_buf for fq in wave])
+    qual_blocks = [fq for fq in wave if not fq.is_fasta]
+    quals = _encode_section_wave(learner, arg, qual_blocks,
+                                 Section.QUAL,
+                                 [fq.qual_buf for fq in qual_blocks])
+    results = []
+    qi = 0
+    for w, fq in enumerate(wave):
+        out = bytearray()
+        out += struct.pack("<I", 0)
+        out += struct.pack("<I", fq.num_records)
+        out += struct.pack("<I", 0)
+        # names: host path (strategy per options)
+        from fqzcomp5_tpu.blocks import compress_with_methods
+        npay, _, _ = compress_with_methods(
+            learner, arg, fq, learner.methods_for(Section.NAME),
+            Section.NAME, fq.name_buf)
+        out += npay
+        if fq.fixed_len:
+            v = varint.put_u32(fq.fixed_len)
+            out += bytes([len(v)]) + v
+            len_csize = 1 + len(v)
+        else:
+            blob = varint.put_array_u32(fq.lens)
+            out += bytes([0]) + struct.pack("<I", len(blob)) + blob
+            len_csize = 5 + len(blob)
+        sstrat, spay = seqs[w]
+        out += struct.pack("<BII", sstrat, len(fq.seq_buf),
+                           len(spay)) + spay
+        if not fq.is_fasta:
+            qstrat, qpay = quals[qi]
+            out += struct.pack("<BII", qstrat, len(fq.qual_buf),
+                               len(qpay)) + qpay
+            qi += 1
+        else:
+            out += struct.pack("<BII", 0, 0, 0)
+        crc = zlib.crc32(bytes(out[12:])) & 0xFFFFFFFF
+        struct.pack_into("<I", out, 8, crc)
+        struct.pack_into("<I", out, 0, len(out) - 4)
+
+        bt = Timings()
+        bt.update(0, len(fq.name_buf), len(npay), 0.0)
+        bt.update(3, 4 * fq.num_records, len_csize, 0.0)
+        bt.update(1, len(fq.seq_buf), len(spay) + 9, 0.0)
+        if not fq.is_fasta:
+            bt.update(2, len(fq.qual_buf), len(qpay) + 9, 0.0)
+        results.append((bytes(out), bt))
+    return results
+
+
 def encode_stream_tpu(batches, out_fp: BinaryIO, arg: Options,
                       t: Timings) -> None:
     container.write_header(out_fp)
@@ -361,65 +455,24 @@ def encode_stream_tpu(batches, out_fp: BinaryIO, arg: Options,
     def flush_wave(wave: list[fastq.FastqBatch]):
         if not wave:
             return
-        seqs = _encode_section_wave(learner, arg, wave, Section.SEQ,
-                                    [fq.seq_buf for fq in wave])
-        qual_blocks = [fq for fq in wave if not fq.is_fasta]
-        quals = _encode_section_wave(learner, arg, qual_blocks,
-                                     Section.QUAL,
-                                     [fq.qual_buf
-                                      for fq in qual_blocks])
-        qi = 0
-        for w, fq in enumerate(wave):
-            out = bytearray()
-            out += struct.pack("<I", 0)
-            out += struct.pack("<I", fq.num_records)
-            out += struct.pack("<I", 0)
-            # names: host path (strategy per options)
-            from fqzcomp5_tpu.blocks import compress_with_methods
-            npay, _, _ = compress_with_methods(
-                learner, arg, fq, learner.methods_for(Section.NAME),
-                Section.NAME, fq.name_buf)
-            out += npay
-            if fq.fixed_len:
-                v = varint.put_u32(fq.fixed_len)
-                out += bytes([len(v)]) + v
-                len_csize = 1 + len(v)
-            else:
-                blob = varint.put_array_u32(fq.lens)
-                out += bytes([0]) + struct.pack("<I", len(blob)) + blob
-                len_csize = 5 + len(blob)
-            sstrat, spay = seqs[w]
-            out += struct.pack("<BII", sstrat, len(fq.seq_buf),
-                               len(spay)) + spay
-            if not fq.is_fasta:
-                qstrat, qpay = quals[qi]
-                out += struct.pack("<BII", qstrat, len(fq.qual_buf),
-                                   len(qpay)) + qpay
-                qi += 1
-            else:
-                out += struct.pack("<BII", 0, 0, 0)
-            crc = zlib.crc32(bytes(out[12:])) & 0xFFFFFFFF
-            struct.pack_into("<I", out, 8, crc)
-            struct.pack_into("<I", out, 0, len(out) - 4)
-
+        for (blk, bt), fq in zip(encode_wave_blocks(learner, arg, wave),
+                                 wave):
             idx.add(out_fp.tell(), len(fq.seq_buf), fq.num_records)
-            out_fp.write(bytes(out))
-            bt = Timings()
-            bt.update(0, len(fq.name_buf), len(npay), 0.0)
-            bt.update(3, 4 * fq.num_records, len_csize, 0.0)
-            bt.update(1, len(fq.seq_buf), len(spay) + 9, 0.0)
-            if not fq.is_fasta:
-                bt.update(2, len(fq.qual_buf), len(qpay) + 9, 0.0)
+            out_fp.write(blk)
             t.append_block(bt, arg.verbose)
 
+    budget = _wave_budget()
     wave: list[fastq.FastqBatch] = []
+    acc = 0
     for fq in batches:
         if fq is None or fq.num_records == 0:
             break
         wave.append(fq)
-        if len(wave) >= WAVE:
+        acc += len(fq.seq_buf) + len(fq.qual_buf)
+        if len(wave) >= WAVE or acc >= budget:
             flush_wave(wave)
             wave = []
+            acc = 0
     flush_wave(wave)
 
     index_offset = out_fp.tell()
