@@ -451,12 +451,14 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
     f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
     texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
     R0p = R0.reshape((B + pad) // rpd.S_SLOTS, 128).astype(np.int32)
-    syms, Rf = dec_walk_o0()(
-        jnp.asarray(words), jnp.asarray(cexp), jnp.asarray(f0exp),
-        jnp.asarray(R0p), jnp.asarray(texp), T=Tb,
-        shift=rans_jax.TF_SHIFT, S=S)
-    syms = np.asarray(syms)[:Tmax]      # (T, B4, 128)
-    Rf4 = np.asarray(Rf)         # (B4, 128)
+    from fqzcomp5_tpu.ops import devtimer
+
+    args_d = [devtimer.put(x)
+              for x in (words, cexp, f0exp, R0p, texp)]
+    syms_d, Rf_d = devtimer.compute(lambda: dec_walk_o0()(
+        *args_d, T=Tb, shift=rans_jax.TF_SHIFT, S=S))
+    syms = devtimer.get(syms_d[:Tmax])  # (T, B4, 128); device-side trim
+    Rf4 = devtimer.get(Rf_d)            # (B4, 128)
     out_syms = np.empty((B, Tmax, 32), np.int32)
     Rf_out = np.empty((B, 32), np.uint32)
     for b in range(B):

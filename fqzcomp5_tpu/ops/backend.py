@@ -169,14 +169,23 @@ def encode_flat(flat: np.ndarray, freqs: np.ndarray, shift: int,
                 pad = np.full((B4b - R0p.shape[0], 128),
                               rans_pallas.RANS_L, np.int32)
                 R0p = np.concatenate([R0p, pad], axis=0)
-        Rf, out = rans_pallas.encode_walk(jnp.asarray(P), jnp.asarray(R0p),
-                                          shift=shift)
-        out = np.asarray(out)[:T]     # (T, B4b, 128); trim T bucket
-        Rf = np.asarray(Rf)
-        out = np.asarray(rans_pallas._unpack_rows(
-            jnp.swapaxes(jnp.asarray(out), 0, 1), B))
-        Rf = np.asarray(rans_pallas._unpack_rows(
-            jnp.asarray(Rf)[:, None, :], B))[:, 0, :]
+        from fqzcomp5_tpu.ops import devtimer
+
+        P_d = devtimer.put(P)
+        R0_d = devtimer.put(R0p)
+
+        def _walk():
+            Rf_d, out_d = rans_pallas.encode_walk(P_d, R0_d, shift=shift)
+            # trim the T bucket and unpack rows ON DEVICE: one download
+            # instead of the old fetch->re-upload->fetch round trip
+            out_u = rans_pallas._unpack_rows(
+                jnp.swapaxes(out_d[:T], 0, 1), B)
+            Rf_u = rans_pallas._unpack_rows(Rf_d[:, None, :], B)[:, 0, :]
+            return Rf_u, out_u
+
+        Rf_u, out_u = devtimer.compute(_walk)
+        out = devtimer.get(out_u)
+        Rf = devtimer.get(Rf_u)
         words = (out & 0xFFFF).astype(np.uint32)
         mask = (out >> 16) != 0
         return Rf.astype(np.uint32), words, mask
