@@ -17,7 +17,11 @@ import threading
 import numpy as np
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
-_LIB_PATH = _ROOT / "native" / "libfqz5.so"
+# FQZ5_NATIVE_LIB: alternate .so (e.g. an ASan/UBSan build) — the
+# sanitizer workflow the reference gets from its Makefile's
+# CFLAGS override (fqzcomp5 Makefile).
+_LIB_PATH = pathlib.Path(os.environ.get(
+    "FQZ5_NATIVE_LIB", _ROOT / "native" / "libfqz5.so"))
 _lock = threading.Lock()
 _lib = None
 

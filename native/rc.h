@@ -279,6 +279,11 @@ class TinyModel {
         uint32_t tot = 0;
         for (int i = 0; i < NSYM; i++) tot += freq_[i];
         uint32_t f = rc.get_freq(tot);
+        // corrupt input can hand back f >= tot; clamping keeps the
+        // scan (and the freq_[s] adapt write) inside the table — the
+        // callers' progress guards then terminate the stream.  Valid
+        // streams never hit this (sum(freq_) == tot > f always).
+        if (f >= tot) f = tot - 1;
         int s = 0;
         uint32_t acc = 0;
         while ((acc += freq_[s]) <= f) s++;

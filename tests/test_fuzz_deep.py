@@ -182,3 +182,129 @@ def test_fuzz_container_block_walk(tmp_path, capsys):
             rc = cli.main(["--check", str(badf)])
         assert rc in (0, 1)
         capsys.readouterr()
+
+
+# ---------------------------------------------------------------------
+# Structure-aware container fuzz (round-3): mutate SEMANTIC fields —
+# section lengths, strat bytes, record counts, index offset — and
+# RECOMPUTE the block CRC, so the mutation penetrates past the CRC
+# gate into the section decoders (a plain byte flip is usually caught
+# by the CRC and never reaches them).
+
+def _first_block_span(raw: bytes) -> tuple[int, int]:
+    """(start, end) byte span of the first block in a v1.1 file."""
+    import struct
+
+    start = 8 + 8  # MAGIC_LEN + u64 index-offset
+    (bsz,) = struct.unpack_from("<I", raw, start)
+    return start, start + 4 + bsz
+
+
+def _refix(raw: bytearray, start: int) -> None:
+    """Recompute the first block's CRC over its (mutated) payload so
+    the mutation reaches the section decoders."""
+    import struct
+    import zlib
+
+    (bsz,) = struct.unpack_from("<I", raw, start)
+    end = min(start + 4 + bsz, len(raw))
+    crc = zlib.crc32(bytes(raw[start + 12:end])) & 0xFFFFFFFF
+    struct.pack_into("<I", raw, start + 8, crc)
+
+
+def test_fuzz_container_structure(tmp_path, capsys):
+    import struct
+
+    rng = np.random.default_rng(901)
+    recs = []
+    for i in range(400):
+        ln = int(rng.integers(1, 120))
+        seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), ln)
+        qual = rng.integers(33, 74, ln).astype(np.uint8)
+        recs.append(b"@r%d x%d\n" % (i, i) + seq.tobytes() + b"\n+\n"
+                    + qual.tobytes() + b"\n")
+    src = tmp_path / "s.fastq"
+    src.write_bytes(b"".join(recs))
+    comp = tmp_path / "c.fqz5"
+    assert cli.main(["-3", "-V", "-b", "8K", str(src),
+                     str(comp)]) == 0
+    raw = comp.read_bytes()
+    bstart, bend = _first_block_span(raw)
+
+    def drive(mutant: bytes):
+        badf = tmp_path / "bad.fqz5"
+        badf.write_bytes(mutant)
+        with Deadline(20):
+            rc = cli.main(["-d", "-V", str(badf),
+                           str(tmp_path / "x.out")])
+        assert rc in (0, 1)
+        capsys.readouterr()
+        with Deadline(20):
+            rc = cli.main(["--check", str(badf)])
+        assert rc in (0, 1)
+        with Deadline(20):
+            rc = cli.main(["--inspect", str(badf)])
+        assert rc in (0, 1)
+        capsys.readouterr()
+
+    # header-level: index offset into the void / mid-block / tiny
+    for off in (0xFFFFFFFFFFFF, len(raw) + 1, bstart + 7, 13, 1):
+        bad = bytearray(raw)
+        struct.pack_into("<Q", bad, 8, off)
+        drive(bytes(bad))
+
+    # block-size / nrec mutations (CRC refixed where it applies)
+    for field_off, vals in ((bstart, (0, 1, 11, 1 << 30)),
+                            (bstart + 4, (0, 1, 399, 1 << 30))):
+        for v in vals:
+            bad = bytearray(raw)
+            struct.pack_into("<I", bad, field_off, v)
+            if field_off != bstart:
+                _refix(bad, bstart)
+            drive(bytes(bad))
+
+    # names section: [u32 ulen][u8 strat][u32 clen] right after the
+    # 12-byte block header
+    noff = bstart + 12
+    (nclen,) = struct.unpack_from("<I", raw, noff + 5)
+    for (at, size, vals) in (
+            (noff, 4, (0, 1, 0xFFFFFF, 1 << 31)),          # ulen
+            (noff + 4, 1, (0, 1, 2, 3, 7, 0xFF)),          # strat
+            (noff + 5, 4, (0, 1, nclen - 1, nclen + 1,
+                           0xFFFFFF)),                     # clen
+    ):
+        for v in vals:
+            bad = bytearray(raw)
+            if size == 4:
+                struct.pack_into("<I", bad, at, v & 0xFFFFFFFF)
+            else:
+                bad[at] = v & 0xFF
+            _refix(bad, bstart)
+            drive(bytes(bad))
+
+    # seq/qual section strat+len mutations: walk the block layout
+    off = noff + 9 + nclen
+    lstrat = raw[off]   # fixed: varint byte count; 0: varint list
+    off += 1
+    if lstrat > 0:
+        off += lstrat
+    else:
+        (blen,) = struct.unpack_from("<I", raw, off)
+        off += 4 + blen
+    for _sec in ("seq", "qual"):
+        (s_ulen, s_clen) = struct.unpack_from("<II", raw, off + 1)
+        for (at, size, vals) in (
+                (off, 1, (0, 1, 3, 0x15, 0x21, 0x31, 0xC1, 0xFF)),
+                (off + 1, 4, (0, 1, s_ulen + 1, 1 << 31)),
+                (off + 5, 4, (0, 1, s_clen - 1, s_clen + 1,
+                              0xFFFFFF)),
+        ):
+            for v in vals:
+                bad = bytearray(raw)
+                if size == 4:
+                    struct.pack_into("<I", bad, at, v & 0xFFFFFFFF)
+                else:
+                    bad[at] = v & 0xFF
+                _refix(bad, bstart)
+                drive(bytes(bad))
+        off += 9 + s_clen
