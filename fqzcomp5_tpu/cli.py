@@ -14,12 +14,13 @@ from __future__ import annotations
 import struct
 import sys
 
-from fqzcomp5_tpu import fastq, inspect_tool
 from fqzcomp5_tpu.constants import Method, bit
-from fqzcomp5_tpu.drivers import (Timings, decode_file, encode_file,
-                                  encode_paired, make_deinterleave_writer,
-                                  make_fastq_writer)
 from fqzcomp5_tpu.options import Options
+
+# fastq/drivers/inspect_tool pull in numpy (~0.3s cold); they are
+# imported inside _main() AFTER argument parsing so --help, usage
+# errors and bad-flag exits stay at interpreter-start cost (the
+# reference binary errors out in milliseconds; fqzcomp5.c:4697).
 
 USAGE = """Usage: fqz5 [options]    [input.fastq [output.fqz5]]
 Usage: fqz5 [options]    [input_R1.fastq input_R2.fastq output.fqz5]
@@ -206,6 +207,12 @@ def main(argv=None) -> int:
 def _main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     arg, decomp, files = parse_args(argv)
+
+    from fqzcomp5_tpu import fastq, inspect_tool
+    from fqzcomp5_tpu.drivers import (Timings, decode_file, encode_file,
+                                      encode_paired,
+                                      make_deinterleave_writer,
+                                      make_fastq_writer)
 
     if arg.check_only or arg.inspect_only:
         if len(files) != 1:
