@@ -44,6 +44,9 @@ def _lib():
         L.fqz5_rans_o1_dec_prep.restype = ctypes.c_int64
         L.fqz5_rans_o1_dec_prep.argtypes = [
             _u8p, ctypes.c_uint32, _u32p, ctypes.POINTER(ctypes.c_int)]
+        L.fqz5_rans_core_encode.restype = ctypes.c_int64
+        L.fqz5_rans_core_encode.argtypes = [
+            _u8p, ctypes.c_uint32, ctypes.c_int, _u8p, ctypes.c_uint32]
         L._prep_registered = True
     return L
 
@@ -403,6 +406,18 @@ def dec_walk_o1():
             else rpd.decode_walk4v5_o1)
 
 
+def _put_words16(words_int32: np.ndarray):
+    """Upload a u16-valued word feed as int16 and widen on device:
+    halves the dominant decode link transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    from fqzcomp5_tpu.ops import devtimer
+
+    w16 = devtimer.put(words_int32.astype(np.uint16).view(np.int16))
+    return jax.jit(lambda w: w.astype(jnp.int32) & 0xFFFF)(w16)
+
+
 def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
     """Run the Pallas decode walk (v3: 4 streams/row); returns
     (syms (B,T,32), Rf (B,32)) matching decode_scan's conventions."""
@@ -453,8 +468,8 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
     R0p = R0.reshape((B + pad) // rpd.S_SLOTS, 128).astype(np.int32)
     from fqzcomp5_tpu.ops import devtimer
 
-    args_d = [devtimer.put(x)
-              for x in (words, cexp, f0exp, R0p, texp)]
+    args_d = [_put_words16(words)] + [
+        devtimer.put(x) for x in (cexp, f0exp, R0p, texp)]
     syms_d, Rf_d = devtimer.compute(lambda: dec_walk_o0()(
         *args_d, T=Tb, shift=rans_jax.TF_SHIFT, S=S))
     syms = devtimer.get(syms_d[:Tmax])  # (T, B4, 128); device-side trim
@@ -471,17 +486,44 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
 def encode_o1_batch(datas: list[bytes]) -> list[bytes]:
     """rans_compress_O1_32x16 for many streams in one device walk.
 
-    Streams are grouped by frequency shift (10 vs 12) internally."""
+    Streams are grouped by frequency shift (10 vs 12) internally.
+    High-entropy streams (byte alphabet A with A*A above the device
+    dict budget, e.g. PACK'd bytes) take the native host encoder: the
+    device path would need a dense 65537-entry plane costing 16 link
+    bytes per input byte, while the C encoder does them in
+    milliseconds and emits the identical wire format."""
     B = len(datas)
     if B == 0:
         return []
-    preps = [o1_prep(d) for d in datas]  # (tab, freqs, shift)
 
     from fqzcomp5_tpu.ops import backend
+    from fqzcomp5_tpu.ops.backend import _DICT_MAX
 
     out = [b""] * B
+    device_idx = []
+    for i, d in enumerate(datas):
+        arr = np.frombuffer(d, np.uint8)
+        A = int((np.bincount(arr, minlength=256) > 0).sum()) if len(
+            arr) else 0
+        if backend._use_pallas() and A * A > _DICT_MAX:
+            import ctypes
+
+            L = _lib()
+            darr = np.frombuffer(d, np.uint8)
+            cap = len(d) + (len(d) >> 1) + (1 << 16)
+            buf = np.empty(cap, np.uint8)
+            rc = L.fqz5_rans_core_encode(_ptr(darr), len(d), 1,
+                                         _ptr(buf), cap)
+            if rc < 0:
+                raise ValueError("native o1 core encode failed")
+            out[i] = buf[:rc].tobytes()
+        else:
+            device_idx.append(i)
+    preps = {i: o1_prep(datas[i]) for i in device_idx}
+
     for group_shift in (10, 12):
-        idxs = [i for i, p in enumerate(preps) if p[2] == group_shift]
+        idxs = [i for i in device_idx
+                if preps[i][2] == group_shift]
         if not idxs:
             continue
         R0s = []
@@ -737,13 +779,16 @@ def _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax, shift):
     cexp = np.ascontiguousarray(rpd.expand4(packed).transpose(1, 0, 2))
     texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
     R0r = R0p.reshape(Gp // rpd.S_SLOTS, 128)
-    syms, Rf, cur = dec_walk_o1()(
-        jnp.asarray(words128), jnp.asarray(cexp), jnp.asarray(R0r),
-        jnp.asarray(texp), T=Tb, shift=shift, A=A, A1=A1,
-        last0=last0)
-    syms = np.asarray(syms)[:Tmax]      # (T, G4, 128) dense
-    Rf4 = np.asarray(Rf)
-    cur4 = np.asarray(cur)
+    from fqzcomp5_tpu.ops import devtimer
+    wd = _put_words16(words128)
+    cd, rd, td = (devtimer.put(jnp.asarray(x))
+                  for x in (cexp, R0r, texp))
+    syms_d, Rf_d, cur_d = devtimer.compute(lambda: dec_walk_o1()(
+        wd, cd, rd, td, T=Tb, shift=shift, A=A, A1=A1,
+        last0=last0))
+    syms = devtimer.get(syms_d[:Tmax])  # (T, G4, 128) dense
+    Rf4 = devtimer.get(Rf_d)
+    cur4 = devtimer.get(cur_d)
     lut = alphabet.astype(np.uint8)
     out_syms = np.empty((G, Tmax, 32), np.uint8)
     Rf_out = np.empty((G, 32), np.uint32)

@@ -122,6 +122,305 @@ def _use_pallas() -> bool:
         return False
 
 
+def _dev_encode_jit():
+    """Build (once) the jitted device-side plane-build + walk + compact
+    result path.  The table lookup runs as a one-hot int8 matmul on the
+    MXU: XLA's native gather on TPU is scalar-bound (~0.08 Gelem/s
+    measured on v5e vs ~1 Gelem/s for the one-hot form), and a one-hot
+    row makes each output a single exact int8*int8->int32 product, so
+    the packed table entries reconstruct bit-exactly from byte planes.
+    Uploading u8 symbol indices + byte-plane tables and downloading u16
+    words + bit-packed masks cuts host<->device traffic ~10x vs moving
+    int32 planes both ways; all shape-bucket padding (T -> Tb, B -> Bp)
+    happens ON DEVICE so the link carries only real data."""
+    global _DEV_ENCODE
+    if _DEV_ENCODE is not None:
+        return _DEV_ENCODE
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from fqzcomp5_tpu.ops import rans_pallas
+
+    @functools.partial(jax.jit, static_argnames=(
+        "shift", "S", "T", "Tb", "B4b", "interpret"))
+    def _run(small, nopb, ptb, R0p, *, shift, S, T, Tb, B4b,
+             interpret):
+        B, _, n = small.shape
+        Bp = B4b * 4
+        idx = small.astype(jnp.int32)
+        bits = (nopb[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+        nop = bits.reshape(B, T, n) != 0
+        idx = jnp.where(nop, S, idx)
+        if Tb != T:
+            idx = jnp.concatenate(
+                [idx, jnp.full((B, Tb - T, n), S, jnp.int32)], 1)
+        if Bp != B:
+            idx = jnp.concatenate(
+                [idx, jnp.full((Bp - B, Tb, n), S, jnp.int32)], 0)
+            ptb = jnp.concatenate(
+                [ptb, jnp.broadcast_to(_nop_bytes_i8(shift),
+                                       (Bp - B, S + 1, 4))], 0)
+        ii = idx.reshape(Bp, Tb * n)
+        oh = (ii[:, :, None] == jnp.arange(S + 1, dtype=jnp.int32)
+              ).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            oh, ptb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)      # (Bp, Tb*n, 4)
+        P = ((acc[..., 0] & 0xFF)
+             | ((acc[..., 1] & 0xFF) << 8)
+             | ((acc[..., 2] & 0xFF) << 16)
+             | ((acc[..., 3] & 0xFF) << 24)).reshape(Bp, Tb, n)
+        PB = jnp.swapaxes(rans_pallas._pack_rows(P), 0, 1)
+        Rf, out = rans_pallas.encode_walk(PB, R0p, shift=shift,
+                                          interpret=interpret)
+        out = rans_pallas._unpack_rows(
+            jnp.swapaxes(out[:T], 0, 1), B)        # (B, T, n)
+        Rf = rans_pallas._unpack_rows(Rf[:, None, :], B)[:, 0, :]
+        words16 = (out & 0xFFFF).astype(jnp.uint16)
+        mb = (out >> 16) != 0
+        mpk = (mb.reshape(B, T, n // 8, 8).astype(jnp.uint8)
+               << jnp.arange(8, dtype=jnp.uint8)).sum(
+            -1, dtype=jnp.uint8)
+        return Rf, words16, mpk
+
+    _DEV_ENCODE = _run
+    return _run
+
+
+_DEV_ENCODE = None
+
+
+def _nop_bytes_i8(shift: int):
+    """The no-op table entry 1<<(2*shift) as 4 int8 byte-plane values
+    (same bit patterns as numpy's uint8.view(int8))."""
+    import jax.numpy as jnp
+
+    v = 1 << (2 * shift)
+    bs = [((v >> (8 * k)) & 0xFF) for k in range(4)]
+    return jnp.array([b if b < 128 else b - 256 for b in bs],
+                     jnp.int8)
+
+
+def _dev_encode16_jit():
+    """Dict-remapped variant for order-1 tables: indices are u16 into a
+    compact per-stream dictionary (the distinct (ctx,sym) pairs that
+    actually occur — ~17 for DNA, ~2k for qualities — instead of the
+    dense 65537-entry table), so the one-hot matmul width stays small.
+    The sentinel is an ordinary dictionary entry (always included), so
+    no nop mask is needed; per-stream sentinel slots arrive as `sent`
+    for the device-side T padding."""
+    global _DEV_ENCODE16
+    if _DEV_ENCODE16 is not None:
+        return _DEV_ENCODE16
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from fqzcomp5_tpu.ops import rans_pallas
+
+    @functools.partial(jax.jit, static_argnames=(
+        "shift", "T", "Tb", "B4b", "interpret"))
+    def _run(small, sent, ptb, R0p, *, shift, T, Tb, B4b, interpret):
+        B, _, n = small.shape
+        U = ptb.shape[1]
+        Bp = B4b * 4
+        idx = small.astype(jnp.int32) & 0xFFFF
+        if Tb != T:
+            idx = jnp.concatenate(
+                [idx, jnp.broadcast_to(sent[:, None, None],
+                                       (B, Tb - T, n))], 1)
+        if Bp != B:
+            # pad streams: index 0 into all-nop pad table rows
+            idx = jnp.concatenate(
+                [idx, jnp.zeros((Bp - B, Tb, n), jnp.int32)], 0)
+            ptb = jnp.concatenate(
+                [ptb, jnp.broadcast_to(_nop_bytes_i8(shift),
+                                       (Bp - B, U, 4))], 0)
+        ii = idx.reshape(Bp, Tb * n)
+        oh = (ii[:, :, None] == jnp.arange(U, dtype=jnp.int32)
+              ).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            oh, ptb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        P = ((acc[..., 0] & 0xFF)
+             | ((acc[..., 1] & 0xFF) << 8)
+             | ((acc[..., 2] & 0xFF) << 16)
+             | ((acc[..., 3] & 0xFF) << 24)).reshape(Bp, Tb, n)
+        PB = jnp.swapaxes(rans_pallas._pack_rows(P), 0, 1)
+        Rf, out = rans_pallas.encode_walk(PB, R0p, shift=shift,
+                                          interpret=interpret)
+        out = rans_pallas._unpack_rows(
+            jnp.swapaxes(out[:T], 0, 1), B)
+        Rf = rans_pallas._unpack_rows(Rf[:, None, :], B)[:, 0, :]
+        words16 = (out & 0xFFFF).astype(jnp.uint16)
+        mb = (out >> 16) != 0
+        mpk = (mb.reshape(B, T, n // 8, 8).astype(jnp.uint8)
+               << jnp.arange(8, dtype=jnp.uint8)).sum(
+            -1, dtype=jnp.uint8)
+        return Rf, words16, mpk
+
+    _DEV_ENCODE16 = _run
+    return _run
+
+
+_DEV_ENCODE16 = None
+_DICT_MAX = 4096   # above this the one-hot traffic beats the plane
+
+
+def _pack_R0(R0, B, B4b, rans_pallas):
+    if R0 is None:
+        return np.full((B4b, 128), rans_pallas.RANS_L, np.int32)
+    full = np.full((B4b * 4, 32), rans_pallas.RANS_L, np.uint32)
+    full[:B] = np.asarray(R0, np.uint32)
+    # _pack_rows layout: stream b -> row b//4, lanes
+    # (b%4)*32:(b%4+1)*32 — a plain reshape
+    return full.reshape(B4b, 128).astype(np.int32)
+
+
+def _fetch_results(Rf_d, w16_d, mpk_d, n):
+    from fqzcomp5_tpu.ops import devtimer
+
+    Rf = devtimer.get(Rf_d)
+    w16 = devtimer.get(w16_d)
+    mpk = devtimer.get(mpk_d)
+    mask = np.unpackbits(mpk, axis=-1, bitorder="little"
+                         ).astype(bool)[:, :, :n]
+    return (Rf.astype(np.uint32), w16.astype(np.uint32), mask)
+
+
+def _encode_flat_dev8(flat, freqs, shift, R0, B, T, n):
+    """Order-0 device-plane path: u8 indices + nop bitmask up, compact
+    words down."""
+    from fqzcomp5_tpu.ops import devtimer, rans_pallas
+
+    ensure_compile_cache()
+    S = int(np.prod(freqs.shape[1:]))
+    pt = rans_pallas.build_packed_tables(freqs, shift)  # (B, S+1)
+    Tb = _bucket(T)
+    B4b = _bucket((B + 3) // 4, lo=2)
+    small = flat.astype(np.uint8)   # sentinel wraps; nop bit marks it
+    nopb = np.packbits(flat == S, axis=-1, bitorder="little")
+    x = pt.astype(np.uint32)
+    ptb = np.stack([(x >> (8 * k)) & 0xFF for k in range(4)],
+                   axis=-1).astype(np.uint8)
+    R0p = _pack_R0(R0, B, B4b, rans_pallas)
+    dev = _dev_encode_jit()
+    small_d = devtimer.put(small)
+    nopb_d = devtimer.put(nopb)
+    ptb_d = devtimer.put(ptb.view(np.int8))
+    R0_d = devtimer.put(R0p)
+    outs = devtimer.compute(lambda: dev(
+        small_d, nopb_d, ptb_d, R0_d, shift=shift, S=S, T=T, Tb=Tb,
+        B4b=B4b, interpret=False))
+    return _fetch_results(*outs, n)
+
+
+def _dict_counts(flat, S, B):
+    """Per-stream count of distinct table indices (incl. sentinel)."""
+    flags = np.zeros((B, S + 1), bool)
+    flags[:, S] = True   # sentinel always in the dict (T-pad uses it)
+    for b in range(B):
+        flags[b][flat[b].reshape(-1)] = True
+    return flags, flags.sum(1)
+
+
+def _encode_flat_dev16(flat, pt, shift, R0, B, T, n, flags):
+    """Dict-remap device path for wide (order-1) tables."""
+    from fqzcomp5_tpu.ops import devtimer, rans_pallas
+
+    S = pt.shape[1] - 1
+    counts = flags.sum(1)
+    Ub = _bucket(int(counts.max()), lo=64)
+    Tb = _bucket(T)
+    B4b = _bucket((B + 3) // 4, lo=2)
+    nop_entry = np.uint32(1 << (2 * shift))
+    small = np.zeros((B, T, n), np.uint16)
+    sent = np.zeros(B, np.int32)
+    ptb = np.empty((B, Ub, 4), np.uint8)
+    nop_b = np.array([(int(nop_entry) >> (8 * k)) & 0xFF
+                      for k in range(4)], np.uint8)
+    ptb[:] = nop_b   # pad entries gather the nop
+    for b in range(B):
+        uniq = np.flatnonzero(flags[b])
+        lut = np.zeros(S + 1, np.uint16)
+        lut[uniq] = np.arange(len(uniq), dtype=np.uint16)
+        small[b] = lut[flat[b]]
+        sent[b] = lut[S]
+        ent = pt[b][uniq].astype(np.uint32)
+        for k in range(4):
+            ptb[b, :len(uniq), k] = (ent >> (8 * k)) & 0xFF
+    R0p = _pack_R0(R0, B, B4b, rans_pallas)
+    dev = _dev_encode16_jit()
+    small_d = devtimer.put(small.view(np.int16))
+    sent_d = devtimer.put(sent)
+    ptb_d = devtimer.put(ptb.view(np.int8))
+    R0_d = devtimer.put(R0p)
+    outs = devtimer.compute(lambda: dev(
+        small_d, sent_d, ptb_d, R0_d, shift=shift, T=T, Tb=Tb,
+        B4b=B4b, interpret=False))
+    return _fetch_results(*outs, n)
+
+
+def _dev_plane() -> bool:
+    env = os.environ.get("FQZ5_DEV_PLANE")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return True
+
+
+def _encode_flat_hostplane(flat, pt, shift, R0, B, T, n):
+    """Host-built int32 plane path (the pre-round-3 device feed): used
+    for wide-table streams whose dict alphabet exceeds _DICT_MAX (e.g.
+    order-1 over PACK'd byte streams) and as the FQZ5_DEV_PLANE=0
+    escape hatch.  Moves 4B per symbol slot each way."""
+    import jax.numpy as jnp
+
+    from fqzcomp5_tpu.ops import devtimer, rans_pallas
+
+    ensure_compile_cache()
+    # pad T to a shape bucket with no-op sentinel steps (appended
+    # high: the reversed walk runs them first, leaving states
+    # untouched) so wave after wave reuses one compiled kernel
+    Tb = _bucket(T)
+    if Tb != T:
+        S = pt.shape[1] - 1
+        padT = np.full((B, Tb - T, n), S, flat.dtype)
+        flat = np.concatenate([flat, padT], axis=1)
+    P = rans_pallas.pack_plane_host(flat.astype(np.int32), pt, shift)
+    # bucket the row count too (identity-padded streams)
+    B4 = P.shape[1]
+    B4b = _bucket(B4, lo=2)
+    if B4b != B4:
+        ident = np.full((P.shape[0], B4b - B4, 128),
+                        1 << (2 * shift), np.int32)
+        P = np.concatenate([P, ident], axis=1)
+    if R0 is None:
+        R0p = np.full((B4b, 128), rans_pallas.RANS_L, np.int32)
+    else:
+        R0p = _pack_R0(R0, B, B4b, rans_pallas)
+    P_d = devtimer.put(P)
+    R0_d = devtimer.put(R0p)
+
+    def _walk():
+        Rf_d, out_d = rans_pallas.encode_walk(P_d, R0_d, shift=shift)
+        # trim the T bucket and unpack rows ON DEVICE: one download
+        # instead of the old fetch->re-upload->fetch round trip
+        out_u = rans_pallas._unpack_rows(
+            jnp.swapaxes(out_d[:T], 0, 1), B)
+        Rf_u = rans_pallas._unpack_rows(Rf_d[:, None, :], B)[:, 0, :]
+        return Rf_u, out_u
+
+    Rf_u, out_u = devtimer.compute(_walk)
+    out = devtimer.get(out_u)
+    Rf = devtimer.get(Rf_u)
+    words = (out & 0xFFFF).astype(np.uint32)
+    mask = (out >> 16) != 0
+    return Rf.astype(np.uint32), words, mask
+
+
 def encode_flat(flat: np.ndarray, freqs: np.ndarray, shift: int,
                 R0: np.ndarray | None = None):
     """Run the reversed encode walk over (B, T, 32) flat table indices.
@@ -132,63 +431,46 @@ def encode_flat(flat: np.ndarray, freqs: np.ndarray, shift: int,
     import jax.numpy as jnp
 
     B, T, n = flat.shape
-    if _use_pallas() and (_mesh is None or _mesh.size == 1):
-        # NB: with a multi-device mesh installed the sharded scan path
-        # below runs instead — the Pallas kernel is compiled for one
-        # device and would silently ignore the mesh.  (A shard_mapped
-        # kernel is the eventual fix; single-chip dev hardware can't
-        # validate it yet.)
+    S_total = int(np.prod(freqs.shape[1:]))  # o1 passes (B, 256, 256)
+    if (_use_pallas() and (_mesh is None or _mesh.size == 1)
+            and _dev_plane()):
+        if S_total <= 256:
+            return _encode_flat_dev8(flat, freqs, shift, R0, B, T, n)
+        # wide (order-1) tables: dict-remap the streams whose distinct
+        # (ctx,sym) alphabets are small; high-entropy leftovers (e.g.
+        # PACK'd byte streams) take the host-plane path
         from fqzcomp5_tpu.ops import rans_pallas
 
         ensure_compile_cache()
         pt = rans_pallas.build_packed_tables(freqs, shift)
-        # pad T to a shape bucket with no-op sentinel steps (appended
-        # high: the reversed walk runs them first, leaving states
-        # untouched) so wave after wave reuses one compiled kernel
-        Tb = _bucket(T)
-        if Tb != T:
-            S = pt.shape[1] - 1
-            padT = np.full((B, Tb - T, n), S, flat.dtype)
-            flat = np.concatenate([flat, padT], axis=1)
-        P = rans_pallas.pack_plane_host(flat.astype(np.int32), pt, shift)
-        # bucket the row count too (identity-padded streams)
-        B4 = P.shape[1]
-        B4b = _bucket(B4, lo=2)
-        if B4b != B4:
-            ident = np.full((P.shape[0], B4b - B4, 128),
-                            1 << (2 * shift), np.int32)
-            P = np.concatenate([P, ident], axis=1)
-        if R0 is None:
-            R0p = np.full((B4b, 128), rans_pallas.RANS_L, np.int32)
-        else:
-            R0i = np.asarray(R0, np.int64).astype(np.int32)
-            R0p = rans_pallas._pack_rows(
-                jnp.asarray(R0i[:, None, :]))[:, 0, :]
-            R0p = np.asarray(R0p)
-            if R0p.shape[0] < B4b:
-                pad = np.full((B4b - R0p.shape[0], 128),
-                              rans_pallas.RANS_L, np.int32)
-                R0p = np.concatenate([R0p, pad], axis=0)
-        from fqzcomp5_tpu.ops import devtimer
+        flags, counts = _dict_counts(flat, S_total, B)
+        ok = counts <= _DICT_MAX
+        if ok.all():
+            return _encode_flat_dev16(flat, pt, shift, R0, B, T, n,
+                                      flags)
+        if ok.any():
+            oki = np.flatnonzero(ok)
+            noi = np.flatnonzero(~ok)
+            r_ok = _encode_flat_dev16(
+                flat[oki], pt[oki], shift,
+                None if R0 is None else R0[oki], len(oki), T, n,
+                flags[oki])
+            r_no = _encode_flat_hostplane(
+                flat[noi], pt[noi], shift,
+                None if R0 is None else R0[noi], len(noi), T, n)
+            Rf = np.empty((B, n), np.uint32)
+            words = np.empty((B, T, n), np.uint32)
+            mask = np.empty((B, T, n), bool)
+            for dst, src in ((oki, r_ok), (noi, r_no)):
+                Rf[dst], words[dst], mask[dst] = src
+            return Rf, words, mask
+        return _encode_flat_hostplane(flat, pt, shift, R0, B, T, n)
+    if _use_pallas() and (_mesh is None or _mesh.size == 1):
+        from fqzcomp5_tpu.ops import rans_pallas
 
-        P_d = devtimer.put(P)
-        R0_d = devtimer.put(R0p)
-
-        def _walk():
-            Rf_d, out_d = rans_pallas.encode_walk(P_d, R0_d, shift=shift)
-            # trim the T bucket and unpack rows ON DEVICE: one download
-            # instead of the old fetch->re-upload->fetch round trip
-            out_u = rans_pallas._unpack_rows(
-                jnp.swapaxes(out_d[:T], 0, 1), B)
-            Rf_u = rans_pallas._unpack_rows(Rf_d[:, None, :], B)[:, 0, :]
-            return Rf_u, out_u
-
-        Rf_u, out_u = devtimer.compute(_walk)
-        out = devtimer.get(out_u)
-        Rf = devtimer.get(Rf_u)
-        words = (out & 0xFFFF).astype(np.uint32)
-        mask = (out >> 16) != 0
-        return Rf.astype(np.uint32), words, mask
+        ensure_compile_cache()
+        pt = rans_pallas.build_packed_tables(freqs, shift)
+        return _encode_flat_hostplane(flat, pt, shift, R0, B, T, n)
 
     from fqzcomp5_tpu.ops import rans_jax
 

@@ -240,7 +240,7 @@ def decode_walk(words128, tab, f0, R0, treal, T: int, shift: int = 12,
             pl.BlockSpec((rows, 1), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
             state_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),   # words in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # words in HBM
             pl.BlockSpec((rows, 1), lambda b, t: (b, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -411,7 +411,7 @@ def decode_walk4(words128, cexp, f0exp, R0p, texp, T: int,
                          memory_space=pltpu.VMEM),
             state_spec,
             state_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             state_spec,
         ],
         out_specs=[
@@ -670,7 +670,7 @@ def decode_walk4v3(words128, cexp, f0exp, R0p, texp, T: int,
                          memory_space=pltpu.VMEM),
             state_spec,
             state_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             state_spec,
         ],
         out_specs=[
@@ -913,7 +913,7 @@ def decode_walk4v3_o1(words128, cexp, R0p, texp, T: int, shift: int,
                          lambda b, t: (0, b, 0),
                          memory_space=pltpu.VMEM),
             state_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             state_spec,
         ],
         out_specs=[
@@ -1231,7 +1231,7 @@ def decode_walk4v5(words128, cexp, f0exp, R0p, texp, T: int,
                          memory_space=pltpu.VMEM),
             state_spec,
             state_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             state_spec,
         ],
         out_specs=[
@@ -1402,7 +1402,7 @@ def decode_walk4v5_o1(words128, cexp, R0p, texp, T: int, shift: int,
                          lambda b, t: (0, b, 0),
                          memory_space=pltpu.VMEM),
             state_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             state_spec,
         ],
         out_specs=[
@@ -1595,7 +1595,7 @@ def decode_walk4v4(words128, cexp, f0exp, R0p, texp, T: int,
                          memory_space=pltpu.VMEM),
             row8,
             row8,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             row8,
         ],
         out_specs=[

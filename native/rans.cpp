@@ -1417,6 +1417,11 @@ bool rle_decode(const uint8_t* lit, uint64_t lit_len, const uint8_t* run,
 // ---------------------------------------------------------------------
 // Top-level framing (rans_compress_to_4x16 / rans_uncompress_to_4x16)
 
+bool rans_core_encode32(const uint8_t* in, uint32_t in_size,
+                        int order01, std::vector<uint8_t>& out) {
+    return core_encode(in, in_size, /*simd=*/1, order01, out);
+}
+
 std::vector<uint8_t> rans_compress(const uint8_t* in, uint32_t in_size,
                                    int order) {
     std::vector<uint8_t> out;
