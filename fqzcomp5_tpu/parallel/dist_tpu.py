@@ -148,13 +148,17 @@ def encode_file_dist_tpu(in_path: str, out_fp: BinaryIO | None,
         needs_sync = _wave_needs_sync(learner, len(wblocks))
         jblob = b""
         if owner == process_id:
-            batch = [fastq.parse_block_range(in_path, b[0], b[1])
-                     for b in wblocks]
-            STATS["parse_bytes"] += sum(b[1] - b[0] for b in wblocks)
-            STATS["blocks_encoded"] += len(wblocks)
-            learner.start_journal()
-            enc = encode_wave_blocks(learner, arg, batch)
-            journal = learner.pop_journal()
+            from fqzcomp5_tpu.parallel.distributed import _work_timer
+
+            with _work_timer():
+                batch = [fastq.parse_block_range(in_path, b[0], b[1])
+                         for b in wblocks]
+                STATS["parse_bytes"] += sum(b[1] - b[0]
+                                            for b in wblocks)
+                STATS["blocks_encoded"] += len(wblocks)
+                learner.start_journal()
+                enc = encode_wave_blocks(learner, arg, batch)
+                journal = learner.pop_journal()
             if needs_sync:
                 jblob = pickle.dumps(journal)
             round_pay[owner] = b"".join(

@@ -55,8 +55,22 @@ from fqzcomp5_tpu.options import Options, method_avail_for
 _SECS = (Section.NAME, Section.SEQ, Section.QUAL)
 
 # per-process work accounting (FQZ5_DIST_STATS=1 prints it at exit;
-# the scaling bench and the parse-once test read these)
-STATS = {"parse_bytes": 0, "blocks_encoded": 0, "blocks_ticked": 0}
+# the scaling bench and the parse-once test read these).  work_cpu_s
+# counts ONLY parse+codec CPU — not imports, jax.distributed init, or
+# collective spin-waits — so the scaling bench can report redundancy-
+# free work efficiency even on an oversubscribed single-core box where
+# gRPC/XLA busy-waiting pollutes whole-process CPU time.
+STATS = {"parse_bytes": 0, "blocks_encoded": 0, "blocks_ticked": 0,
+         "work_cpu_s": 0.0}
+
+
+class _work_timer:
+    def __enter__(self):
+        self._t0 = time.process_time()
+
+    def __exit__(self, *exc):
+        STATS["work_cpu_s"] += time.process_time() - self._t0
+        return False
 
 
 def init(coordinator: str, num_processes: int, process_id: int) -> None:
@@ -65,6 +79,14 @@ def init(coordinator: str, num_processes: int, process_id: int) -> None:
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
+    if num_processes > 1:
+        # establish the gloo pairs NOW, while every process is
+        # responsive: the first real collective may otherwise fire
+        # when a peer is deep in a minutes-long XLA compile, tripping
+        # gloo's connect timeout
+        from jax.experimental import multihost_utils
+
+        multihost_utils.process_allgather(np.zeros(1, np.int32))
 
 
 def _allgather_bytes(mine: bytes) -> list[bytes]:
@@ -159,15 +181,16 @@ def encode_file_distributed(in_path: str, out_fp: BinaryIO | None,
         trial = any(learner.in_trial(s) or learner.will_reopen(s)
                     for s in _SECS)
         if owner == process_id:
-            fq = fastq.parse_block_range(in_path, start, end)
-            STATS["parse_bytes"] += end - start
-            STATS["blocks_encoded"] += 1
-            if trial:
-                learner.start_journal()
-                round_pay[owner] = encode_block(learner, arg, fq)
-                blob = pickle.dumps(learner.pop_journal())
-            else:
-                round_pay[owner] = encode_block(learner, arg, fq)
+            with _work_timer():
+                fq = fastq.parse_block_range(in_path, start, end)
+                STATS["parse_bytes"] += end - start
+                STATS["blocks_encoded"] += 1
+                if trial:
+                    learner.start_journal()
+                    round_pay[owner] = encode_block(learner, arg, fq)
+                    blob = pickle.dumps(learner.pop_journal())
+                else:
+                    round_pay[owner] = encode_block(learner, arg, fq)
         elif trial:
             blob = b""
         else:
@@ -229,7 +252,8 @@ def _encode_replicated(in_path: str, out_fp: BinaryIO | None,
         round_meta = [None] * num_processes
 
     while True:
-        fq = parser.next_batch(arg.blk_size)
+        with _work_timer():
+            fq = parser.next_batch(arg.blk_size)
         if fq is None or fq.num_records == 0:
             break
         STATS["parse_bytes"] += (len(fq.name_buf) + len(fq.seq_buf)
@@ -238,7 +262,8 @@ def _encode_replicated(in_path: str, out_fp: BinaryIO | None,
         redundant = any(learner.in_trial(s) or learner.will_reopen(s)
                         for s in _SECS)
         if redundant or owner == process_id:
-            pay = encode_block(learner, arg, fq)
+            with _work_timer():
+                pay = encode_block(learner, arg, fq)
             STATS["blocks_encoded"] += 1
             if redundant:
                 # every process has the identical bytes; the writer
@@ -331,11 +356,12 @@ def decode_file_distributed(in_path: str, out_fp: BinaryIO | None,
             nonlocal round_pay, round_has
             owner = serial % num_processes
             if owner == process_id:
-                raw = read_raw()
-                STATS["parse_bytes"] += len(raw)
-                fq = decode_block(raw, file_version)
-                STATS["blocks_encoded"] += 1
-                round_pay[owner] = fmt(fq)
+                with _work_timer():
+                    raw = read_raw()
+                    STATS["parse_bytes"] += len(raw)
+                    fq = decode_block(raw, file_version)
+                    STATS["blocks_encoded"] += 1
+                    round_pay[owner] = fmt(fq)
             round_has[owner] = True
 
         if idx is not None:
@@ -371,11 +397,30 @@ def main(argv=None) -> int:
     FQZ5_DIST_STATS=1 prints a per-process work-accounting JSON line
     at exit (the scaling bench consumes it)."""
     t_start = time.perf_counter()
+    from fqzcomp5_tpu.ops import backend as _bk0
+
+    _bk0.honor_platform_env()   # JAX_PLATFORMS=cpu must beat the
+    # site TPU plugin before jax.distributed initialises
     argv = sys.argv[1:] if argv is None else argv
     coord = os.environ["FQZ5_DIST_COORD"]
     nprocs = int(os.environ["FQZ5_DIST_NPROCS"])
     pid = int(os.environ["FQZ5_DIST_PID"])
     init(coord, nprocs, pid)
+
+    mesh_env = os.environ.get("FQZ5_DIST_LOCAL_MESH")
+    if mesh_env:
+        # per-process local device mesh under the multi-process run
+        # (the "N hosts x local chips" composition): wave device
+        # batches shard over this process's own devices while payload
+        # gathers ride the cross-process backend
+        import jax
+
+        from fqzcomp5_tpu.ops import backend as _bk
+        from fqzcomp5_tpu.parallel import pipeline as _pl
+
+        dp, sp = (int(x) for x in mesh_env.split("x"))
+        devs = jax.local_devices()[:dp * sp]
+        _bk.set_mesh(_pl.make_mesh(devs, dp=dp, sp=sp))
 
     arg = Options()
     files = []

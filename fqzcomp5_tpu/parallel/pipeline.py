@@ -85,7 +85,7 @@ def shard_map_encode_step(mesh: Mesh, syms, tables,
 
     Returns (Rf, words, mask) sharded over ("dp","sp") plus replicated
     (sizes (B,), total_bytes scalar)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axes = ("dp", "sp")
 
