@@ -64,6 +64,7 @@ def test_multi_process_encode_matches_single(tmp_path, nprocs):
             "FQZ5_DIST_COORD": f"127.0.0.1:{port}",
             "FQZ5_DIST_NPROCS": str(nprocs),
             "FQZ5_DIST_PID": str(pid),
+            "FQZ5_DIST_STATS": "1",
             "PYTHONPATH": os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))),
         })
@@ -77,6 +78,19 @@ def test_multi_process_encode_matches_single(tmp_path, nprocs):
 
     assert out.read_bytes() == ref.getvalue(), \
         f"{nprocs}-process output differs from single-process encoder"
+
+    # parse-once: each process parses only its OWNED byte ranges —
+    # ~input/N, never the whole file (reference: one reader feeds the
+    # pool, fqzcomp5.c:3050-3077).  Slack of one block covers the
+    # round-robin remainder.
+    import json
+
+    insize = os.path.getsize(src)
+    stats = [json.loads(so.decode().strip().splitlines()[-1])
+             for (so, _se) in outs]
+    for st in stats:
+        assert st["parse_bytes"] <= insize / nprocs + (64 << 10), st
+    assert sum(st["parse_bytes"] for st in stats) <= insize + 1
 
     # and it decodes
     from fqzcomp5_tpu.drivers import decode_file, make_fastq_writer
