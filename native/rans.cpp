@@ -420,6 +420,23 @@ inline void enc_put(uint32_t& x, uint8_t*& ptr, const EncSym& s) {
     x = x + s.bias + q * s.cmpl;
 }
 
+// Branchless renorm variant for the hot encode walks: the 2-byte
+// store is unconditional (always lands in the stream gap below ptr —
+// callers encode from the end of a generously-bounded buffer) and the
+// pointer advances arithmetically.  On high-entropy streams (quals,
+// PACK'd DNA) renorm cadence is irregular, so the predicted branch in
+// enc_put mispredicts ~once per 2 symbols; this form has no branch at
+// all (the reference's HTSCODECS_LITTLE_ENDIAN scheme,
+// rANS_word.h:287-308).
+inline void enc_put_bl(uint32_t& x, uint8_t*& ptr, const EncSym& s) {
+    uint32_t c = (x > s.x_max) ? 2u : 0u;
+    memcpy(ptr - 2, &x, 2);      // little-endian low 16 bits
+    x >>= c * 8;
+    ptr -= c;
+    uint32_t q = uint32_t((uint64_t(x) * s.rcp) >> 32) >> s.rcp_shift;
+    x = x + s.bias + q * s.cmpl;
+}
+
 inline void enc_flush(uint32_t x, uint8_t*& ptr) {
     ptr -= 4;
     ptr[0] = uint8_t(x);
@@ -515,7 +532,7 @@ bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
         // array form — the four enc_puts already serialize on ptr)
         for (uint32_t i = in_size & ~uint32_t(N - 1); i > 0; i -= N)
             for (int z = N - 1; z >= 0; z--)
-                enc_put(R[z], ptr, syms[in[i - N + z]]);
+                enc_put_bl(R[z], ptr, syms[in[i - N + z]]);
     }
     for (int z = N - 1; z >= 0; z--) enc_flush(R[z], ptr);
 
@@ -780,10 +797,19 @@ bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
         fqz5_simd512_enc_o1_32(in, isz, sxm, src_, sbi, scr, R, &ptr);
     } else {
         for (; iN[0] >= 0;) {
+            // load all N symbol rows before any put: the renorm's
+            // ptr update serializes the puts, so hoisting the table
+            // loads is the only ILP available (reference loop shape,
+            // rANS_static4x16pr.c:483-500)
+            const EncSym* sN[N];
+            uint8_t cN[N];
             for (int z = N - 1; z >= 0; z--) {
-                uint8_t c = in[iN[z]];
-                enc_put(R[z], ptr, syms[c][lN[z]]);
-                lN[z] = c;
+                cN[z] = in[iN[z]];
+                sN[z] = &syms[cN[z]][lN[z]];
+            }
+            for (int z = N - 1; z >= 0; z--) {
+                enc_put_bl(R[z], ptr, *sN[z]);
+                lN[z] = cN[z];
                 iN[z]--;
             }
         }
