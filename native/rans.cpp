@@ -14,6 +14,10 @@
 
 #if defined(__SSE2__)
 #include <immintrin.h>
+#include <ctime>
+#include <cstdio>
+#include <cstdlib>
+#include <memory>
 #endif
 
 namespace fqz5 {
@@ -429,10 +433,10 @@ inline void enc_put(uint32_t& x, uint8_t*& ptr, const EncSym& s) {
 // all (the reference's HTSCODECS_LITTLE_ENDIAN scheme,
 // rANS_word.h:287-308).
 inline void enc_put_bl(uint32_t& x, uint8_t*& ptr, const EncSym& s) {
-    uint32_t c = (x > s.x_max) ? 2u : 0u;
     memcpy(ptr - 2, &x, 2);      // little-endian low 16 bits
-    x >>= c * 8;
-    ptr -= c;
+    uint32_t gt = uint32_t(x > s.x_max);   // setcc, no jump
+    ptr -= 2 * gt;
+    x >>= 16 * gt;               // variable shift keeps it branchless
     uint32_t q = uint32_t((uint64_t(x) * s.rcp) >> 32) >> s.rcp_shift;
     x = x + s.bias + q * s.cmpl;
 }
@@ -476,18 +480,104 @@ inline void dec_renorm16(uint32_t& x, const uint8_t*& cp) {
 
 // ---------------------------------------------------------------------
 // Order-0 Nx16 core (payload = freq table + rANS stream)
+
+// Free-standing flattened encode walks (NOT inlined into the big
+// template bodies): inside rans_enc_o0/o1 gcc runs out of registers
+// and spills the states/pointers to the stack, reloading them per
+// symbol — the identical loop measured 546 MB/s free-standing vs
+// ~190 MB/s inlined on 20MB of qualities.  Same fix as the decode
+// side's rans_o1_walk4.
+__attribute__((noinline, optimize("no-tree-vectorize",
+                                  "no-tree-slp-vectorize")))
+static uint8_t* enc_walk4_o0(const uint8_t* in, uint32_t n4,
+                             const EncSym* syms, uint32_t* R,
+                             uint8_t* ptr) {
+    uint32_t r0 = R[0], r1 = R[1], r2 = R[2], r3 = R[3];
+    for (uint32_t i = n4; i > 0; i -= 4) {
+        const EncSym& s3 = syms[in[i - 1]];
+        const EncSym& s2 = syms[in[i - 2]];
+        const EncSym& s1 = syms[in[i - 3]];
+        const EncSym& s0 = syms[in[i - 4]];
+        enc_put_bl(r3, ptr, s3);
+        enc_put_bl(r2, ptr, s2);
+        enc_put_bl(r1, ptr, s1);
+        enc_put_bl(r0, ptr, s0);
+    }
+    R[0] = r0; R[1] = r1; R[2] = r2; R[3] = r3;
+    return ptr;
+}
+
+__attribute__((noinline, optimize("no-tree-vectorize",
+                                  "no-tree-slp-vectorize")))
+static uint8_t* enc_walk4_o1(const uint8_t* in, const EncSym (*syms)[256],
+                             uint32_t* R, int64_t* iN, uint8_t* lN,
+                             uint8_t* ptr) {
+    uint32_t r0 = R[0], r1 = R[1], r2 = R[2], r3 = R[3];
+    int64_t i0 = iN[0], i1 = iN[1], i2 = iN[2], i3 = iN[3];
+    uint8_t l0 = lN[0], l1 = lN[1], l2 = lN[2], l3 = lN[3];
+    for (; i0 >= 0; i0--, i1--, i2--, i3--) {
+        uint8_t c3 = in[i3], c2 = in[i2], c1 = in[i1], c0 = in[i0];
+        const EncSym& s3 = syms[c3][l3];
+        const EncSym& s2 = syms[c2][l2];
+        const EncSym& s1 = syms[c1][l1];
+        const EncSym& s0 = syms[c0][l0];
+        enc_put_bl(r3, ptr, s3);
+        enc_put_bl(r2, ptr, s2);
+        enc_put_bl(r1, ptr, s1);
+        enc_put_bl(r0, ptr, s0);
+        l3 = c3; l2 = c2; l1 = c1; l0 = c0;
+    }
+    enc_put(r3, ptr, syms[0][l3]);
+    enc_put(r2, ptr, syms[0][l2]);
+    enc_put(r1, ptr, syms[0][l1]);
+    enc_put(r0, ptr, syms[0][l0]);
+    R[0] = r0; R[1] = r1; R[2] = r2; R[3] = r3;
+    return ptr;
+}
+
+// 4-way split order-0 histogram: a single table serializes on
+// store->load forwarding when the same symbol recurs (always, for
+// 40-symbol quality data); independent sub-tables count in parallel
+// issue slots (reference utils.h hist8 idea).
+inline void hist4(const uint8_t* in, uint32_t in_size, uint32_t* F) {
+    uint32_t h[7][256] = {{0}};
+    uint32_t i = 0;
+    for (; i + 8 <= in_size; i += 8) {
+        F[in[i]]++;
+        h[0][in[i + 1]]++;
+        h[1][in[i + 2]]++;
+        h[2][in[i + 3]]++;
+        h[3][in[i + 4]]++;
+        h[4][in[i + 5]]++;
+        h[5][in[i + 6]]++;
+        h[6][in[i + 7]]++;
+    }
+    for (; i < in_size; i++) F[in[i]]++;
+    for (int j = 0; j < 256; j++)
+        F[j] += h[0][j] + h[1][j] + h[2][j] + h[3][j] + h[4][j]
+                + h[5][j] + h[6][j];
+}
+
 template <int N>
 bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
                  std::vector<uint8_t>& out) {
-    // worst case: all renorms + flush + table
+    // worst case: all renorms + flush + table.  The walk writes into
+    // a reused thread-local arena (malloc'd, never zero-initialised:
+    // a fresh vector resize memsets the whole bound — ~5ms per 20MB
+    // call for bytes the stream immediately overwrites).
     size_t bound = size_t(in_size) + in_size / 2 + N * 4 + 1024 + 16;
-    out.resize(bound);
+    static thread_local std::unique_ptr<uint8_t[]> arena;
+    static thread_local size_t arena_cap = 0;
+    if (arena_cap < bound) {
+        arena.reset(new uint8_t[bound]);
+        arena_cap = bound;
+    }
     if (in_size == 0) {
         out.clear();
         return true;
     }
     uint32_t F[256 + 8] = {0};
-    for (uint32_t i = 0; i < in_size; i++) F[in[i]]++;
+    hist4(in, in_size, F);
 
     uint32_t fsum = in_size;
     uint32_t max_val = round2(fsum);
@@ -495,7 +585,7 @@ bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
     if (normalise_freq(F, fsum, max_val) < 0) return false;
     fsum = max_val;
 
-    uint8_t* tab = out.data();
+    uint8_t* tab = arena.get();
     int tab_size = encode_freq(tab, F);
     if (normalise_freq(F, fsum, kTot) < 0) return false;
 
@@ -507,7 +597,7 @@ bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
         }
     }
 
-    uint8_t* base = out.data();
+    uint8_t* base = arena.get();
     uint8_t* end = base + bound;
     uint8_t* ptr = end;
     uint32_t R[N];
@@ -527,18 +617,20 @@ bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
         }
         fqz5_simd512_enc_o0_32(in, in_size & ~uint32_t(31), sxm, src_,
                                sbi, scr, R, &ptr);
+    } else if (N == 4) {
+        ptr = enc_walk4_o0(in, in_size & ~uint32_t(3), syms, R, ptr);
     } else {
-        // (a register-flattened N==4 variant measured SLOWER than this
-        // array form — the four enc_puts already serialize on ptr)
         for (uint32_t i = in_size & ~uint32_t(N - 1); i > 0; i -= N)
             for (int z = N - 1; z >= 0; z--)
-                enc_put_bl(R[z], ptr, syms[in[i - N + z]]);
+                enc_put(R[z], ptr, syms[in[i - N + z]]);
     }
     for (int z = N - 1; z >= 0; z--) enc_flush(R[z], ptr);
 
     size_t stream = size_t(end - ptr);
-    memmove(base + tab_size, ptr, stream);
-    out.resize(tab_size + stream);
+    out.clear();
+    out.reserve(tab_size + stream);
+    out.insert(out.end(), base, base + tab_size);
+    out.insert(out.end(), ptr, ptr + stream);
     return true;
 }
 
@@ -675,32 +767,65 @@ bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
                  std::vector<uint8_t>& out) {
     if (N == 32 && in_size < uint32_t(N)) return false;
     size_t bound = size_t(in_size) + in_size / 2 + N * 8 + 257 * 257 * 3 + 64;
-    out.resize(bound);
+    // reused thread-local arena: a fresh vector resize would memset
+    // the whole bound (see the O0 note)
+    static thread_local std::unique_ptr<uint8_t[]> arena;
+    static thread_local size_t arena_cap = 0;
+    if (arena_cap < bound) {
+        arena.reset(new uint8_t[bound]);
+        arena_cap = bound;
+    }
 
     static thread_local std::vector<uint32_t> Fbuf;
     Fbuf.assign(256 * 256, 0);
     uint32_t (*F)[256] = reinterpret_cast<uint32_t(*)[256]>(Fbuf.data());
     uint32_t T[256] = {0};
 
-    // Order-1 histogram (utils.h hist1_4): ctx 0 precedes in[0].
+    // Order-1 histogram (utils.h hist1_4 semantics): ctx 0 precedes
+    // in[0].  For large inputs the counts split across two tables so
+    // consecutive (ctx,sym) increments hit different cache lines and
+    // the store->load dependency chain on recurring pairs is halved.
     {
         uint8_t l = 0;
-        for (uint32_t i = 0; i < in_size; i++) {
-            F[l][in[i]]++;
-            l = in[i];
+        uint32_t i = 0;
+        if (in_size > 500000) {
+            static thread_local std::vector<uint32_t> F2buf;
+            F2buf.assign(256 * 256, 0);
+            uint32_t (*F2)[256] =
+                reinterpret_cast<uint32_t(*)[256]>(F2buf.data());
+            for (; i + 4 <= in_size; i += 4) {
+                uint8_t c0 = in[i], c1 = in[i + 1];
+                uint8_t c2 = in[i + 2], c3 = in[i + 3];
+                F[l][c0]++;
+                F2[c0][c1]++;
+                F[c1][c2]++;
+                F2[c2][c3]++;
+                l = c3;
+            }
+            for (; i < in_size; i++) {
+                F[l][in[i]]++;
+                l = in[i];
+            }
+            for (int r = 0; r < 256; r++)
+                for (int j = 0; j < 256; j++) F[r][j] += F2[r][j];
+        } else {
+            for (; i < in_size; i++) {
+                F[l][in[i]]++;
+                l = in[i];
+            }
         }
         T[l]++;  // final context gets a phantom count
-        for (int i = 0; i < 256; i++) {
+        for (int r = 0; r < 256; r++) {
             uint32_t tt = 0;
-            for (int j = 0; j < 256; j++) tt += F[i][j];
-            T[i] += tt;
+            for (int j = 0; j < 256; j++) tt += F[r][j];
+            T[r] += tt;
         }
     }
     uint32_t isz = in_size / N;
     for (int z = 1; z < N; z++) F[0][in[z * isz]]++;
     T[0] += N - 1;
 
-    uint8_t* op = out.data();
+    uint8_t* op = arena.get();
     uint8_t* cp = op;
     uint32_t tmp_T0 = T[0];
     T[0] = 1;
@@ -795,21 +920,14 @@ bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
             }
         }
         fqz5_simd512_enc_o1_32(in, isz, sxm, src_, sbi, scr, R, &ptr);
+    } else if (N == 4) {
+        ptr = enc_walk4_o1(in, syms, R, iN, lN, ptr);
     } else {
         for (; iN[0] >= 0;) {
-            // load all N symbol rows before any put: the renorm's
-            // ptr update serializes the puts, so hoisting the table
-            // loads is the only ILP available (reference loop shape,
-            // rANS_static4x16pr.c:483-500)
-            const EncSym* sN[N];
-            uint8_t cN[N];
             for (int z = N - 1; z >= 0; z--) {
-                cN[z] = in[iN[z]];
-                sN[z] = &syms[cN[z]][lN[z]];
-            }
-            for (int z = N - 1; z >= 0; z--) {
-                enc_put_bl(R[z], ptr, *sN[z]);
-                lN[z] = cN[z];
+                uint8_t c = in[iN[z]];
+                enc_put(R[z], ptr, syms[c][lN[z]]);
+                lN[z] = c;
                 iN[z]--;
             }
         }
@@ -819,8 +937,10 @@ bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
     for (int z = N - 1; z >= 0; z--) enc_flush(R[z], ptr);
 
     size_t stream = size_t(end - ptr);
-    memmove(op + tab_size, ptr, stream);
-    out.resize(tab_size + stream);
+    out.clear();
+    out.reserve(tab_size + stream);
+    out.insert(out.end(), op, op + tab_size);
+    out.insert(out.end(), ptr, ptr + stream);
     return true;
 }
 
@@ -1871,7 +1991,7 @@ extern "C" {
 int64_t fqz5_rans_o0_prep(const uint8_t* in, uint32_t in_size, uint8_t* tab,
                           uint32_t tab_cap, uint32_t* freqs) {
     uint32_t F[256 + 8] = {0};
-    for (uint32_t i = 0; i < in_size; i++) F[in[i]]++;
+    hist4(in, in_size, F);
     uint32_t fsum = in_size;
     uint32_t max_val = round2(fsum);
     if (max_val > kTot) max_val = kTot;
