@@ -634,6 +634,46 @@ bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
     return true;
 }
 
+// 4-state unrolled O0 decode main walk, free-standing for the same
+// register-allocation reason as the encode walks; the renorm bound
+// check hoists to once per group (8 renorms consume <= 16 bytes) and
+// the renorm itself is branchless (reference
+// rANS_static4x16pr.c:309-352, rANS_word.h cmov).
+__attribute__((noinline, optimize("no-tree-vectorize",
+                                  "no-tree-slp-vectorize")))
+static uint32_t dec_walk4_o0(const uint8_t* ssym, const uint16_t* sfreq,
+                             const uint16_t* sbase, const uint8_t** cpp,
+                             const uint8_t* limit, uint32_t* R,
+                             uint8_t* out, uint32_t out_sz) {
+    constexpr uint32_t mask = kTot - 1;
+    const uint8_t* cp = *cpp;
+    uint32_t R0 = R[0], R1 = R[1], R2 = R[2], R3 = R[3];
+    const uint8_t* fast_lim = limit - 16;  // 8 renorms per iter
+    uint32_t main_sz = out_sz & ~7u;
+    uint32_t i = 0;
+    for (; i < main_sz && cp < fast_lim; i += 8) {
+        for (uint32_t j = 0; j < 8; j += 4) {
+            uint32_t m0 = R0 & mask, m1 = R1 & mask;
+            out[i + j] = ssym[m0];
+            out[i + j + 1] = ssym[m1];
+            R0 = sfreq[m0] * (R0 >> kShift) + sbase[m0];
+            R1 = sfreq[m1] * (R1 >> kShift) + sbase[m1];
+            uint32_t m2 = R2 & mask, m3 = R3 & mask;
+            dec_renorm16(R0, cp);
+            dec_renorm16(R1, cp);
+            R2 = sfreq[m2] * (R2 >> kShift) + sbase[m2];
+            R3 = sfreq[m3] * (R3 >> kShift) + sbase[m3];
+            dec_renorm16(R2, cp);
+            dec_renorm16(R3, cp);
+            out[i + j + 2] = ssym[m2];
+            out[i + j + 3] = ssym[m3];
+        }
+    }
+    R[0] = R0; R[1] = R1; R[2] = R2; R[3] = R3;
+    *cpp = cp;
+    return i;
+}
+
 template <int N>
 bool rans_dec_o0(const uint8_t* in, uint32_t in_size, uint8_t* out,
                  uint32_t out_sz) {
@@ -708,35 +748,8 @@ bool rans_dec_o0(const uint8_t* in, uint32_t in_size, uint8_t* out,
         fqz5_simd_dec_o0_32(s3, kShift, &cp, limit, R, out, main_sz);
         start = main_sz;
     } else if (N == 4) {
-        // 4-state unrolled main walk, states in scalar registers; the
-        // renorm bound check hoists to once per group (4 renorms
-        // consume <= 8 bytes) and the renorm itself is branchless
-        // (reference rANS_static4x16pr.c:309-352, rANS_word.h cmov)
-        auto ren = [&cp](uint32_t& x) { dec_renorm16(x, cp); };
-        uint32_t R0 = R[0], R1 = R[1], R2 = R[2], R3 = R[3];
-        const uint8_t* fast_lim = limit - 16;  // 8 renorms per iter
-        uint32_t main_sz = out_sz & ~7u;
-        uint32_t i = 0;
-        for (; i < main_sz && cp < fast_lim; i += 8) {
-            for (uint32_t j = 0; j < 8; j += 4) {
-                uint32_t m0 = R0 & mask, m1 = R1 & mask;
-                out[i + j] = ssym[m0];
-                out[i + j + 1] = ssym[m1];
-                R0 = sfreq[m0] * (R0 >> kShift) + sbase[m0];
-                R1 = sfreq[m1] * (R1 >> kShift) + sbase[m1];
-                uint32_t m2 = R2 & mask, m3 = R3 & mask;
-                ren(R0);
-                ren(R1);
-                R2 = sfreq[m2] * (R2 >> kShift) + sbase[m2];
-                R3 = sfreq[m3] * (R3 >> kShift) + sbase[m3];
-                ren(R2);
-                ren(R3);
-                out[i + j + 2] = ssym[m2];
-                out[i + j + 3] = ssym[m3];
-            }
-        }
-        R[0] = R0; R[1] = R1; R[2] = R2; R[3] = R3;
-        start = i;
+        start = dec_walk4_o0(ssym, sfreq, sbase, &cp, limit, R, out,
+                             out_sz);
     }
     for (uint32_t i = start; i < out_sz; i++) {
         int z = i & (N - 1);
