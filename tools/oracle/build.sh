@@ -22,4 +22,7 @@ mkdir -p "$DST/harness"
 gcc -O2 -I"$DST" -o "$DST/harness/codec_oracle" \
     "$HERE/codec_oracle.c" \
     "$DST"/htscodecs/*.o "$DST/lzp16e.o" "$DST/bz2_stub.o" -lm -lz -pthread
-echo "oracle ready: $DST/fqzcomp5  $DST/harness/codec_oracle"
+gcc -O2 -I"$DST" -o "$DST/harness/kbench" \
+    "$HERE/kbench.c" \
+    "$DST"/htscodecs/*.o "$DST/bz2_stub.o" -lm -lz -pthread
+echo "oracle ready: $DST/fqzcomp5  $DST/harness/codec_oracle  $DST/harness/kbench"

@@ -1,0 +1,150 @@
+"""Reproduce every README.md host performance row (VERDICT r2 item 6).
+
+Interleaved best-of-N cold-CLI walls for each preset row (reference
+binary vs bin/fqz5 on the same generated corpus, alternating runs so
+box-load drift hits both sides equally), plus the like-for-like rANS
+kernel rows via /tmp/oracle/harness/kbench (reference) and
+tools/host_kernel_bench.py (ours).
+
+Usage:
+    python tools/readme_bench.py [--mb 50] [--reps 4]
+
+Prerequisite: tools/oracle/build.sh (builds /tmp/oracle/fqzcomp5 and
+harness/kbench).  Emits one JSON line per row and a final markdown
+table matching the README layout.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+ORACLE = "/tmp/oracle/fqzcomp5"
+KBENCH = "/tmp/oracle/harness/kbench"
+
+
+def gen_corpus(path, target_mb, seed=42):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m.gen_corpus(path, target_mb, seed)
+    return os.path.getsize(path)
+
+
+def wall(cmd):
+    t0 = time.perf_counter()
+    subprocess.run(cmd, check=True, capture_output=True)
+    return time.perf_counter() - t0
+
+
+def interleaved(cmd_a, cmd_b, reps):
+    """Alternate the two commands; best-of-reps each."""
+    best_a = best_b = 1e9
+    for _ in range(reps):
+        best_a = min(best_a, wall(cmd_a))
+        best_b = min(best_b, wall(cmd_b))
+    return best_a, best_b
+
+
+def preset_row(src, level, reps, decode=False):
+    ref_out, our_out = "/tmp/rb_ref.fqz5", "/tmp/rb_our.fqz5"
+    ref_cmd = [ORACLE, f"-{level}", "-t", "1", src, ref_out]
+    our_cmd = [os.path.join(ROOT, "bin", "fqz5"), f"-{level}",
+               "-t", "1", src, our_out]
+    ref, ours = interleaved(ref_cmd, our_cmd, reps)
+    row = {"row": f"-{level} encode", "ours_s": round(ours, 2),
+           "ref_s": round(ref, 2), "ratio": round(ours / ref, 2),
+           "bytes": os.path.getsize(src), "discipline":
+           "cold CLI, -t 1, interleaved best-of-%d" % reps}
+    with open(ref_out, "rb") as a, open(our_out, "rb") as b:
+        row["byte_identical"] = a.read() == b.read()
+    print(json.dumps(row), flush=True)
+    rows = [row]
+    if decode:
+        ref_cmd = [ORACLE, "-d", "-t", "1", ref_out, "/tmp/rb_ref.out"]
+        our_cmd = [os.path.join(ROOT, "bin", "fqz5"), "-d", "-t", "1",
+                   our_out, "/tmp/rb_our.out"]
+        ref, ours = interleaved(ref_cmd, our_cmd, reps)
+        drow = {"row": f"-{level} decode", "ours_s": round(ours, 2),
+                "ref_s": round(ref, 2), "ratio": round(ours / ref, 2),
+                "bytes": os.path.getsize(src), "discipline":
+                "cold CLI, -t 1, interleaved best-of-%d" % reps}
+        print(json.dumps(drow), flush=True)
+        rows.append(drow)
+    return rows
+
+
+def kernel_row(datafile, order, reps):
+    ref = json.loads(subprocess.run(
+        [KBENCH, datafile, str(order), str(reps)], check=True,
+        capture_output=True, text=True).stdout)
+    ours = json.loads(subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools",
+                                      "host_kernel_bench.py"),
+         datafile, str(order), str(reps)], check=True,
+        capture_output=True, text=True).stdout)
+    row = {"row": f"rANS order {order:#x}",
+           "ours_enc_MBps": ours["enc_MBps"],
+           "ours_dec_MBps": ours["dec_MBps"],
+           "ref_enc_MBps": ref["enc_MBps"],
+           "ref_dec_MBps": ref["dec_MBps"],
+           "bytes": ref["bytes"],
+           "comp_parity": ours["csz"] == ref["comp_bytes"]}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--levels", default="1,3,5")
+    args = ap.parse_args()
+
+    if not os.path.exists(ORACLE) or not os.path.exists(KBENCH):
+        print("oracle missing; run tools/oracle/build.sh first",
+              file=sys.stderr)
+        return 2
+
+    src = "/tmp/rb_corpus.fastq"
+    n = gen_corpus(src, args.mb)
+    print(json.dumps({"corpus_bytes": n}), flush=True)
+
+    rows = []
+    for lvl in args.levels.split(","):
+        rows += preset_row(src, int(lvl), args.reps, decode=True)
+
+    # kernel rows on real section payloads pulled from the corpus
+    with open(src, "rb") as f:
+        lines = f.read().split(b"\n")
+    with open("/tmp/rb_qual.bin", "wb") as f:
+        f.write(b"".join(lines[3::4])[:48_000_000])
+    with open("/tmp/rb_seq.bin", "wb") as f:
+        f.write(b"".join(lines[1::4])[:48_000_000])
+    rows.append(kernel_row("/tmp/rb_qual.bin", 0x0, args.reps))
+    rows.append(kernel_row("/tmp/rb_qual.bin", 0x1, args.reps))
+    rows.append(kernel_row("/tmp/rb_seq.bin", 0x81, args.reps))
+
+    print("\n| Row | Ours | Reference | Discipline |")
+    print("|---|---|---|---|")
+    for r in rows:
+        if "ours_s" in r:
+            print(f"| {r['row']} ({r['bytes'] // 1_000_000}MB) "
+                  f"| {r['ours_s']} s | {r['ref_s']} s "
+                  f"| {r['discipline']} |")
+        else:
+            print(f"| {r['row']} ({r['bytes'] // 1_000_000}MB) "
+                  f"| {r['ours_enc_MBps']}/{r['ours_dec_MBps']} MB/s "
+                  f"| {r['ref_enc_MBps']}/{r['ref_dec_MBps']} MB/s "
+                  f"| enc/dec best-of-{args.reps} |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
