@@ -39,7 +39,11 @@ from fqzcomp5_tpu.engine_tpu import (decode_o0_batch, decode_o1_batch,
 from fqzcomp5_tpu.learning import MethodLearner
 from fqzcomp5_tpu.options import Options, method_avail_for
 
-WAVE = 8            # max blocks per device wave
+import os as _os
+
+# max blocks per device wave (FQZ5_WAVE_BLOCKS to sweep; see
+# docs/WAVE_SIZING.md for the measured curve behind the default)
+WAVE = int(_os.environ.get("FQZ5_WAVE_BLOCKS", "8"))
 MIN_DEVICE = 4096   # sections smaller than this stay on the host
 
 

@@ -44,12 +44,20 @@ def wall(cmd):
 
 
 def interleaved(cmd_a, cmd_b, reps):
-    """Alternate the two commands; best-of-reps each."""
-    best_a = best_b = 1e9
+    """Back-to-back (a,b) pairs; median walls + median per-pair ratio.
+
+    This box's CPU clock drifts +-30% on minute timescales, so
+    per-side best-of-N catches different throttle windows and the
+    implied ratio can be off 2x.  Each adjacent pair shares (nearly)
+    one clock regime; the median of per-pair ratios is stable."""
+    pairs = []
     for _ in range(reps):
-        best_a = min(best_a, wall(cmd_a))
-        best_b = min(best_b, wall(cmd_b))
-    return best_a, best_b
+        pairs.append((wall(cmd_a), wall(cmd_b)))
+    ratios = sorted(b / a for a, b in pairs)
+    med_ratio = ratios[len(ratios) // 2]
+    med_a = sorted(p[0] for p in pairs)[reps // 2]
+    med_b = sorted(p[1] for p in pairs)[reps // 2]
+    return med_a, med_b, med_ratio
 
 
 def preset_row(src, level, reps, decode=False):
@@ -57,11 +65,11 @@ def preset_row(src, level, reps, decode=False):
     ref_cmd = [ORACLE, f"-{level}", "-t", "1", src, ref_out]
     our_cmd = [os.path.join(ROOT, "bin", "fqz5"), f"-{level}",
                "-t", "1", src, our_out]
-    ref, ours = interleaved(ref_cmd, our_cmd, reps)
+    ref, ours, ratio = interleaved(ref_cmd, our_cmd, reps)
     row = {"row": f"-{level} encode", "ours_s": round(ours, 2),
-           "ref_s": round(ref, 2), "ratio": round(ours / ref, 2),
+           "ref_s": round(ref, 2), "ratio": round(ratio, 2),
            "bytes": os.path.getsize(src), "discipline":
-           "cold CLI, -t 1, interleaved best-of-%d" % reps}
+           "cold CLI, -t 1, median of %d interleaved pairs" % reps}
     with open(ref_out, "rb") as a, open(our_out, "rb") as b:
         row["byte_identical"] = a.read() == b.read()
     print(json.dumps(row), flush=True)
@@ -70,11 +78,11 @@ def preset_row(src, level, reps, decode=False):
         ref_cmd = [ORACLE, "-d", "-t", "1", ref_out, "/tmp/rb_ref.out"]
         our_cmd = [os.path.join(ROOT, "bin", "fqz5"), "-d", "-t", "1",
                    our_out, "/tmp/rb_our.out"]
-        ref, ours = interleaved(ref_cmd, our_cmd, reps)
+        ref, ours, ratio = interleaved(ref_cmd, our_cmd, reps)
         drow = {"row": f"-{level} decode", "ours_s": round(ours, 2),
-                "ref_s": round(ref, 2), "ratio": round(ours / ref, 2),
+                "ref_s": round(ref, 2), "ratio": round(ratio, 2),
                 "bytes": os.path.getsize(src), "discipline":
-                "cold CLI, -t 1, interleaved best-of-%d" % reps}
+                "cold CLI, -t 1, median of %d interleaved pairs" % reps}
         print(json.dumps(drow), flush=True)
         rows.append(drow)
     return rows
