@@ -283,42 +283,79 @@ def _with_nop_row(tables):
             app(bias, 0), app(cmpl, 0))
 
 
+def _assemble_payload(head: bytes, Rf: np.ndarray, cwords: np.ndarray,
+                      tail: bytes = b"") -> bytes:
+    """head + 32 final states + the COMPACT word stream (+ tail)."""
+    return (head + Rf.astype("<u4").tobytes()
+            + cwords.astype("<u2").tobytes() + tail)
+
+
+class _LazyO0:
+    """Deferred encode_o0_batch: `sizes` holds every stream's framed
+    payload length (tables + 128 state bytes + 2*nwords, one int32
+    download per stream); fetch(idxs) downloads only the requested
+    winners' words.  Trial waves walk every candidate on device but
+    pull loser payloads over the link never."""
+
+    def __init__(self, datas: list[bytes]):
+        from fqzcomp5_tpu.ops import backend
+
+        B = len(datas)
+        self.sizes: list[int] = []
+        self._tabs: list[bytes] = []
+        self._lz = None
+        if B == 0:
+            return
+        freq_rows = []
+        Tmax = 1
+        for d in datas:
+            tab, freqs = o0_prep(d)
+            self._tabs.append(tab)
+            freq_rows.append(freqs)
+            n = len(d)
+            T = n // 32 + (1 if n % 32 else 0)
+            Tmax = max(Tmax, T)
+
+        flat = np.full((B, Tmax, 32), _NOP_O0, np.int32)
+        for b, d in enumerate(datas):
+            arr = np.frombuffer(d, np.uint8)
+            n = len(arr)
+            Tfull = n // 32
+            flat[b, :Tfull] = arr[:Tfull * 32].reshape(Tfull, 32)
+            rem = n - Tfull * 32
+            if rem:
+                flat[b, Tfull, :rem] = arr[Tfull * 32:]
+
+        self._lz = backend.encode_flat_lazy(
+            flat, np.stack(freq_rows), rans_jax.TF_SHIFT)
+        nw = self._lz.nwords()
+        self.sizes = [len(self._tabs[b]) + 128 + 2 * int(nw[b])
+                      for b in range(B)]
+
+    def fetch(self, idxs) -> dict[int, bytes]:
+        if self._lz is None:
+            return {}
+        rows = self._lz.fetch(idxs)
+        return {i: _assemble_payload(self._tabs[i], *rows[i])
+                for i in rows}
+
+    def fetch_all(self) -> list[bytes]:
+        if self._lz is None:
+            return []
+        Rf, words, mask = self._lz.fetch_all()
+        return [_assemble_payload(
+            self._tabs[b], Rf[b],
+            words[b].reshape(-1)[mask[b].reshape(-1)])
+            for b in range(len(self._tabs))]
+
+
+def encode_o0_batch_lazy(datas: list[bytes]) -> "_LazyO0":
+    return _LazyO0(datas)
+
+
 def encode_o0_batch(datas: list[bytes]) -> list[bytes]:
     """rans_compress_O0_32x16 for many streams in one device walk."""
-    from fqzcomp5_tpu.ops import backend
-
-    B = len(datas)
-    if B == 0:
-        return []
-    tabs = []
-    freq_rows = []
-    Tmax = 1
-    for d in datas:
-        tab, freqs = o0_prep(d)
-        tabs.append(tab)
-        freq_rows.append(freqs)
-        n = len(d)
-        T = n // 32 + (1 if n % 32 else 0)
-        Tmax = max(Tmax, T)
-
-    flat = np.full((B, Tmax, 32), _NOP_O0, np.int32)
-    for b, d in enumerate(datas):
-        arr = np.frombuffer(d, np.uint8)
-        n = len(arr)
-        Tfull = n // 32
-        flat[b, :Tfull] = arr[:Tfull * 32].reshape(Tfull, 32)
-        rem = n - Tfull * 32
-        if rem:
-            flat[b, Tfull, :rem] = arr[Tfull * 32:]
-
-    Rf, words, mask = backend.encode_flat(
-        flat, np.stack(freq_rows), rans_jax.TF_SHIFT)
-    out = []
-    for b in range(B):
-        w = words[b].reshape(-1)[mask[b].reshape(-1)]
-        out.append(tabs[b] + Rf[b].astype("<u4").tobytes()
-                   + w.astype("<u2").tobytes())
-    return out
+    return _LazyO0(datas).fetch_all()
 
 
 def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
@@ -483,49 +520,60 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
     return out_syms, Rf_out
 
 
-def encode_o1_batch(datas: list[bytes]) -> list[bytes]:
-    """rans_compress_O1_32x16 for many streams in one device walk.
-
-    Streams are grouped by frequency shift (10 vs 12) internally.
-    High-entropy streams (byte alphabet A with A*A above the device
-    dict budget, e.g. PACK'd bytes) take the native host encoder: the
+class _LazyO1:
+    """Deferred encode_o1_batch (see _LazyO0): sizes without loser
+    downloads.  Streams are grouped by frequency shift (10 vs 12);
+    high-entropy streams (byte alphabet A with A*A above the device
+    dict budget, e.g. PACK'd bytes) take the native host encoder — the
     device path would need a dense 65537-entry plane costing 16 link
     bytes per input byte, while the C encoder does them in
-    milliseconds and emits the identical wire format."""
-    B = len(datas)
-    if B == 0:
-        return []
+    milliseconds and emits the identical wire format.  Host-native
+    payloads are held directly (their fetch is free)."""
 
-    from fqzcomp5_tpu.ops import backend
-    from fqzcomp5_tpu.ops.backend import _DICT_MAX
+    def __init__(self, datas: list[bytes]):
+        B = len(datas)
+        self.sizes: list[int] = [0] * B
+        self._direct: dict[int, bytes] = {}
+        # per shift group: (idxs, LazyFlat, {i: head}, {i: tail})
+        self._groups: list[tuple] = []
+        if B == 0:
+            self.sizes = []
+            return
+        self._build(datas)
 
-    out = [b""] * B
-    device_idx = []
-    for i, d in enumerate(datas):
-        arr = np.frombuffer(d, np.uint8)
-        A = int((np.bincount(arr, minlength=256) > 0).sum()) if len(
-            arr) else 0
-        if backend._use_pallas() and A * A > _DICT_MAX:
-            import ctypes
+    def _build(self, datas: list[bytes]) -> None:
+        from fqzcomp5_tpu.ops import backend
+        from fqzcomp5_tpu.ops.backend import _DICT_MAX
 
-            L = _lib()
-            darr = np.frombuffer(d, np.uint8)
-            cap = len(d) + (len(d) >> 1) + (1 << 16)
-            buf = np.empty(cap, np.uint8)
-            rc = L.fqz5_rans_core_encode(_ptr(darr), len(d), 1,
-                                         _ptr(buf), cap)
-            if rc < 0:
-                raise ValueError("native o1 core encode failed")
-            out[i] = buf[:rc].tobytes()
-        else:
-            device_idx.append(i)
-    preps = {i: o1_prep(datas[i]) for i in device_idx}
+        device_idx = []
+        for i, d in enumerate(datas):
+            arr = np.frombuffer(d, np.uint8)
+            A = int((np.bincount(arr, minlength=256) > 0).sum()
+                    ) if len(arr) else 0
+            if backend._use_pallas() and A * A > _DICT_MAX:
+                L = _lib()
+                darr = np.frombuffer(d, np.uint8)
+                cap = len(d) + (len(d) >> 1) + (1 << 16)
+                buf = np.empty(cap, np.uint8)
+                rc = L.fqz5_rans_core_encode(_ptr(darr), len(d), 1,
+                                             _ptr(buf), cap)
+                if rc < 0:
+                    raise ValueError("native o1 core encode failed")
+                self._direct[i] = buf[:rc].tobytes()
+                self.sizes[i] = rc
+            else:
+                device_idx.append(i)
+        preps = {i: o1_prep(datas[i]) for i in device_idx}
+        for group_shift in (10, 12):
+            self._build_group(datas, device_idx, preps, group_shift)
 
-    for group_shift in (10, 12):
+    def _build_group(self, datas, device_idx, preps,
+                     group_shift) -> None:
+        from fqzcomp5_tpu.ops import backend
         idxs = [i for i in device_idx
                 if preps[i][2] == group_shift]
         if not idxs:
-            continue
+            return
         R0s = []
         tails = []
         Tmax = 1
@@ -608,14 +656,52 @@ def encode_o1_batch(datas: list[bytes]) -> list[bytes]:
             flat[g, :isz] = f
 
         freqs_g = np.stack([preps[i][1] for i in idxs])  # (G, 256, 256)
-        Rf, words, mask = backend.encode_flat(
+        lz = backend.encode_flat_lazy(
             flat, freqs_g, group_shift, R0=np.stack(R0s))
+        heads = {i: preps[i][0] for i in idxs}
+        tailbs = {i: np.array(tails[g][::-1], "<u2").tobytes()
+                  for g, i in enumerate(idxs)}
+        nw = lz.nwords()
         for g, i in enumerate(idxs):
-            w = words[g].reshape(-1)[mask[g].reshape(-1)]
-            out[i] = (preps[i][0] + Rf[g].astype("<u4").tobytes()
-                      + w.astype("<u2").tobytes()
-                      + np.array(tails[g][::-1], "<u2").tobytes())
-    return out
+            self.sizes[i] = (len(heads[i]) + 128 + 2 * int(nw[g])
+                             + len(tailbs[i]))
+        self._groups.append((idxs, lz, heads, tailbs))
+
+    def fetch(self, want) -> dict[int, bytes]:
+        out = {i: self._direct[i] for i in want if i in self._direct}
+        for idxs, lz, heads, tailbs in self._groups:
+            gpos = {i: g for g, i in enumerate(idxs)}
+            sub = [i for i in want if i in gpos]
+            if not sub:
+                continue
+            rows = lz.fetch([gpos[i] for i in sub])
+            for i in sub:
+                out[i] = _assemble_payload(heads[i], *rows[gpos[i]],
+                                           tail=tailbs[i])
+        return out
+
+    def fetch_all(self) -> list[bytes]:
+        out = [b""] * len(self.sizes)
+        for i, p in self._direct.items():
+            out[i] = p
+        for idxs, lz, heads, tailbs in self._groups:
+            Rf, words, mask = lz.fetch_all()
+            for g, i in enumerate(idxs):
+                out[i] = _assemble_payload(
+                    heads[i], Rf[g],
+                    words[g].reshape(-1)[mask[g].reshape(-1)],
+                    tail=tailbs[i])
+        return out
+
+
+def encode_o1_batch_lazy(datas: list[bytes]) -> "_LazyO1":
+    return _LazyO1(datas)
+
+
+def encode_o1_batch(datas: list[bytes]) -> list[bytes]:
+    """rans_compress_O1_32x16 for many streams in one device walk (see
+    _LazyO1 for shift grouping and the high-entropy host path)."""
+    return _LazyO1(datas).fetch_all()
 
 
 def decode_o1_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:

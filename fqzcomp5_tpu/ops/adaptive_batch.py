@@ -196,16 +196,21 @@ def rc_walk_batch(streams):
         for t0 in range(0, T2, chunk):
             t1 = min(t0 + chunk, T2)
             if use_pallas:
-                state, (fl, ca, ff, cy) = rc_pallas.encode_walk(
+                # compact path: chunk bytes assemble ON DEVICE, the
+                # link carries ~1 byte per output byte instead of 16
+                # bytes per coded symbol of raw event planes
+                state, by, totals = rc_pallas.encode_walk_compact(
                     cum[:, t0:t1], freq[:, t0:t1], tot[:, t0:t1],
                     active=active[:, t0:t1], state0=state)
-            else:
-                state, (fl, ca, ff, cy) = rc_jax.encode_scan(
-                    backend.shard_rows(cum[:, t0:t1], 1),
-                    backend.shard_rows(freq[:, t0:t1], 1),
-                    backend.shard_rows(tot[:, t0:t1], 1),
-                    active=backend.shard_rows(active[:, t0:t1], 1),
-                    state0=state)
+                for r, i in enumerate(idxs):
+                    parts[r].append(by[r, :totals[r]].tobytes())
+                continue
+            state, (fl, ca, ff, cy) = rc_jax.encode_scan(
+                backend.shard_rows(cum[:, t0:t1], 1),
+                backend.shard_rows(freq[:, t0:t1], 1),
+                backend.shard_rows(tot[:, t0:t1], 1),
+                active=backend.shard_rows(active[:, t0:t1], 1),
+                state0=state)
             fl, ca, ff, cy = map(np.asarray, (fl, ca, ff, cy))
             for r, i in enumerate(idxs):
                 parts[r].append(rc_jax.assemble_stream(

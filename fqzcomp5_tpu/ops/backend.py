@@ -113,6 +113,12 @@ def _use_pallas() -> bool:
     if env is not None:
         return env not in ("0", "false", "")
     try:
+        # must run BEFORE jax.default_backend() initialises backends:
+        # the axon site plugin force-prepends its TPU platform, and
+        # this is often the process's first jax touch (a CLI
+        # JAX_PLATFORMS=cpu run would otherwise grab the tunnel here
+        # and be stuck with it)
+        honor_platform_env()
         import jax
 
         return jax.default_backend() == "tpu"
@@ -291,6 +297,169 @@ def _fetch_results(Rf_d, w16_d, mpk_d, n):
     return (Rf.astype(np.uint32), w16.astype(np.uint32), mask)
 
 
+def _gather_rows(arr_d, sel: np.ndarray) -> np.ndarray:
+    """Device-side row gather + download for a host index list.  The
+    gather width buckets to a power of two (repeating the last index)
+    so wave after wave of winner-fetches reuses a handful of compiled
+    gathers instead of one per distinct winner count."""
+    import jax.numpy as jnp
+
+    from fqzcomp5_tpu.ops import devtimer
+
+    pad = _bucket(len(sel), lo=1) - len(sel)
+    selp = np.concatenate([sel, np.full(pad, sel[-1], sel.dtype)]
+                          ) if pad else sel
+    out = devtimer.get(jnp.take(arr_d, jnp.asarray(selp), axis=0))
+    return out[:len(sel)]
+
+
+def _gather_compact_jit():
+    global _GATHER_COMPACT
+    if _GATHER_COMPACT is not None:
+        return _GATHER_COMPACT
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("outcap",))
+    def _run(w16, mpk, sel, Rf, *, outcap: int):
+        """Gather winner rows AND squeeze out the no-op word slots ON
+        DEVICE: the download is ~2 bytes per EMITTED word (the
+        compressed payload) instead of 2 bytes per padded symbol slot.
+        mpk bit order matches np.unpackbits(bitorder='little')."""
+        w = jnp.take(w16, sel, axis=0)        # (K, T, 32) u16
+        m = jnp.take(mpk, sel, axis=0)        # (K, T, 4) u8
+        r = jnp.take(Rf, sel, axis=0)
+        K, T, _ = w.shape
+        E = T * 32
+        bits = (m[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+        mask = bits.reshape(K, E).astype(jnp.int32)
+        wf = w.reshape(K, E)
+        cumk = jnp.cumsum(mask, axis=1)
+        nw = cumk[:, -1]
+        j = jnp.arange(outcap, dtype=jnp.int32)
+        e = jax.vmap(
+            lambda row: jnp.searchsorted(row, j, side="right"))(cumk)
+        e = jnp.minimum(e, E - 1)
+        out = jnp.take_along_axis(wf, e, axis=1)
+        out = jnp.where(j[None, :] < nw[:, None], out, 0)
+        return out, r
+
+    _GATHER_COMPACT = _run
+    return _run
+
+
+_GATHER_COMPACT = None
+
+
+class LazyFlat:
+    """Deferred encode-walk results.
+
+    The trial waves need every candidate's COMPRESSED SIZE to pick a
+    winner, but only the winner's bytes.  Downloading all candidates
+    costs ~2.25 link bytes per input byte per candidate (words padded
+    to the wave Tmax, plus masks); downloading sizes costs 4 bytes per
+    stream.  A LazyFlat keeps the walk results device-resident:
+    nwords() downloads one int32 per stream, fetch(idxs) gathers only
+    the chosen rows.  Results from host/numpy backends are held as-is
+    (fetch is free).  parts: (rows, "dev", (Rf_d, w16_d, mpk_d)) or
+    (rows, "np", (Rf, words, mask))."""
+
+    def __init__(self, B: int, T: int, n: int):
+        self.B, self.T, self.n = B, T, n
+        self.parts: list[tuple[np.ndarray, str, tuple]] = []
+        self._nw: np.ndarray | None = None
+
+    def _add_np(self, rows, Rf, words, mask) -> None:
+        self.parts.append((np.asarray(rows, np.int64), "np",
+                           (Rf, words, mask)))
+
+    def _add_dev(self, rows, Rf_d, w16_d, mpk_d) -> None:
+        self.parts.append((np.asarray(rows, np.int64), "dev",
+                           (Rf_d, w16_d, mpk_d)))
+
+    def nwords(self) -> np.ndarray:
+        """(B,) emitted-word count per stream (defines payload size:
+        tables + 128 state bytes + 2*nwords)."""
+        if self._nw is not None:
+            return self._nw
+        import jax.numpy as jnp
+
+        from fqzcomp5_tpu.ops import devtimer
+
+        nw = np.zeros(self.B, np.int64)
+        for rows, kind, pay in self.parts:
+            if kind == "np":
+                mask = pay[2]
+                nw[rows] = mask.reshape(len(rows), -1).sum(1)
+            else:
+                mpk_d = pay[2]
+                popc = sum(((mpk_d >> k) & jnp.uint8(1)
+                            ).astype(jnp.int32) for k in range(8))
+                tot = popc.reshape(popc.shape[0], -1).sum(1)
+                nw[rows] = devtimer.get(tot)
+        self._nw = nw
+        return nw
+
+    def fetch(self, idxs) -> dict[int, tuple]:
+        """idx -> (Rf (32,) u32, words (nwords,) COMPACT) for the
+        requested streams only.  Device parts squeeze the no-op slots
+        out on device (one jitted gather+compact per part), so the
+        link carries ~the compressed payload, not padded planes."""
+        import jax.numpy as jnp
+
+        from fqzcomp5_tpu.ops import devtimer
+
+        out: dict[int, tuple] = {}
+        nw_all = self.nwords()
+        for rows, kind, pay in self.parts:
+            pos = {int(r): j for j, r in enumerate(rows)}
+            want = [i for i in idxs if int(i) in pos]
+            if not want:
+                continue
+            if kind == "np":
+                Rf, words, mask = pay
+                for i in want:
+                    j = pos[int(i)]
+                    cw = words[j].reshape(-1)[mask[j].reshape(-1)]
+                    out[i] = (np.asarray(Rf[j], np.uint32),
+                              np.asarray(cw, np.uint32))
+            else:
+                Rf_d, w16_d, mpk_d = pay
+                sel = np.array([pos[int(i)] for i in want], np.int32)
+                pad = _bucket(len(sel), lo=1) - len(sel)
+                selp = np.concatenate(
+                    [sel, np.full(pad, sel[-1], sel.dtype)]
+                ) if pad else sel
+                nws = [int(nw_all[int(i)]) for i in want]
+                outcap = _bucket(max(max(nws), 1))
+                cw_d, Rf_d2 = _gather_compact_jit()(
+                    w16_d, mpk_d, jnp.asarray(selp), Rf_d,
+                    outcap=outcap)
+                cw = devtimer.get(cw_d[:len(sel)])
+                Rf = devtimer.get(Rf_d2[:len(sel)])
+                for j, i in enumerate(want):
+                    out[i] = (Rf[j].astype(np.uint32),
+                              cw[j, :nws[j]].astype(np.uint32))
+        return out
+
+    def fetch_all(self):
+        """Materialise every stream (the eager encode_flat contract)."""
+        Rf = np.empty((self.B, self.n), np.uint32)
+        words = np.empty((self.B, self.T, self.n), np.uint32)
+        mask = np.empty((self.B, self.T, self.n), bool)
+        for rows, kind, pay in self.parts:
+            if kind == "np":
+                r0, w0, m0 = pay
+            else:
+                r0, w0, m0 = _fetch_results(*pay, self.n)
+            Rf[rows] = r0
+            words[rows] = w0.astype(np.uint32)
+            mask[rows] = m0
+        return Rf, words, mask
+
+
 def _encode_flat_dev8(flat, freqs, shift, R0, B, T, n):
     """Order-0 device-plane path: u8 indices + nop bitmask up, compact
     words down."""
@@ -312,10 +481,9 @@ def _encode_flat_dev8(flat, freqs, shift, R0, B, T, n):
     nopb_d = devtimer.put(nopb)
     ptb_d = devtimer.put(ptb.view(np.int8))
     R0_d = devtimer.put(R0p)
-    outs = devtimer.compute(lambda: dev(
+    return devtimer.compute(lambda: dev(
         small_d, nopb_d, ptb_d, R0_d, shift=shift, S=S, T=T, Tb=Tb,
         B4b=B4b, interpret=False))
-    return _fetch_results(*outs, n)
 
 
 def _dict_counts(flat, S, B):
@@ -358,10 +526,9 @@ def _encode_flat_dev16(flat, pt, shift, R0, B, T, n, flags):
     sent_d = devtimer.put(sent)
     ptb_d = devtimer.put(ptb.view(np.int8))
     R0_d = devtimer.put(R0p)
-    outs = devtimer.compute(lambda: dev(
+    return devtimer.compute(lambda: dev(
         small_d, sent_d, ptb_d, R0_d, shift=shift, T=T, Tb=Tb,
         B4b=B4b, interpret=False))
-    return _fetch_results(*outs, n)
 
 
 def _dev_plane() -> bool:
@@ -428,14 +595,24 @@ def encode_flat(flat: np.ndarray, freqs: np.ndarray, shift: int,
     freqs: (B, S) rows normalised to sum 1<<shift (S=256 for order-0,
     65536 for order-1); index S is the no-op sentinel.  Returns numpy
     (Rf (B,32) uint32, words (B,T,32) uint32, mask (B,T,32) bool)."""
-    import jax.numpy as jnp
+    return encode_flat_lazy(flat, freqs, shift, R0).fetch_all()
 
+
+def encode_flat_lazy(flat: np.ndarray, freqs: np.ndarray, shift: int,
+                     R0: np.ndarray | None = None) -> LazyFlat:
+    """encode_flat, but results stay device-resident behind a LazyFlat
+    so trial waves can read candidate sizes without downloading loser
+    payloads (see LazyFlat)."""
     B, T, n = flat.shape
+    lz = LazyFlat(B, T, n)
+    allr = np.arange(B)
     S_total = int(np.prod(freqs.shape[1:]))  # o1 passes (B, 256, 256)
     if (_use_pallas() and (_mesh is None or _mesh.size == 1)
             and _dev_plane()):
         if S_total <= 256:
-            return _encode_flat_dev8(flat, freqs, shift, R0, B, T, n)
+            lz._add_dev(allr, *_encode_flat_dev8(
+                flat, freqs, shift, R0, B, T, n))
+            return lz
         # wide (order-1) tables: dict-remap the streams whose distinct
         # (ctx,sym) alphabets are small; high-entropy leftovers (e.g.
         # PACK'd byte streams) take the host-plane path
@@ -446,31 +623,31 @@ def encode_flat(flat: np.ndarray, freqs: np.ndarray, shift: int,
         flags, counts = _dict_counts(flat, S_total, B)
         ok = counts <= _DICT_MAX
         if ok.all():
-            return _encode_flat_dev16(flat, pt, shift, R0, B, T, n,
-                                      flags)
+            lz._add_dev(allr, *_encode_flat_dev16(
+                flat, pt, shift, R0, B, T, n, flags))
+            return lz
         if ok.any():
             oki = np.flatnonzero(ok)
             noi = np.flatnonzero(~ok)
-            r_ok = _encode_flat_dev16(
+            lz._add_dev(oki, *_encode_flat_dev16(
                 flat[oki], pt[oki], shift,
                 None if R0 is None else R0[oki], len(oki), T, n,
-                flags[oki])
-            r_no = _encode_flat_hostplane(
+                flags[oki]))
+            lz._add_np(noi, *_encode_flat_hostplane(
                 flat[noi], pt[noi], shift,
-                None if R0 is None else R0[noi], len(noi), T, n)
-            Rf = np.empty((B, n), np.uint32)
-            words = np.empty((B, T, n), np.uint32)
-            mask = np.empty((B, T, n), bool)
-            for dst, src in ((oki, r_ok), (noi, r_no)):
-                Rf[dst], words[dst], mask[dst] = src
-            return Rf, words, mask
-        return _encode_flat_hostplane(flat, pt, shift, R0, B, T, n)
+                None if R0 is None else R0[noi], len(noi), T, n))
+            return lz
+        lz._add_np(allr, *_encode_flat_hostplane(
+            flat, pt, shift, R0, B, T, n))
+        return lz
     if _use_pallas() and (_mesh is None or _mesh.size == 1):
         from fqzcomp5_tpu.ops import rans_pallas
 
         ensure_compile_cache()
         pt = rans_pallas.build_packed_tables(freqs, shift)
-        return _encode_flat_hostplane(flat, pt, shift, R0, B, T, n)
+        lz._add_np(allr, *_encode_flat_hostplane(
+            flat, pt, shift, R0, B, T, n))
+        return lz
 
     from fqzcomp5_tpu.ops import rans_jax
 
@@ -504,5 +681,7 @@ def encode_flat(flat: np.ndarray, freqs: np.ndarray, shift: int,
     R0d = None if R0j is None else shard_rows(R0j, extra_dims=1)
     Rf, words, mask = rans_jax.encode_scan_flat(
         flat_d, *tabs_d, R0d)
-    return (np.asarray(Rf)[:B], np.asarray(words)[:B].astype(np.uint32),
-            np.asarray(mask)[:B].astype(bool))
+    lz._add_np(allr, np.asarray(Rf)[:B],
+               np.asarray(words)[:B].astype(np.uint32),
+               np.asarray(mask)[:B].astype(bool))
+    return lz

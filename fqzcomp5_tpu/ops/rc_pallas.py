@@ -175,16 +175,83 @@ def _rc_call(P0, P1, s0, T: int, interpret: bool = False):
     return outs
 
 
-def encode_walk(cum, freq, tot, active=None, state0=None,
-                interpret: bool = False):
-    """Drop-in Pallas analog of rc_jax.encode_scan: same inputs
-    ((B, T) u32 arrays, optional (B, T) active, optional carried
-    state), same returns (final state 5-tuple of (B,) u32 arrays and
-    (flush, cache, ff, carry) event arrays of shape (B, T, 2)).
+@jax.jit
+def _event_totals(ff0, ev0, ff1, ev1):
+    """Per-stream output byte count for one chunk's event planes:
+    sum over flush events of (1 + ff)."""
+    Tp, R, L = ev0.shape
+    Bp = R * L
 
-    Event `carry` is reported mod 256 — the only bits that reach
-    output bytes (assemble_stream masks with & 0xFF); the carried
-    state keeps full width."""
+    def row(ev, ff):
+        fl = (ev >> 16) & 1
+        k = fl * (1 + ff)
+        return k.reshape(Tp, Bp).sum(0)
+
+    return row(ev0, ff0) + row(ev1, ff1)
+
+
+@functools.partial(jax.jit, static_argnames=("outcap",))
+def _compact_events(ff0, ev0, ff1, ev1, *, outcap: int):
+    """Expand event planes into dense per-stream output bytes ON
+    DEVICE (the shift_low semantics of rc_jax.assemble_stream: a flush
+    emits (cache+carry)&0xFF then ff bytes of (carry-1)&0xFF).  The
+    link then carries ~1 byte per OUTPUT byte instead of the 16 bytes
+    per coded SYMBOL the raw planes cost — the adaptive codecs'
+    dominant downstream traffic.  Returns (bytes (Bp, outcap) u8,
+    totals (Bp,) i32); bytes[b, totals[b]:] is zero padding."""
+    Tp, R, L = ev0.shape
+    Bp = R * L
+    # (Tp, R, 128) planes -> (Bp, E) event sequences, slot0 before
+    # slot1 within a step
+    e0 = jnp.swapaxes(ev0.reshape(Tp, Bp), 0, 1)
+    e1 = jnp.swapaxes(ev1.reshape(Tp, Bp), 0, 1)
+    f0 = jnp.swapaxes(ff0.reshape(Tp, Bp), 0, 1)
+    f1 = jnp.swapaxes(ff1.reshape(Tp, Bp), 0, 1)
+    ev = jnp.stack([e0, e1], axis=-1).reshape(Bp, 2 * Tp)
+    ff = jnp.stack([f0, f1], axis=-1).reshape(Bp, 2 * Tp)
+    fl = (ev >> 16) & 1
+    ca = ev & 0xFF
+    cy = (ev >> 8) & 0xFF
+    k = fl * (1 + ff)                       # bytes per event
+    cumk = jnp.cumsum(k, axis=1)            # inclusive
+    total = cumk[:, -1]
+    fb = (ca + cy) & 0xFF                   # first byte per event
+    rb = (cy - 1) & 0xFF                    # 0xFF-run byte per event
+    j = jnp.arange(outcap, dtype=jnp.int32)
+    # covering event per output position: binary search instead of a
+    # scatter (TPU scatters serialize)
+    e_idx = jax.vmap(
+        lambda row: jnp.searchsorted(row, j, side="right"))(cumk)
+    e_idx = jnp.minimum(e_idx, 2 * Tp - 1)
+    g = lambda a: jnp.take_along_axis(a, e_idx, axis=1)  # noqa: E731
+    first_pos = g(cumk) - g(k)
+    byte = jnp.where(j[None, :] == first_pos, g(fb), g(rb))
+    byte = jnp.where(j[None, :] < total[:, None], byte, 0)
+    return byte.astype(jnp.uint8), total
+
+
+def encode_walk_compact(cum, freq, tot, active=None, state0=None,
+                        interpret: bool = False):
+    """encode_walk, but the event planes never leave the device: the
+    chunk's output BYTES are assembled on device and downloaded dense
+    (state, bytes (B, cap) u8, totals (B,) — stream b's chunk payload
+    is bytes[b, :totals[b]])."""
+    from fqzcomp5_tpu.ops import backend, devtimer
+
+    outs, statef, B, _T, _Tp, _Bp = _walk_planes(
+        cum, freq, tot, active, state0, interpret)
+    ff0, ev0, ff1, ev1 = outs[:4]
+    totals = devtimer.get(_event_totals(ff0, ev0, ff1, ev1))
+    outcap = backend._bucket(max(int(totals[:B].max()), 1), lo=128)
+    by, _ = devtimer.compute(lambda: _compact_events(
+        ff0, ev0, ff1, ev1, outcap=outcap))
+    by = devtimer.get(by[:B])   # device slice: pad rows never download
+    return statef, by, totals[:B].astype(np.int64)
+
+
+def _walk_planes(cum, freq, tot, active, state0, interpret):
+    """Shared plane prep + kernel call: returns (device outs, final
+    state as numpy, B, Tp)."""
     cum = np.asarray(cum, np.uint32)
     freq = np.asarray(freq, np.uint32)
     tot = np.asarray(tot, np.uint32)
@@ -226,9 +293,24 @@ def encode_walk(cum, freq, tot, active=None, state0=None,
 
     outs = _rc_call(jnp.asarray(P0), jnp.asarray(P1), s0, T=Tp,
                     interpret=interpret)
+    statef = tuple(np.asarray(x).view(np.uint32).reshape(Bp)[:B]
+                   for x in outs[4:])
+    return outs, statef, B, T, Tp, Bp
+
+
+def encode_walk(cum, freq, tot, active=None, state0=None,
+                interpret: bool = False):
+    """Drop-in Pallas analog of rc_jax.encode_scan: same inputs
+    ((B, T) u32 arrays, optional (B, T) active, optional carried
+    state), same returns (final state 5-tuple of (B,) u32 arrays and
+    (flush, cache, ff, carry) event arrays of shape (B, T, 2)).
+
+    Event `carry` is reported mod 256 — the only bits that reach
+    output bytes (assemble_stream masks with & 0xFF); the carried
+    state keeps full width."""
+    outs, statef, B, T, Tp, Bp = _walk_planes(cum, freq, tot, active,
+                                              state0, interpret)
     ff0, ev0, ff1, ev1 = [np.asarray(x) for x in outs[:4]]
-    statef = [np.asarray(x).view(np.uint32).reshape(Bp)[:B]
-              for x in outs[4:]]
 
     def unstack(p):  # (Tp, R, 128) -> (B, T)
         return p.transpose(1, 2, 0).reshape(Bp, Tp)[:B, :T]

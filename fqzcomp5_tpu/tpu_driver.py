@@ -35,7 +35,8 @@ from fqzcomp5_tpu.codecs import host
 from fqzcomp5_tpu.constants import Method, Section, VERS_V11
 from fqzcomp5_tpu.drivers import Timings
 from fqzcomp5_tpu.engine_tpu import (decode_o0_batch, decode_o1_batch,
-                                     encode_o0_batch, encode_o1_batch)
+                                     encode_o0_batch_lazy,
+                                     encode_o1_batch_lazy)
 from fqzcomp5_tpu.learning import MethodLearner
 from fqzcomp5_tpu.options import Options, method_avail_for
 
@@ -189,10 +190,80 @@ def _device_section_encode(datas: list[bytes],
                 st_stripes[k] = stripes
                 sjobs.extend(stripes)
     try:
-        enc0 = encode_o0_batch(jobs)
-        enc1 = encode_o1_batch(jobs)
-        senc0 = encode_o0_batch(sjobs) if sjobs else []
-        senc1 = encode_o1_batch(sjobs) if sjobs else []
+        # Lazy candidate walks: every candidate encodes on device, but
+        # only SIZES come back (one int32 per stream).  Winner payloads
+        # are gathered afterwards in one batched fetch per walk — loser
+        # payloads (and CAT-beaten sections) never cross the link.
+        enc0 = encode_o0_batch_lazy(jobs)
+        enc1 = encode_o1_batch_lazy(jobs)
+        senc0 = encode_o0_batch_lazy(sjobs) if sjobs else None
+        senc1 = encode_o1_batch_lazy(sjobs) if sjobs else None
+        s0, s1 = enc0.sizes, enc1.sizes
+        ss0 = senc0.sizes if senc0 else []
+        ss1 = senc1.sizes if senc1 else []
+
+        plans = []   # per big section: how to assemble once fetched
+        need = [set(), set()]    # job indices per order walk
+        sneed = [set(), set()]   # stripe-job indices per order walk
+        for k, i in enumerate(big_idx):
+            d = datas[i]
+            # insertion order breaks size ties exactly like the old
+            # stable sort over materialised payloads did
+            cands = [(s0[k], X_32 | 0, b"", 0, k),
+                     (s1[k], X_32 | 1, b"", 1, k)]
+            if k in pk_pos:
+                meta, packed, _ = packs[k]
+                pmeta = meta + varint.put_u32(len(packed))
+                j = pk_pos[k]
+                cands.append((len(pmeta) + s0[j],
+                              X_PACK | X_32 | 0, pmeta, 0, j))
+                cands.append((len(pmeta) + s1[j],
+                              X_PACK | X_32 | 1, pmeta, 1, j))
+            cands.sort(key=lambda c: c[0])
+            clen, order, pmeta, which, j = cands[0]
+            if clen >= len(d):  # CAT fallback (dispatcher rule)
+                plan = ("cat", None, None, None)
+                plan_len = 1 + len(varint.put_u32(len(d))) + len(d)
+            else:
+                plan = ("plain", order, pmeta, (which, j))
+                plan_len = 1 + len(varint.put_u32(len(d))) + clen
+            if k in st_pos:
+                # stripe candidate: per stripe the smaller of O0/O1
+                # (O1 on ties), CAT when neither compresses
+                stripes = st_stripes[k]
+                base = st_pos[k]
+                picks = []
+                inner_lens = []
+                for j2, sd in enumerate(stripes):
+                    l0 = 1 + ss0[base + j2]
+                    l1 = 1 + ss1[base + j2]
+                    pick, best_len = (1, l1) if l1 <= l0 else (0, l0)
+                    if best_len >= len(sd) + 1:
+                        pick, best_len = 2, len(sd) + 1
+                    picks.append(pick)
+                    inner_lens.append(best_len)
+                blob_len = (1 + len(varint.put_u32(len(d))) + 1
+                            + sum(len(varint.put_u32(x))
+                                  for x in inner_lens)
+                            + sum(inner_lens))
+                if blob_len < plan_len:
+                    plan = ("stripe", picks, base, None)
+                    plan_len = blob_len
+            kind = plan[0]
+            if kind == "plain":
+                which, j = plan[3]
+                need[which].add(j)
+            elif kind == "stripe":
+                picks, base = plan[1], plan[2]
+                for j2, pick in enumerate(picks):
+                    if pick < 2:
+                        sneed[pick].add(base + j2)
+            plans.append(plan)
+
+        f0 = enc0.fetch(sorted(need[0])) if need[0] else {}
+        f1 = enc1.fetch(sorted(need[1])) if need[1] else {}
+        sf0 = senc0.fetch(sorted(sneed[0])) if sneed[0] else {}
+        sf1 = senc1.fetch(sorted(sneed[1])) if sneed[1] else {}
     except RuntimeError:
         # device unavailable mid-run (tunnel drop): host path for this
         # wave keeps the output valid
@@ -201,45 +272,32 @@ def _device_section_encode(datas: list[bytes],
         return out
     for k, i in enumerate(big_idx):
         d = datas[i]
-        cands = [(len(enc0[k]), X_32 | 0, b"", enc0[k]),
-                 (len(enc1[k]), X_32 | 1, b"", enc1[k])]
-        if k in pk_pos:
-            meta, packed, _ = packs[k]
-            pmeta = meta + varint.put_u32(len(packed))
-            j = pk_pos[k]
-            cands.append((len(pmeta) + len(enc0[j]), X_PACK | X_32 | 0,
-                          pmeta, enc0[j]))
-            cands.append((len(pmeta) + len(enc1[j]), X_PACK | X_32 | 1,
-                          pmeta, enc1[j]))
-        cands.sort(key=lambda c: c[0])
-        clen, order, pmeta, payload = cands[0]
-        if clen >= len(d):  # CAT fallback (dispatcher rule)
+        kind, a, b_, c = plans[k]
+        if kind == "cat":
             out[i] = _frame(0x20, len(d), d)
-        else:
+        elif kind == "plain":
+            order, pmeta, (which, j) = a, b_, c
+            payload = (f0, f1)[which][j]
             out[i] = (bytes([order]) + varint.put_u32(len(d)) + pmeta
                       + payload)
-        if k in st_pos:
-            # assemble the stripe candidate: per stripe, the smaller of
-            # O0/O1 (CAT when neither compresses)
+        else:
+            picks, base = a, b_
             stripes = st_stripes[k]
-            base = st_pos[k]
             inners = []
             for j2, sd in enumerate(stripes):
-                c0 = senc0[base + j2]
-                c1 = senc1[base + j2]
-                i0 = bytes([X_32 | X_NOSZ | 0]) + c0
-                i1 = bytes([X_32 | X_NOSZ | 1]) + c1
-                best = i1 if len(i1) <= len(i0) else i0
-                if len(best) >= len(sd) + 1:
-                    best = bytes([X_CAT | X_NOSZ]) + sd
-                inners.append(best)
-            blob = (bytes([X_STRIPE | X_32 | 1])
-                    + varint.put_u32(len(d))
-                    + bytes([len(stripes)])
-                    + b"".join(varint.put_u32(len(x)) for x in inners)
-                    + b"".join(inners))
-            if len(blob) < len(out[i]):
-                out[i] = blob
+                pick = picks[j2]
+                if pick == 2:
+                    inners.append(bytes([X_CAT | X_NOSZ]) + sd)
+                else:
+                    pay = (sf0, sf1)[pick][base + j2]
+                    inners.append(
+                        bytes([X_32 | X_NOSZ | pick]) + pay)
+            out[i] = (bytes([X_STRIPE | X_32 | 1])
+                      + varint.put_u32(len(d))
+                      + bytes([len(stripes)])
+                      + b"".join(varint.put_u32(len(x))
+                                 for x in inners)
+                      + b"".join(inners))
     return out
 
 

@@ -179,3 +179,68 @@ def test_rc_pallas_ragged_chunked():
         n = treal[b]
         want = rc_native_encode(cum[b][:n], freq[b][:n], tot[b][:n])
         assert outs[b] == want, f"stream {b} n={n}"
+
+
+def _compact_parity(cum, freq, tot, active=None, chunks=None):
+    """encode_walk_compact (device-side byte assembly) must equal the
+    plane download + host assemble_stream path byte-for-byte."""
+    from fqzcomp5_tpu.ops import rc_pallas
+
+    B, T = cum.shape
+    state = None
+    parts = [[] for _ in range(B)]
+    step = chunks or T
+    for t0 in range(0, T, step):
+        t1 = min(t0 + step, T)
+        act = active[:, t0:t1] if active is not None else None
+        state, by, totals = rc_pallas.encode_walk_compact(
+            cum[:, t0:t1], freq[:, t0:t1], tot[:, t0:t1],
+            active=act, state0=state, interpret=True)
+        for b in range(B):
+            parts[b].append(by[b, :totals[b]].tobytes())
+    tails = rc_jax.finish_events(state)
+    return [b"".join(parts[b]) + tails[b] for b in range(B)]
+
+
+@pytest.mark.parametrize("seed,B,T,lo,hi", [
+    (0, 5, 400, 2, 60000),
+    (2, 4, 500, 60000, 65535),
+    (3, 140, 37, 2, 65535),
+])
+def test_rc_pallas_compact_bit_exact(seed, B, T, lo, hi):
+    rng = np.random.default_rng(seed)
+    cum, freq, tot = _triples(rng, B, T, lo, hi)
+    outs = _compact_parity(cum, freq, tot)
+    for b in range(B):
+        want = rc_native_encode(cum[b], freq[b], tot[b])
+        assert outs[b] == want, f"stream {b}"
+
+
+def test_rc_pallas_compact_carry_runs_chunked():
+    """0xFF carry runs crossing chunk boundaries through the compact
+    path (ff counts carried in STATE; runs land in a later chunk)."""
+    rng = np.random.default_rng(9)
+    B, T = 3, 800
+    tot = np.full((B, T), 1 << 15, np.uint32)
+    freq = np.ones((B, T), np.uint32)
+    cum = np.full((B, T), (1 << 15) - 1, np.uint32)
+    m = rng.random((B, T)) < 0.3
+    freq[m] = 1 << 14
+    cum[m] = 0
+    outs = _compact_parity(cum, freq, tot, chunks=128)
+    for b in range(B):
+        want = rc_native_encode(cum[b], freq[b], tot[b])
+        assert outs[b] == want
+
+
+def test_rc_pallas_compact_ragged():
+    rng = np.random.default_rng(4)
+    B, T = 4, 300
+    cum, freq, tot = _triples(rng, B, T)
+    treal = np.array([300, 17, 1, 299])
+    active = np.arange(T)[None, :] < treal[:, None]
+    outs = _compact_parity(cum, freq, tot, active=active, chunks=128)
+    for b in range(B):
+        n = treal[b]
+        want = rc_native_encode(cum[b][:n], freq[b][:n], tot[b][:n])
+        assert outs[b] == want, f"stream {b} n={n}"
