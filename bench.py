@@ -314,7 +314,9 @@ def bench_decode_walk(on_tpu, tier, NSYM=46, S=64, metric_suffix=""):
             jax.device_put(jnp.asarray(x))
             for x in (cexp, f0exp, R0p, texp))
 
-    walk = engine_tpu.dec_walk_o0()
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+    walk = (rpd.decode_walk4v3 if os.environ.get("FQZ5_DEC_V3")
+            else rpd.decode_walk4v5)
 
     @functools.partial(jax.jit, static_argnames=("T",))
     def run_jit(words, cexp, f0exp, R0p, texp, T):
@@ -418,7 +420,9 @@ def bench_decode_walk_o1(on_tpu, tier):
     a2, m2 = setup(T2)
     assert m1 == m2, (m1, m2)
     shift_g, A, A1, last0 = m1
-    walk = engine_tpu.dec_walk_o1()
+    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+    walk = (rpd.decode_walk4v3_o1 if os.environ.get("FQZ5_DEC_V3")
+            else rpd.decode_walk4v5_o1)
     args = {T1: a1, T2: a2}
 
     def run(T):

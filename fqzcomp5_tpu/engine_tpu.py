@@ -425,34 +425,93 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
     return out
 
 
-def dec_walk_o0():
-    """The Pallas O0 decode walk in effect.  v5 (compact-chunk word
-    feed) is the default — hardware-validated on v5e: 3.4 GB/s S=64 /
-    4.7 GB/s S=16 vs v3's 2.6/3.2 (tools/tpu_validate.py, round 2).
-    FQZ5_DEC_V3=1 falls back to the v3 aligned-window kernel."""
-    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+def _expand4_dev(tab):
+    """Device-side rans_pallas_dec.expand4 + transpose(1,0,2): tables
+    upload per-STREAM ((B, S) int32, 4*S bytes each) and replicate
+    across the 32 state lanes on device — 32x less table traffic than
+    uploading the host-expanded (S, B4, 128) planes."""
+    import jax.numpy as jnp
 
-    return (rpd.decode_walk4v3 if os.environ.get("FQZ5_DEC_V3")
-            else rpd.decode_walk4v5)
-
-
-def dec_walk_o1():
-    from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
-
-    return (rpd.decode_walk4v3_o1 if os.environ.get("FQZ5_DEC_V3")
-            else rpd.decode_walk4v5_o1)
+    B, S = tab.shape
+    B4 = B // 4
+    x = tab.reshape(B4, 4, S)
+    x = jnp.broadcast_to(x[:, :, :, None], (B4, 4, S, 32))
+    x = jnp.moveaxis(x, 1, 2).reshape(B4, S, 128)
+    return jnp.swapaxes(x, 0, 1)          # (S, B4, 128)
 
 
-def _put_words16(words_int32: np.ndarray):
-    """Upload a u16-valued word feed as int16 and widen on device:
-    halves the dominant decode link transfer."""
+def _expand4_dev1(v):
+    """(B,) per-stream scalar -> (B4, 128) per-lane, on device."""
+    import jax.numpy as jnp
+
+    B = v.shape[0]
+    B4 = B // 4
+    x = jnp.broadcast_to(v.reshape(B4, 4)[:, :, None], (B4, 4, 32))
+    return x.reshape(B4, 128)
+
+
+def _dec_o0_run():
+    """Jitted O0 decode wrapper: widen the int16 word feed, expand
+    tables on device, run the Pallas walk, return syms as int8
+    (decoded bytes cost 1 link byte, not 4).  v5 (compact-chunk word
+    feed) is the default kernel — hardware-validated on v5e: 3.4 GB/s
+    S=64 / 4.7 GB/s S=16 vs v3's 2.6/3.2 (tools/tpu_validate.py,
+    round 2); FQZ5_DEC_V3=1 falls back to the v3 aligned-window
+    kernel."""
+    global _DEC_O0_RUN
+    if _DEC_O0_RUN is not None:
+        return _DEC_O0_RUN
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from fqzcomp5_tpu.ops import devtimer
+    @functools.partial(jax.jit,
+                       static_argnames=("T", "shift", "S", "v3"))
+    def run(w16, tab, f0, R0p, treal, *, T, shift, S, v3):
+        from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
 
-    w16 = devtimer.put(words_int32.astype(np.uint16).view(np.int16))
-    return jax.jit(lambda w: w.astype(jnp.int32) & 0xFFFF)(w16)
+        w = w16.astype(jnp.int32) & 0xFFFF
+        cexp = _expand4_dev(tab)
+        f0exp = _expand4_dev1(f0)
+        texp = _expand4_dev1(treal)
+        fn = rpd.decode_walk4v3 if v3 else rpd.decode_walk4v5
+        syms, Rf = fn(w, cexp, f0exp, R0p, texp, T=T, shift=shift,
+                      S=S)
+        return syms.astype(jnp.int8), Rf
+
+    _DEC_O0_RUN = run
+    return run
+
+
+def _dec_o1_run():
+    global _DEC_O1_RUN
+    if _DEC_O1_RUN is not None:
+        return _DEC_O1_RUN
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=(
+        "T", "shift", "A", "A1", "last0", "v3"))
+    def run(w16, packed, R0p, treal, *, T, shift, A, A1, last0, v3):
+        from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
+
+        w = w16.astype(jnp.int32) & 0xFFFF
+        cexp = _expand4_dev(packed)
+        texp = _expand4_dev1(treal)
+        fn = rpd.decode_walk4v3_o1 if v3 else rpd.decode_walk4v5_o1
+        syms, Rf, cur = fn(w, cexp, R0p, texp, T=T, shift=shift,
+                           A=A, A1=A1, last0=last0)
+        return syms.astype(jnp.int8), Rf, cur
+
+    _DEC_O1_RUN = run
+    return run
+
+
+_DEC_O0_RUN = None
+_DEC_O1_RUN = None
 
 
 def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
@@ -499,19 +558,23 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
         tab = rpd.build_dec_tables_p(freqs, rans_jax.TF_SHIFT, S)
     else:
         tab = rpd.build_dec_tables(freqs, rans_jax.TF_SHIFT, S)
-    cexp = np.ascontiguousarray(rpd.expand4(tab).transpose(1, 0, 2))
-    f0exp = rpd.expand4(freqs[:, :1].astype(np.int32))[:, 0, :]
-    texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
     R0p = R0.reshape((B + pad) // rpd.S_SLOTS, 128).astype(np.int32)
     from fqzcomp5_tpu.ops import devtimer
 
-    args_d = [_put_words16(words)] + [
-        devtimer.put(x) for x in (cexp, f0exp, R0p, texp)]
-    syms_d, Rf_d = devtimer.compute(lambda: dec_walk_o0()(
-        *args_d, T=Tb, shift=rans_jax.TF_SHIFT, S=S))
-    syms = devtimer.get(syms_d[:Tmax])  # (T, B4, 128); device-side trim
-    Rf4 = devtimer.get(Rf_d)            # (B4, 128)
-    out_syms = np.empty((B, Tmax, 32), np.int32)
+    # per-stream tables/counts upload; lane replication + int8 syms
+    # squeeze happen inside the jitted wrapper (_dec_o0_run)
+    w_d = devtimer.put(words.astype(np.uint16).view(np.int16))
+    tab_d = devtimer.put(tab)
+    f0_d = devtimer.put(freqs[:, 0].astype(np.int32))
+    R0_d = devtimer.put(R0p)
+    tr_d = devtimer.put(treal)
+    syms_d, Rf_d = devtimer.compute(lambda: _dec_o0_run()(
+        w_d, tab_d, f0_d, R0_d, tr_d, T=Tb,
+        shift=rans_jax.TF_SHIFT, S=S,
+        v3=bool(os.environ.get("FQZ5_DEC_V3"))))
+    syms = devtimer.get(syms_d[:Tmax]).view(np.uint8)  # (T, B4, 128)
+    Rf4 = devtimer.get(Rf_d)                           # (B4, 128)
+    out_syms = np.empty((B, Tmax, 32), np.uint8)
     Rf_out = np.empty((B, 32), np.uint32)
     for b in range(B):
         sl = slice((b % 4) * 32, (b % 4) * 32 + 32)
@@ -862,17 +925,19 @@ def _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax, shift):
     treal = np.zeros(Gp, np.int32)
     treal[:G] = t_real
 
-    cexp = np.ascontiguousarray(rpd.expand4(packed).transpose(1, 0, 2))
-    texp = rpd.expand4(treal.reshape(-1, 1))[:, 0, :].astype(np.int32)
     R0r = R0p.reshape(Gp // rpd.S_SLOTS, 128)
     from fqzcomp5_tpu.ops import devtimer
-    wd = _put_words16(words128)
-    cd, rd, td = (devtimer.put(jnp.asarray(x))
-                  for x in (cexp, R0r, texp))
-    syms_d, Rf_d, cur_d = devtimer.compute(lambda: dec_walk_o1()(
+
+    # per-stream packed tables up (4*A1*(A+1) B/stream, not the
+    # lane-replicated 128x plane); syms come back as int8 indices
+    wd = devtimer.put(words128.astype(np.uint16).view(np.int16))
+    cd = devtimer.put(packed)
+    rd = devtimer.put(R0r)
+    td = devtimer.put(treal)
+    syms_d, Rf_d, cur_d = devtimer.compute(lambda: _dec_o1_run()(
         wd, cd, rd, td, T=Tb, shift=shift, A=A, A1=A1,
-        last0=last0))
-    syms = devtimer.get(syms_d[:Tmax])  # (T, G4, 128) dense
+        last0=last0, v3=bool(os.environ.get("FQZ5_DEC_V3"))))
+    syms = devtimer.get(syms_d[:Tmax])  # (T, G4, 128) int8 indices
     Rf4 = devtimer.get(Rf_d)
     cur4 = devtimer.get(cur_d)
     lut = alphabet.astype(np.uint8)

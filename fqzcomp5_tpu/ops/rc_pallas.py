@@ -230,6 +230,89 @@ def _compact_events(ff0, ev0, ff1, ev1, *, outcap: int):
     return byte.astype(jnp.uint8), total
 
 
+@functools.partial(jax.jit, static_argnames=("Tp", "R"))
+def _pack_planes_idx(Vc, Vf, Vt, idx, *, Tp: int, R: int):
+    """Gather (cum, freq, tot) planes from device-resident pass-2
+    vectors by event index and pack them into the kernel's
+    (Tp, R, 128) P0/P1 layout — the pass-2 -> pass-3 handoff never
+    touches the host.  idx == len(V)-1 is the inactive sentinel."""
+    B, T = idx.shape
+    Bp = R * LANES
+    sent = Vc.shape[0] - 1
+    act = idx != sent
+    cum = jnp.take(Vc, idx, axis=0)
+    freq = jnp.take(Vf, idx, axis=0)
+    tot = jnp.take(Vt, idx, axis=0)
+
+    def pad(x, fillB, fillT):
+        if Tp != T:
+            x = jnp.concatenate(
+                [x, jnp.full((B, Tp - T), fillT, x.dtype)], 1)
+        if Bp != B:
+            x = jnp.concatenate(
+                [x, jnp.full((Bp - B, Tp), fillB, x.dtype)], 0)
+        return x
+
+    cum = pad(cum, 0, 0)
+    freq = pad(freq, 1, 1)
+    tot = pad(tot, 2, 2)
+    act = pad(act.astype(jnp.int32), 0, 0)
+    P0 = (cum << 16) | freq
+    P1 = (act << 16) | tot
+    P0 = jnp.transpose(P0.reshape(R, LANES, Tp), (2, 0, 1))
+    P1 = jnp.transpose(P1.reshape(R, LANES, Tp), (2, 0, 1))
+    return P0, P1
+
+
+def _pack_state_rows(state0, B: int, R: int):
+    """Host-pack the 5 coder registers into (R, 128) int32 rows (pad
+    streams get the init state)."""
+    Bp = R * LANES
+    if state0 is None:
+        z = np.zeros(B, np.uint32)
+        state0 = (z, np.full(B, 0xFFFFFFFF, np.uint32), z, z, z)
+    s0 = []
+    defaults = (0, 0xFFFFFFFF, 0, 0, 0)
+    for k, st in enumerate(state0):
+        p = np.full(Bp, defaults[k], np.uint32)
+        p[:B] = np.asarray(st, np.uint32)
+        s0.append(jnp.asarray(p.reshape(R, LANES).view(np.int32)))
+    return s0
+
+
+def encode_walk_compact_idx(V, idx_np, state0=None,
+                            interpret: bool = False):
+    """encode_walk_compact fed by INDEX planes into device-resident
+    pass-2 output vectors V = (cum, freq, tot) int32 (each with the
+    sentinel entry appended last).  The link carries 4 B per event
+    (the int32 index) up and ~1 B per output byte down; the triples
+    themselves never move.  Returns (state, bytes (B, cap) u8,
+    totals (B,))."""
+    from fqzcomp5_tpu.ops import backend, devtimer
+
+    Vc, Vf, Vt = V
+    B, T = idx_np.shape
+    R = max(1, -(-B // LANES))
+    while R & (R - 1):
+        R += 1
+    Tp = -(-T // 128) * 128
+    s0 = _pack_state_rows(state0, B, R)
+    idx_d = devtimer.put(np.ascontiguousarray(idx_np, np.int32))
+    outs = devtimer.compute(lambda: _rc_call(
+        *_pack_planes_idx(Vc, Vf, Vt, idx_d, Tp=Tp, R=R),
+        s0, T=Tp, interpret=interpret))
+    Bp = R * LANES
+    statef = tuple(np.asarray(x).view(np.uint32).reshape(Bp)[:B]
+                   for x in outs[4:])
+    ff0, ev0, ff1, ev1 = outs[:4]
+    totals = devtimer.get(_event_totals(ff0, ev0, ff1, ev1))
+    outcap = backend._bucket(max(int(totals[:B].max()), 1), lo=128)
+    by, _ = devtimer.compute(lambda: _compact_events(
+        ff0, ev0, ff1, ev1, outcap=outcap))
+    by = devtimer.get(by[:B])
+    return statef, by, totals[:B].astype(np.int64)
+
+
 def encode_walk_compact(cum, freq, tot, active=None, state0=None,
                         interpret: bool = False):
     """encode_walk, but the event planes never leave the device: the
