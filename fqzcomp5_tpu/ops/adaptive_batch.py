@@ -23,9 +23,14 @@ evolve_grouped batch across ALL jobs:
   W256  AdaptiveModel<256>  fqz length-byte + seq run/literal models
 
 Pass 3 stacks every job's encode-event triples into (B, T) planes
-(pow2-bucketed by length) and walks them in chunked encode_scan
-calls, carrying the coder state across chunks so arbitrarily long
-sections stream through bounded device memory.
+(pow2-bucketed by length) and walks them in chunked device calls,
+carrying the coder state across chunks so arbitrarily long sections
+stream through bounded device memory.  On a single-device Pallas
+backend the pass-2 triples stay DEVICE-RESIDENT (DevTriples): pass 3
+gathers them by int32 index planes on device
+(rc_pallas.encode_walk_compact_idx) and the chunk's output bytes
+assemble on device, so the link carries ~4 B per event up and ~1 B
+per payload byte down instead of the host flow's 20+ B per event.
 
 Payloads are byte-identical to the native codecs
 (native/fqzqual.cpp:663-762, native/seq.cpp:39-157); the wave driver
@@ -77,14 +82,52 @@ def _prep_job(job):
     return b"", fam, mid, sym, ~upd, None
 
 
-def _evolve_families(jobvec, fam, mid, sym, metas, n_total):
+class DevTriples:
+    """Device-resident pass-2 results: per-bucket (cum, freq, tot)
+    jnp arrays plus a host index (`flatpos`) from global event
+    position to flat vector position.  Pass 3 gathers by index ON
+    DEVICE (rc_pallas.encode_walk_compact_idx), so the triples — 12+
+    downloaded and 8 re-uploaded bytes per event in the host flow —
+    never cross the link; only the 4-byte index plane goes up."""
+
+    def __init__(self, n_total: int):
+        self.flatpos = np.full(n_total, -1, np.int64)
+        self.parts: list[tuple] = []
+        self.vbase = 0
+
+    def add(self, cs, fs, ts, posn, rloc, occ, tbe) -> None:
+        self.flatpos[posn] = self.vbase + rloc * tbe + occ
+        self.parts.append((cs, fs, ts))
+        self.vbase += int(np.prod(cs.shape))
+
+    def vectors(self):
+        """(Vc, Vf, Vt) int32 device vectors with the inactive
+        sentinel (cum 0, freq 1, tot 2) appended last, and the
+        sentinel index (== self.vbase)."""
+        import jax.numpy as jnp
+
+        vs = []
+        for k, dflt in ((0, 0), (1, 1), (2, 2)):
+            vs.append(jnp.concatenate(
+                [p[k].reshape(-1).astype(jnp.int32)
+                 for p in self.parts]
+                + [jnp.full(1, dflt, jnp.int32)]))
+        idx = self.flatpos.copy()
+        idx[idx < 0] = self.vbase
+        return tuple(vs), idx
+
+
+def _evolve_families(jobvec, fam, mid, sym, metas, n_total,
+                     collect=None):
     """Pass 2 for the whole batch: group rows per family across jobs,
-    evolve, scatter (cum, freq, tot) back to event order."""
+    evolve, scatter (cum, freq, tot) back to event order (or register
+    device-resident with `collect`)."""
     import jax.numpy as jnp
 
-    cum = np.zeros(n_total, np.uint32)
-    freq = np.zeros(n_total, np.uint32)
-    tot = np.zeros(n_total, np.uint32)
+    if collect is None:
+        cum = np.zeros(n_total, np.uint32)
+        freq = np.zeros(n_total, np.uint32)
+        tot = np.zeros(n_total, np.uint32)
     gmid = jobvec * JOB_OFF + mid
 
     for F in (F_T4, F_T2, F_N128, F_W256):
@@ -94,21 +137,28 @@ def _evolve_families(jobvec, fam, mid, sym, metas, n_total):
         g = fqz_model_jax.group_stream(gmid[sel], sym[sel])
         uniq = g[0]
         nev = len(sel)
-        out = (np.zeros(nev, np.uint32), np.zeros(nev, np.uint32),
-               np.zeros(nev, np.uint32))
+        if collect is None:
+            out = (np.zeros(nev, np.uint32), np.zeros(nev, np.uint32),
+                   np.zeros(nev, np.uint32))
+        else:
+            out = None
+        kw = dict(out=out, collect=collect,
+                  posmap=sel if collect is not None else None)
         if F in (F_T4, F_T2):
             def run(sp, ct, r, _n=4 if F == F_T4 else 2):
                 return fqz_model_jax.tiny_evolve(
-                    jnp.asarray(sp), jnp.asarray(ct), nsym=_n)
-            fqz_model_jax.evolve_grouped(g, run, out=out)
+                    jnp.asarray(sp).astype(jnp.int32),
+                    jnp.asarray(ct), nsym=_n)
+            fqz_model_jax.evolve_grouped(g, run, **kw)
         elif F == F_W256:
             def run(sp, ct, r):
                 mr = np.full(len(ct), 2, np.int32)
                 mr[:len(r)] = 256
                 return fqz_model_jax.evolve(
-                    jnp.asarray(sp), jnp.asarray(ct), jnp.asarray(mr),
+                    jnp.asarray(sp).astype(jnp.int32),
+                    jnp.asarray(ct), jnp.asarray(mr),
                     jnp.int32(16), lanes=256)
-            fqz_model_jax.evolve_grouped(g, run, out=out)
+            fqz_model_jax.evolve_grouped(g, run, **kw)
         else:
             # per-row alphabet: qual models use the job's max_sym+1,
             # the sel model max_sel+1, the dup model 2.  Rows whose
@@ -128,24 +178,29 @@ def _evolve_families(jobvec, fam, mid, sym, metas, n_total):
                 mr = np.full(len(ct), 2, np.int32)
                 mr[:len(r)] = _ms[r]
                 return fqz_model_jax.evolve(
-                    jnp.asarray(sp), jnp.asarray(ct),
+                    jnp.asarray(sp).astype(jnp.int32),
+                    jnp.asarray(ct),
                     jnp.asarray(mr), jnp.int32(16), lanes=256)
 
             def run(sp, ct, r, _ms=ms_rows):
                 mr = np.full(len(ct), 2, np.int32)
                 mr[:len(r)] = _ms[r]
-                return fqz_model_jax.evolve_128(sp, ct, mr, 16)
+                return fqz_model_jax.evolve_128(
+                    jnp.asarray(sp).astype(jnp.int32), ct, mr, 16)
 
             wide = ms_rows > 128
             if wide.any():
                 fqz_model_jax.evolve_grouped(
-                    g, run_w, rows=np.flatnonzero(wide), out=out)
+                    g, run_w, rows=np.flatnonzero(wide), **kw)
             if not wide.all():
                 fqz_model_jax.evolve_grouped(
-                    g, run, rows=np.flatnonzero(~wide), out=out)
-        cum[sel] = out[0]
-        freq[sel] = out[1]
-        tot[sel] = out[2]
+                    g, run, rows=np.flatnonzero(~wide), **kw)
+        if collect is None:
+            cum[sel] = out[0]
+            freq[sel] = out[1]
+            tot[sel] = out[2]
+    if collect is not None:
+        return None
     return cum, freq, tot
 
 
@@ -277,6 +332,24 @@ def _encode_adaptive_chunk(jobs) -> list[bytes]:
     sym = np.concatenate([p[3] for p in preps]) if total else \
         np.zeros(0, np.int32)
 
+    from . import backend
+
+    if (backend._use_pallas() and backend.current_mesh() is None
+            and _dev_resident()):
+        # device-resident handoff: pass-2 triples never leave the
+        # device; pass 3 gathers them by index planes
+        collect = DevTriples(total)
+        _evolve_families(jobvec, fam, mid, sym, metas, total,
+                         collect=collect)
+        V, flatpos = collect.vectors()
+        streams_idx = []
+        for j, p in enumerate(preps):
+            sl = slice(base[j], base[j + 1])
+            enc = p[4]
+            streams_idx.append(flatpos[sl][enc])
+        payloads = rc_walk_batch_idx(streams_idx, V)
+        return [hdrs[j] + payloads[j] for j in range(len(jobs))]
+
     cum, freq, tot = _evolve_families(jobvec, fam, mid, sym, metas,
                                       total)
 
@@ -287,3 +360,50 @@ def _encode_adaptive_chunk(jobs) -> list[bytes]:
         streams.append((cum[sl][enc], freq[sl][enc], tot[sl][enc]))
     payloads = rc_walk_batch(streams)
     return [hdrs[j] + payloads[j] for j in range(len(jobs))]
+
+
+def _dev_resident() -> bool:
+    import os
+
+    env = os.environ.get("FQZ5_DEV_RESIDENT")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return True
+
+
+def rc_walk_batch_idx(streams_idx, V):
+    """Pass 3 over device-resident triples: streams are INDEX arrays
+    into V; the chunked walk uploads 4 B per event and downloads the
+    compacted chunk bytes (see rc_pallas.encode_walk_compact_idx).
+    Same bucketing/chunking as rc_walk_batch; payload bytes
+    identical."""
+    from . import rc_pallas
+
+    sentinel = int(V[0].shape[0] - 1)
+    outs = [b""] * len(streams_idx)
+    buckets: dict[int, list[int]] = {}
+    for i, si in enumerate(streams_idx):
+        if len(si) == 0:
+            z = np.zeros(1, np.uint32)
+            st = (z, np.full(1, 0xFFFFFFFF, np.uint32), z, z, z)
+            outs[i] = rc_jax.finish_events(st)[0]
+            continue
+        buckets.setdefault(fqz_model_jax.pow2(len(si)), []).append(i)
+
+    for T2, idxs in sorted(buckets.items()):
+        B2 = fqz_model_jax.pow2(len(idxs))
+        IDX = np.full((B2, T2), sentinel, np.int32)
+        for r, i in enumerate(idxs):
+            IDX[r, :len(streams_idx[i])] = streams_idx[i]
+        state = None
+        parts: list[list[bytes]] = [[] for _ in idxs]
+        for t0 in range(0, T2, CHUNK_T_PALLAS):
+            t1 = min(t0 + CHUNK_T_PALLAS, T2)
+            state, by, totals = rc_pallas.encode_walk_compact_idx(
+                V, IDX[:, t0:t1], state0=state)
+            for r, i in enumerate(idxs):
+                parts[r].append(by[r, :totals[r]].tobytes())
+        tails = rc_jax.finish_events(state)
+        for r, i in enumerate(idxs):
+            outs[i] = b"".join(parts[r]) + tails[r]
+    return outs

@@ -49,7 +49,11 @@ def shard_rows(arr, extra_dims: int = 0):
     without one).  The caller must have padded dim 0 to a multiple of
     mesh.size (see pad_rows)."""
     if _mesh is None:
-        return arr
+        from fqzcomp5_tpu.ops import devtimer
+
+        # timed upload under FQZ5_DEVTIME so pass-2 planes count in
+        # the link split; plain passthrough otherwise
+        return devtimer.put(arr) if devtimer.enabled else arr
     import jax
     from jax.sharding import NamedSharding, PartitionSpec
 

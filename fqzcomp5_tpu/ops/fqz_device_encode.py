@@ -224,10 +224,11 @@ def encode_payload(qual: bytes, lens, sels, P,
         def run(sp, ct, r, _wide=wide):
             mr = np.full(len(ct), 2, np.int32)
             mr[:len(r)] = ms[r]
+            spw = jnp.asarray(sp).astype(jnp.int32)
             if not _wide:
-                return fqz_model_jax.evolve_128(sp, ct, mr, 16)
+                return fqz_model_jax.evolve_128(spw, ct, mr, 16)
             return fqz_model_jax.evolve(
-                jnp.asarray(sp), jnp.asarray(ct), jnp.asarray(mr),
+                spw, jnp.asarray(ct), jnp.asarray(mr),
                 jnp.int32(16), lanes=256)
 
         fqz_model_jax.evolve_grouped(g, run,

@@ -203,7 +203,8 @@ def _concat_arange(seg: np.ndarray) -> np.ndarray:
             - np.repeat(np.cumsum(seg) - seg, seg))
 
 
-def evolve_grouped(g, run, rows=None, out=None):
+def evolve_grouped(g, run, rows=None, out=None, collect=None,
+                   posmap=None):
     """Pass-2 evolve over a CSR-grouped stream, rows bucketed by
     occurrence count, results scattered straight back to per-event
     stream positions.
@@ -219,17 +220,22 @@ def evolve_grouped(g, run, rows=None, out=None):
     dims, `rows` are GLOBAL row indices (into g's uniq) for per-row
     metadata lookups.  rows: optional subset of row indices to
     process.  out: optional (cum, freq, tot) (n,) uint32 arrays to
-    scatter into (allocated when None).  Returns out."""
+    scatter into (allocated when None).  Returns out.
+
+    collect: optional DevTriples — results stay DEVICE-RESIDENT; each
+    bucket's jnp triplet registers with collect keyed by event
+    position (out is untouched; pass-3 gathers by index on device).
+    posmap: optional map from this stream's local event positions to
+    the collector's global positions."""
     from fqzcomp5_tpu.ops import backend
 
     uniq, counts, starts, order, ssorted = g
     if rows is None:
         rows = np.arange(len(uniq), dtype=np.int64)
-    if out is None:
+    if out is None and collect is None:
         n = len(order)
         out = (np.zeros(n, np.uint32), np.zeros(n, np.uint32),
                np.zeros(n, np.uint32))
-    cum, freq, tot = out
     cnt = counts[rows]
     maxc = int(cnt.max()) if len(cnt) else 0
     done = np.zeros(len(rows), bool)
@@ -245,17 +251,28 @@ def evolve_grouped(g, run, rows=None, out=None):
             src = np.repeat(starts[r], seg) + _concat_arange(seg)
             rloc = np.repeat(np.arange(len(sel)), seg)
             occ = _concat_arange(seg)
-            sp = np.zeros((C2, tbe), np.int32)
-            sp[rloc, occ] = ssorted[src]
+            vals = ssorted[src]
+            # byte symbols (the wire format's envelope) upload as u8 —
+            # a quarter of the int32 plane; callbacks widen on device
+            dt = (np.uint8 if vals.size == 0 or vals.max() < 256
+                  else np.int32)
+            sp = np.zeros((C2, tbe), dt)
+            sp[rloc, occ] = vals.astype(dt)
             ct = np.zeros(C2, np.int32)
             ct[:len(sel)] = seg
             cs, fs, ts = run(backend.shard_rows(sp, extra_dims=1),
                              backend.shard_rows(ct), r)
-            cs, fs, ts = map(np.asarray, (cs, fs, ts))
             posn = order[src]
-            cum[posn] = cs[rloc, occ]
-            freq[posn] = fs[rloc, occ]
-            tot[posn] = ts[rloc, occ]
+            if collect is not None:
+                if posmap is not None:
+                    posn = posmap[posn]
+                collect.add(cs, fs, ts, posn, rloc, occ, tbe)
+            else:
+                cs, fs, ts = map(np.asarray, (cs, fs, ts))
+                cum, freq, tot = out
+                cum[posn] = cs[rloc, occ]
+                freq[posn] = fs[rloc, occ]
+                tot[posn] = ts[rloc, occ]
             done[sel] = True
         if tbe >= maxc or done.all():
             break

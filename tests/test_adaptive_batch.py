@@ -84,13 +84,14 @@ def test_pass3_pallas_path(monkeypatch):
     across chunk boundaries."""
     from fqzcomp5_tpu.ops import rc_pallas
 
-    orig = rc_pallas.encode_walk_compact
+    for name in ("encode_walk_compact", "encode_walk_compact_idx"):
+        orig = getattr(rc_pallas, name)
 
-    def walk_interp(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
+        def walk_interp(*a, _orig=orig, **k):
+            k["interpret"] = True
+            return _orig(*a, **k)
 
-    monkeypatch.setattr(rc_pallas, "encode_walk_compact", walk_interp)
+        monkeypatch.setattr(rc_pallas, name, walk_interp)
     monkeypatch.setenv("FQZ5_PALLAS", "1")
     monkeypatch.setattr(adaptive_batch, "CHUNK_T_PALLAS", 512)
     jobs = [_fqz_case(31), _seq_case(32), _fqz_case(33, with_seq=True,

@@ -244,3 +244,50 @@ def test_rc_pallas_compact_ragged():
         n = treal[b]
         want = rc_native_encode(cum[b][:n], freq[b][:n], tot[b][:n])
         assert outs[b] == want, f"stream {b} n={n}"
+
+
+def test_rc_pallas_compact_idx_bit_exact():
+    """encode_walk_compact_idx (index planes into device-resident
+    triples) must reproduce the native coder bytes, including chunked
+    state carry, ragged stream ends (sentinel indices), and the
+    inactive sentinel's (0,1,2) triple."""
+    import jax.numpy as jnp
+
+    from fqzcomp5_tpu.ops import rc_pallas
+
+    rng = np.random.default_rng(12)
+    B, T = 5, 700
+    cum, freq, tot = _triples(rng, B, T)
+    treal = np.array([700, 123, 1, 699, 400])
+
+    # device-resident vectors with a host-side shuffle (as DevTriples
+    # produces: values live at arbitrary flat positions)
+    n = B * T
+    perm = rng.permutation(n)
+    Vc = np.zeros(n + 1, np.int32)
+    Vf = np.ones(n + 1, np.int32)
+    Vt = np.full(n + 1, 2, np.int32)
+    Vc[perm] = cum.reshape(-1)
+    Vf[perm] = freq.reshape(-1)
+    Vt[perm] = tot.reshape(-1)
+    flat = perm.reshape(B, T)
+    V = tuple(jnp.asarray(x) for x in (Vc, Vf, Vt))
+
+    state = None
+    parts = [[] for _ in range(B)]
+    for t0 in range(0, T, 256):
+        t1 = min(t0 + 256, T)
+        idx = np.full((B, t1 - t0), n, np.int32)
+        for b in range(B):
+            k = max(0, min(treal[b], t1) - t0)
+            idx[b, :k] = flat[b, t0:t0 + k]
+        state, by, totals = rc_pallas.encode_walk_compact_idx(
+            V, idx, state0=state, interpret=True)
+        for b in range(B):
+            parts[b].append(by[b, :totals[b]].tobytes())
+    tails = rc_jax.finish_events(state)
+    for b in range(B):
+        nr = treal[b]
+        want = rc_native_encode(cum[b][:nr], freq[b][:nr], tot[b][:nr])
+        got = b"".join(parts[b]) + tails[b]
+        assert got == want, f"stream {b} n={nr}"
