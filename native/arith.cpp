@@ -4,8 +4,15 @@
 // PACK transform, STRIPE and CAT.  Used by the tok3 name tokenizer's
 // use_arith mode and general-purpose sections.
 //
-// X_EXT (external bzip2) is recognised but unsupported; encode never
-// emits it and decode returns failure (matching a libbz2-less build).
+// X_EXT (external bzip2, arith_dynamic.c:961-975 encode / :1226-1231
+// decode) is implemented via runtime dlopen of libbz2 (this image ships
+// the shared library but no headers, so the two stable BZ2_bzBuffToBuff*
+// entry points are declared locally).  When the library is absent, or
+// under FQZ5_NO_BZ2=1, encode of an X_EXT request fails and decode of an
+// X_EXT stream fails — exactly the reference built without HAVE_LIBBZ2.
+
+#include <dlfcn.h>
+#include <stdlib.h>
 
 #include <cstdint>
 #include <cstring>
@@ -24,6 +31,41 @@ constexpr int kNosz = 0x10;
 constexpr int kStripe = 0x08;
 constexpr int kExt = 0x04;
 constexpr int kMaxRun = 4;
+
+// ---- libbz2 via dlopen (prototypes per bzlib.h; ABI stable since 1.0) --
+typedef int (*bz_buff_compress_fn)(char* dest, unsigned* destLen,
+                                   char* source, unsigned sourceLen,
+                                   int blockSize100k, int verbosity,
+                                   int workFactor);
+typedef int (*bz_buff_decompress_fn)(char* dest, unsigned* destLen,
+                                     char* source, unsigned sourceLen,
+                                     int small, int verbosity);
+
+struct Bz2Lib {
+    bz_buff_compress_fn compress = nullptr;
+    bz_buff_decompress_fn decompress = nullptr;
+    Bz2Lib() {
+        const char* off = getenv("FQZ5_NO_BZ2");
+        if (off && *off && *off != '0') return;
+        void* h = nullptr;
+        for (const char* name :
+             {"libbz2.so.1.0", "libbz2.so.1", "libbz2.so"}) {
+            h = dlopen(name, RTLD_NOW | RTLD_GLOBAL);
+            if (h) break;
+        }
+        if (!h) return;
+        compress = reinterpret_cast<bz_buff_compress_fn>(
+            dlsym(h, "BZ2_bzBuffToBuffCompress"));
+        decompress = reinterpret_cast<bz_buff_decompress_fn>(
+            dlsym(h, "BZ2_bzBuffToBuffDecompress"));
+        if (!compress || !decompress) compress = nullptr, decompress = nullptr;
+    }
+};
+
+const Bz2Lib& bz2() {
+    static Bz2Lib lib;  // C++11 magic static: thread-safe one-time init
+    return lib;
+}
 
 int put_uv(uint8_t* cp, uint32_t v) {
     uint8_t tmp[8];
@@ -401,9 +443,11 @@ std::vector<uint8_t> compress_core(const uint8_t* in, uint32_t in_size,
         return out;
     }
 
-    // No external (bzip2) codec in this build: code such requests with
-    // the plain arith coder instead and clear the flag so decode agrees.
-    order &= ~kExt;
+    // External codec (bzip2): fail the method when the library is
+    // unavailable, exactly like the reference built without HAVE_LIBBZ2
+    // (arith_dynamic.c:967-970 returns NULL -> callers skip/abort).
+    int do_ext = order & kExt;
+    if (do_ext && !bz2().compress) return {};
 
     int do_pack = order & kPack;
     int do_rle = order & kRle;
@@ -452,7 +496,25 @@ std::vector<uint8_t> compress_core(const uint8_t* in, uint32_t in_size,
 
     std::vector<uint8_t> payload;
     bool ok;
-    if (do_rle) {
+    if (do_ext) {
+        // bzip2, blockSize100k=9 workFactor=30 (arith_dynamic.c:963-964).
+        // Capacity mirrors the reference's arith_compress_bound headroom
+        // (1.05x + constants), which exceeds bz2's 1.01x + 600 worst
+        // case; a failed/oversized result forces the X_CAT path below
+        // just as the reference's `*out_size = in_size` does (:965).
+        unsigned cap = cur_size + cur_size / 20 + 800;
+        payload.resize(cap);
+        unsigned dlen = cap;
+        if (0 == bz2().compress(reinterpret_cast<char*>(payload.data()),
+                                &dlen,
+                                reinterpret_cast<char*>(
+                                    const_cast<uint8_t*>(cur)),
+                                cur_size, 9, 0, 30))
+            payload.resize(dlen);
+        else
+            payload.resize(cur_size);  // force CAT below
+        ok = true;
+    } else if (do_rle) {
         ok = o01 == 1 ? enc_rle<true>(cur, cur_size, payload)
                       : enc_rle<false>(cur, cur_size, payload);
     } else {
@@ -574,7 +636,14 @@ bool uncompress(const uint8_t* in, uint32_t in_size,
             if (tmp1_size > in_size) return false;
             memcpy(tmp1.data(), in, tmp1_size);
         } else if (do_ext) {
-            return false;  // bzip2 path unsupported
+            if (!bz2().decompress) return false;  // no libbz2: reference err
+            unsigned dlen = tmp1_size;
+            if (0 != bz2().decompress(
+                         reinterpret_cast<char*>(tmp1.data()), &dlen,
+                         reinterpret_cast<char*>(const_cast<uint8_t*>(in)),
+                         in_size, 0, 0))
+                return false;
+            tmp1_size = dlen;  // reference passes &tmp1_size through (:1226)
         } else if (do_rle) {
             bool ok = order == 1
                           ? dec_rle<true>(in, in_size, tmp1.data(), tmp1_size)

@@ -51,7 +51,8 @@ def test_lzp_parity():
 # ---------------- arith ----------------
 
 @pytest.mark.parametrize("order", [0, 1, 64, 65, 128, 129, 192, 193,
-                                   (4 << 8) | 8 | 1])
+                                   (4 << 8) | 8 | 1,
+                                   4, 132])  # X_EXT / X_EXT|PACK (bzip2)
 def test_arith_parity(order):
     for name, data in [("names", make_names(300)), ("dna", dna(3000)),
                        ("qual", quals(5000)), ("tiny", b"ab"),
@@ -63,6 +64,50 @@ def test_arith_parity(order):
         assert oracle.arith_dec(ours) == data
 
 
+def test_arith_ext_decodes_foreign_bz2_stream():
+    """X_EXT streams from any upstream htscodecs producer must decode;
+    we craft one with Python's bz2 (same libbz2, level 9)."""
+    import bz2
+
+    data = make_names(500)
+    payload = bz2.compress(data, 9)
+    ulen = len(data)
+    varint = bytearray([ulen & 0x7F])
+    v = ulen >> 7
+    while v:
+        varint.insert(0, (v & 0x7F) | 0x80)
+        v >>= 7
+    stream = bytes([0x04]) + bytes(varint) + payload
+    assert host.arith_uncompress(stream) == data
+
+
+def test_arith_ext_without_libbz2_fails_like_reference():
+    """FQZ5_NO_BZ2=1 reproduces a libbz2-less build: X_EXT encode
+    returns failure (reference arith_dynamic.c:967-970 NULL) and X_EXT
+    decode errors (:1230) rather than mis-decoding.  Library init is
+    one-time, so probe in a subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from fqzcomp5_tpu.codecs import host\n"
+        "ok_enc = ok_dec = False\n"
+        "try:\n"
+        "    host.arith_compress(b'0123456789' * 100, 0x04)\n"
+        "except ValueError:\n"
+        "    ok_enc = True\n"
+        "try:\n"
+        "    host.arith_uncompress(bytes([0x04, 10]) + b'garbage')\n"
+        "except ValueError:\n"
+        "    ok_dec = True\n"
+        "assert ok_enc and ok_dec, (ok_enc, ok_dec)\n"
+    )
+    env = dict(os.environ, FQZ5_NO_BZ2="1")
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   timeout=120)
+
+
 # ---------------- tok3 ----------------
 
 @pytest.mark.parametrize("level", [3, 5, 7, 9])
@@ -72,12 +117,9 @@ def test_tok3_parity(level, use_arith, style):
     blk = make_names(200, style)
     ours = host.tok3_encode(blk, level, use_arith)
     assert host.tok3_decode(ours) == blk
-    if use_arith and level >= 5:
-        # The reference oracle was built without libbz2 and its stub
-        # aborts on the X_EXT methods these levels try; fqzcomp5 itself
-        # only ever calls tok3 with use_arith=0, so self-roundtrip is
-        # the strongest check available here.
-        return
+    # use_arith>=5 levels include X_EXT (bzip2) methods; both sides now
+    # run real bzip2 (ours via dlopen'd libbz2, the oracle harness via a
+    # -DHAVE_LIBBZ2 arith_dynamic build), so parity holds everywhere.
     ref = oracle.tok3_enc(blk, level, use_arith)
     assert ours == ref, f"tok3 {style} L{level} arith={use_arith}"
     assert host.tok3_decode(ref) == blk
