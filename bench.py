@@ -745,8 +745,13 @@ def e2e_tpu_main(src) -> int:
     link = _probe_link_mbps()
     _emit("e2e_tpu_link_probe", link, "MB/s", 5.0,
           note="probe before e2e runs (early visibility)")
-    # size the slice so one encode+decode fits ~240s of link time
-    size = int(min(max(link * 1e6 * 60, 2_000_000), 24_000_000))
+    # Size the slice to the phase deadline: measured total link traffic
+    # is ~14x the slice (2 encode + 2 decode runs, tables + payloads),
+    # and the cold run pays ~135s of compiles on top.
+    deadline = float(os.environ.get("FQZ5_E2E_DEADLINE", "600"))
+    link_budget_s = max(deadline - 200.0, 60.0)
+    size = int(min(max(link * 1e6 * link_budget_s / 14, 2_000_000),
+                   24_000_000))
     from fqzcomp5_tpu import cli
 
     small = src + ".tpu"
@@ -808,8 +813,8 @@ def e2e_tpu_main(src) -> int:
 
 def _run_subphase(args, deadline, capture):
     """Run a bench subprocess, relaying its stdout lines live; hard
-    kill at the deadline.  Lines matching capture (a metric name) are
-    remembered; returns the last captured line."""
+    kill at the deadline.  Lines whose metric name starts with capture
+    are remembered; returns the last captured line."""
     env = dict(os.environ)
     env["PYTHONUNBUFFERED"] = "1"
     p = subprocess.Popen([sys.executable, os.path.abspath(__file__)]
@@ -838,7 +843,8 @@ def _run_subphase(args, deadline, capture):
                 rec = json.loads(line)
             except ValueError:
                 continue
-            if rec.get("metric") == capture and "error" not in rec:
+            if (rec.get("metric", "").startswith(capture)
+                    and "error" not in rec):
                 captured = line
     finally:
         if p.poll() is None:
@@ -876,20 +882,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             _emit_error("e2e_host_encode", e)
 
-    # Phase 3: multi-process scaling
-    if src and _left() > 90:
+    # Phase 3: tpu e2e (link/compile-bound — the flakiest phase runs
+    # BEFORE the CPU-only scaling phase so a slow kernels phase can't
+    # starve it; reserve ~180s for scaling).  Any e2e_tpu_encode*
+    # metric (cold included) counts as phase evidence.
+    if src and _left() > 150:
         try:
-            with _SoftDeadline(min(480.0, _left() - 45)):
-                bench_scaling(src, deadline=min(420.0, _left() - 60))
-        except Exception as e:  # noqa: BLE001
-            _emit_error("scaling_work_efficiency_4proc", e)
-
-    # Phase 4: tpu e2e (link-bound; strictly time-boxed)
-    if src and _left() > 120:
-        try:
-            got = _run_subphase(["--e2e-tpu", src],
-                                min(600.0, _left() - 30),
+            dl = min(900.0, _left() - 180)
+            env_dl = os.environ.get("FQZ5_E2E_DEADLINE")
+            os.environ["FQZ5_E2E_DEADLINE"] = str(int(dl))
+            got = _run_subphase(["--e2e-tpu", src], dl,
                                 "e2e_tpu_encode")
+            if env_dl is None:
+                del os.environ["FQZ5_E2E_DEADLINE"]
             if got is None:
                 _emit_error("e2e_tpu_encode",
                             "subphase killed or emitted nothing "
@@ -899,6 +904,14 @@ def main() -> int:
     elif src:
         _emit_error("e2e_tpu_encode",
                     f"skipped: global budget ({_left():.0f}s left)")
+
+    # Phase 4: multi-process scaling (CPU-only, reliable)
+    if src and _left() > 60:
+        try:
+            with _SoftDeadline(min(480.0, _left() - 20)):
+                bench_scaling(src, deadline=min(420.0, _left() - 30))
+        except Exception as e:  # noqa: BLE001
+            _emit_error("scaling_work_efficiency_4proc", e)
 
     td.cleanup()
 

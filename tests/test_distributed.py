@@ -100,6 +100,63 @@ def test_multi_process_encode_matches_single(tmp_path, nprocs):
     assert res.getvalue() == src.read_bytes()
 
 
+def test_multi_process_tpu_engine_local_mesh(tmp_path):
+    """Composed deployment shape ("N hosts x local chips"): each
+    jax.distributed process runs the wave/device engine over its OWN
+    2x2 virtual-device mesh (FQZ5_DIST_LOCAL_MESH) while compressed
+    payloads gather across processes.  The file must be byte-identical
+    whatever the process count."""
+    src = tmp_path / "in.fastq"
+    _make_fastq(src, n=1500)
+
+    def run(nprocs, out):
+        port = _free_port()
+        procs = []
+        for pid in range(nprocs):
+            env = dict(os.environ)
+            env.update({
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                "FQZ5_DIST_LOCAL_MESH": "2x2",
+                "FQZ5_DIST_COORD": f"127.0.0.1:{port}",
+                "FQZ5_DIST_NPROCS": str(nprocs),
+                "FQZ5_DIST_PID": str(pid),
+                "PYTHONPATH": os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))),
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m",
+                 "fqzcomp5_tpu.parallel.distributed",
+                 "-3", "-b", str(64 << 10), "-e", "tpu",
+                 str(src), str(out)],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE))
+        outs = [p.communicate(timeout=600) for p in procs]
+        for p, (_so, se) in zip(procs, outs):
+            assert p.returncode == 0, se.decode()[-2000:]
+
+    out1 = tmp_path / "mesh1p.fqz5"
+    out2 = tmp_path / "mesh2p.fqz5"
+    run(1, out1)
+    run(2, out2)
+    assert out1.read_bytes() == out2.read_bytes(), \
+        "composed 2-proc x 2x2-mesh output differs from 1-proc"
+
+    # and the composed file decodes back to the input
+    import io
+
+    from fqzcomp5_tpu.drivers import Timings, decode_file, \
+        make_fastq_writer
+    from fqzcomp5_tpu.options import Options
+
+    arg = Options()
+    arg.verbose = -1
+    res = io.BytesIO()
+    decode_file(io.BytesIO(out2.read_bytes()),
+                make_fastq_writer(res, arg), arg, Timings())
+    assert res.getvalue() == src.read_bytes()
+
+
 def test_multi_process_decode_matches_single(tmp_path):
     """Distributed decode: 2 processes round-robin the blocks and the
     gathered output text must equal the input byte-for-byte."""

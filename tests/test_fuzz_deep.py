@@ -90,7 +90,8 @@ def test_fuzz_rans_orders(order):
            rng)
 
 
-@pytest.mark.parametrize("order", [0, 1, 0x40, 0x41, 0x80, 0x81])
+@pytest.mark.parametrize("order", [0, 1, 0x40, 0x41, 0x80, 0x81,
+                                   0x04, 0x84])  # X_EXT bzip2 paths
 def test_fuzz_arith_orders(order):
     rng = np.random.default_rng(order + 31)
     data = bytes(rng.integers(33, 74, 3000).astype(np.uint8))
