@@ -36,12 +36,8 @@ extern "C" {
 // ---- rANS Nx16 (framed; fqzcomp5 SEC payloads) -----------------------
 int64_t fqz5_rans_compress(const uint8_t* in, uint32_t in_size, int order,
                            uint8_t* out, uint32_t out_cap) {
-    std::vector<uint8_t> v = fqz5::rans_compress(in, in_size, order);
-    // rans_compress returns at least the order byte on success
-    if (v.empty()) return -1;
-    if (v.size() > out_cap) return -1;
-    memcpy(out, v.data(), v.size());
-    return int64_t(v.size());
+    int64_t n = fqz5::rans_compress_into(in, in_size, order, out, out_cap);
+    return n < 0 ? -1 : n;
 }
 
 // Raw 32x16 core stream without framing/CAT-fallback (device-engine

@@ -558,9 +558,21 @@ inline void hist4(const uint8_t* in, uint32_t in_size, uint32_t* F) {
                 + h[5][j] + h[6][j];
 }
 
+// Zero-copy core-encode result: table and stream spans into the
+// per-template thread-local arena (valid until the next call of the
+// same core on this thread).  Callers assemble [tab][stream] directly
+// into their destination — the old per-call vector staging cost two
+// extra full-payload copies on the hot plain-order path.
+struct EncSpans {
+    const uint8_t* tab = nullptr;
+    size_t tab_len = 0;
+    const uint8_t* stream = nullptr;
+    size_t stream_len = 0;
+    size_t size() const { return tab_len + stream_len; }
+};
+
 template <int N>
-bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
-                 std::vector<uint8_t>& out) {
+bool rans_enc_o0_sp(const uint8_t* in, uint32_t in_size, EncSpans& eo) {
     // worst case: all renorms + flush + table.  The walk writes into
     // a reused thread-local arena (malloc'd, never zero-initialised:
     // a fresh vector resize memsets the whole bound — ~5ms per 20MB
@@ -573,7 +585,7 @@ bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
         arena_cap = bound;
     }
     if (in_size == 0) {
-        out.clear();
+        eo = EncSpans{};
         return true;
     }
     uint32_t F[256 + 8] = {0};
@@ -626,11 +638,22 @@ bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
     }
     for (int z = N - 1; z >= 0; z--) enc_flush(R[z], ptr);
 
-    size_t stream = size_t(end - ptr);
+    eo.tab = base;
+    eo.tab_len = size_t(tab_size);
+    eo.stream = ptr;
+    eo.stream_len = size_t(end - ptr);
+    return true;
+}
+
+template <int N>
+bool rans_enc_o0(const uint8_t* in, uint32_t in_size,
+                 std::vector<uint8_t>& out) {
+    EncSpans eo;
+    if (!rans_enc_o0_sp<N>(in, in_size, eo)) return false;
     out.clear();
-    out.reserve(tab_size + stream);
-    out.insert(out.end(), base, base + tab_size);
-    out.insert(out.end(), ptr, ptr + stream);
+    out.reserve(eo.size());
+    out.insert(out.end(), eo.tab, eo.tab + eo.tab_len);
+    out.insert(out.end(), eo.stream, eo.stream + eo.stream_len);
     return true;
 }
 
@@ -776,8 +799,7 @@ bool rans_dec_o0(const uint8_t* in, uint32_t in_size, uint8_t* out,
 // ---------------------------------------------------------------------
 // Order-1 Nx16 core
 template <int N>
-bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
-                 std::vector<uint8_t>& out) {
+bool rans_enc_o1_sp(const uint8_t* in, uint32_t in_size, EncSpans& eo) {
     if (N == 32 && in_size < uint32_t(N)) return false;
     size_t bound = size_t(in_size) + in_size / 2 + N * 8 + 257 * 257 * 3 + 64;
     // reused thread-local arena: a fresh vector resize would memset
@@ -949,11 +971,22 @@ bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
     }
     for (int z = N - 1; z >= 0; z--) enc_flush(R[z], ptr);
 
-    size_t stream = size_t(end - ptr);
+    eo.tab = op;
+    eo.tab_len = tab_size;
+    eo.stream = ptr;
+    eo.stream_len = size_t(end - ptr);
+    return true;
+}
+
+template <int N>
+bool rans_enc_o1(const uint8_t* in, uint32_t in_size,
+                 std::vector<uint8_t>& out) {
+    EncSpans eo;
+    if (!rans_enc_o1_sp<N>(in, in_size, eo)) return false;
     out.clear();
-    out.reserve(tab_size + stream);
-    out.insert(out.end(), op, op + tab_size);
-    out.insert(out.end(), ptr, ptr + stream);
+    out.reserve(eo.size());
+    out.insert(out.end(), eo.tab, eo.tab + eo.tab_len);
+    out.insert(out.end(), eo.stream, eo.stream + eo.stream_len);
     return true;
 }
 
@@ -1328,6 +1361,15 @@ bool core_encode(const uint8_t* in, uint32_t in_size, int simd, int order01,
                 : rans_enc_o0<4>(in, in_size, out);
 }
 
+bool core_encode_sp(const uint8_t* in, uint32_t in_size, int simd,
+                    int order01, EncSpans& eo) {
+    if (order01)
+        return simd ? rans_enc_o1_sp<32>(in, in_size, eo)
+                    : rans_enc_o1_sp<4>(in, in_size, eo);
+    return simd ? rans_enc_o0_sp<32>(in, in_size, eo)
+                : rans_enc_o0_sp<4>(in, in_size, eo);
+}
+
 bool core_decode(const uint8_t* in, uint32_t in_size, int simd, int order01,
                  uint8_t* out, uint32_t out_sz) {
     if (order01)
@@ -1581,6 +1623,129 @@ bool rans_core_encode32(const uint8_t* in, uint32_t in_size,
     return core_encode(in, in_size, /*simd=*/1, order01, out);
 }
 
+// Result of the plain (non-STRIPE, non-requested-CAT) encode path:
+// header fields plus payload spans, so callers can assemble the framed
+// stream straight into their destination buffer with no staging copy.
+struct PlainEnc {
+    uint8_t order_byte = 0;
+    std::vector<uint8_t> meta;      // size varint + transform metadata
+    bool cat = false;               // payload = raw cur bytes
+    const uint8_t* cur = nullptr;   // post-transform input (CAT source)
+    uint32_t cur_size = 0;
+    EncSpans sp;                    // core output when !cat
+    std::vector<uint8_t> packed_store, rle_store;  // keep cur alive
+    size_t payload_len() const { return cat ? cur_size : sp.size(); }
+    size_t total() const { return 1 + meta.size() + payload_len(); }
+};
+
+// `order` must already be normalized (SIMD_AUTO resolved, small-size
+// STRIPE/X32 clears applied) and contain neither kStripe nor kCat.
+static bool compress_plain(const uint8_t* in, uint32_t in_size, int order,
+                           PlainEnc& pe) {
+    int do_pack = order & kPack;
+    int do_rle = order & kRle;
+    int no_size = order & kNosz;
+    int do_simd = order & kX32;
+
+    pe.order_byte = uint8_t(order & 0xff);
+    std::vector<uint8_t>& meta = pe.meta;
+    uint8_t vbuf[8];
+    int nb;
+    if (!no_size) {
+        nb = put_uv(vbuf, in_size);
+        meta.insert(meta.end(), vbuf, vbuf + nb);
+    }
+
+    pe.cur = in;
+    pe.cur_size = in_size;
+
+    if (do_pack && in_size) {
+        std::vector<uint8_t> pmeta;
+        if (!pack_bytes(pe.cur, pe.cur_size, pmeta, pe.packed_store)) {
+            pe.order_byte &= ~kPack;
+            do_pack = 0;
+        } else {
+            meta.insert(meta.end(), pmeta.begin(), pmeta.end());
+            pe.cur = pe.packed_store.data();
+            pe.cur_size = uint32_t(pe.packed_store.size());
+            nb = put_uv(vbuf, pe.cur_size);
+            meta.insert(meta.end(), vbuf, vbuf + nb);
+            if (do_simd && pe.cur_size < 32) {
+                do_simd = 0;
+                pe.order_byte &= ~kX32;
+            }
+        }
+    } else if (do_pack) {
+        pe.order_byte &= ~kPack;
+        do_pack = 0;
+    }
+
+    if (do_rle && pe.cur_size) {
+        uint8_t rle_syms[256];
+        int rle_nsyms = 0;
+        std::vector<uint8_t> runs, lits;
+        rle_encode(pe.cur, pe.cur_size, runs, lits, rle_syms, &rle_nsyms);
+        // meta stream = [nsyms][syms][runs]
+        std::vector<uint8_t> rmeta;
+        rmeta.push_back(uint8_t(rle_nsyms));
+        rmeta.insert(rmeta.end(), rle_syms, rle_syms + rle_nsyms);
+        rmeta.insert(rmeta.end(), runs.begin(), runs.end());
+        uint32_t rmeta_len = uint32_t(rmeta.size());
+        uint64_t rle_len = lits.size();
+
+        if (rle_len + rmeta_len >= 0.99 * pe.cur_size) {
+            pe.order_byte &= ~kRle;
+            do_rle = 0;
+        } else {
+            if (do_simd && (rmeta_len < 32 || rle_len < 32)) {
+                do_simd = 0;
+                pe.order_byte &= ~kX32;
+            }
+            std::vector<uint8_t> cmeta;
+            if (!core_encode(rmeta.data(), rmeta_len, do_simd, 0, cmeta))
+                return false;
+            if (cmeta.size() < rmeta_len) {
+                nb = put_uv(vbuf, rmeta_len * 2);
+                meta.insert(meta.end(), vbuf, vbuf + nb);
+                nb = put_uv(vbuf, uint32_t(rle_len));
+                meta.insert(meta.end(), vbuf, vbuf + nb);
+                nb = put_uv(vbuf, uint32_t(cmeta.size()));
+                meta.insert(meta.end(), vbuf, vbuf + nb);
+                meta.insert(meta.end(), cmeta.begin(), cmeta.end());
+            } else {
+                nb = put_uv(vbuf, rmeta_len * 2 + 1);  // odd => raw meta
+                meta.insert(meta.end(), vbuf, vbuf + nb);
+                nb = put_uv(vbuf, uint32_t(rle_len));
+                meta.insert(meta.end(), vbuf, vbuf + nb);
+                meta.insert(meta.end(), rmeta.begin(), rmeta.end());
+            }
+            pe.rle_store = std::move(lits);
+            pe.cur = pe.rle_store.data();
+            pe.cur_size = uint32_t(pe.rle_store.size());
+        }
+    } else if (do_rle) {
+        pe.order_byte &= ~kRle;
+        do_rle = 0;
+    }
+
+    int order01 = order & 3 & 1;
+    if (order01 && pe.cur_size < 8) {
+        pe.order_byte &= ~1;
+        order01 = 0;
+    }
+
+    if (!core_encode_sp(pe.cur, pe.cur_size, do_simd, order01, pe.sp))
+        return false;
+
+    if (pe.sp.size() >= pe.cur_size) {
+        // rANS didn't help: CAT the (transformed) data
+        pe.order_byte &= ~3;
+        pe.order_byte |= kCat | no_size;
+        pe.cat = true;
+    }
+    return true;
+}
+
 std::vector<uint8_t> rans_compress(const uint8_t* in, uint32_t in_size,
                                    int order) {
     std::vector<uint8_t> out;
@@ -1656,113 +1821,55 @@ std::vector<uint8_t> rans_compress(const uint8_t* in, uint32_t in_size,
         return out;
     }
 
-    int do_pack = order & kPack;
-    int do_rle = order & kRle;
-    int no_size = order & kNosz;
-    int do_simd = order & kX32;
-
-    uint8_t order_byte = uint8_t(order & 0xff);
-    std::vector<uint8_t> meta;  // accumulated transform metadata
-    uint8_t vbuf[8];
-    int nb;
-    if (!no_size) {
-        nb = put_uv(vbuf, in_size);
-        meta.insert(meta.end(), vbuf, vbuf + nb);
+    PlainEnc pe;
+    if (!compress_plain(in, in_size, order, pe)) return {};
+    out.reserve(pe.total());
+    out.push_back(pe.order_byte);
+    out.insert(out.end(), pe.meta.begin(), pe.meta.end());
+    if (pe.cat) {
+        out.insert(out.end(), pe.cur, pe.cur + pe.cur_size);
+    } else {
+        out.insert(out.end(), pe.sp.tab, pe.sp.tab + pe.sp.tab_len);
+        out.insert(out.end(), pe.sp.stream, pe.sp.stream + pe.sp.stream_len);
     }
-
-    std::vector<uint8_t> packed_store, rle_store;
-    const uint8_t* cur = in;
-    uint32_t cur_size = in_size;
-
-    if (do_pack && in_size) {
-        std::vector<uint8_t> pmeta;
-        if (!pack_bytes(cur, cur_size, pmeta, packed_store)) {
-            order_byte &= ~kPack;
-            do_pack = 0;
-        } else {
-            meta.insert(meta.end(), pmeta.begin(), pmeta.end());
-            cur = packed_store.data();
-            cur_size = uint32_t(packed_store.size());
-            nb = put_uv(vbuf, cur_size);
-            meta.insert(meta.end(), vbuf, vbuf + nb);
-            if (do_simd && cur_size < 32) {
-                do_simd = 0;
-                order_byte &= ~kX32;
-            }
-        }
-    } else if (do_pack) {
-        order_byte &= ~kPack;
-        do_pack = 0;
-    }
-
-    if (do_rle && cur_size) {
-        uint8_t rle_syms[256];
-        int rle_nsyms = 0;
-        std::vector<uint8_t> runs, lits;
-        rle_encode(cur, cur_size, runs, lits, rle_syms, &rle_nsyms);
-        // meta stream = [nsyms][syms][runs]
-        std::vector<uint8_t> rmeta;
-        rmeta.push_back(uint8_t(rle_nsyms));
-        rmeta.insert(rmeta.end(), rle_syms, rle_syms + rle_nsyms);
-        rmeta.insert(rmeta.end(), runs.begin(), runs.end());
-        uint32_t rmeta_len = uint32_t(rmeta.size());
-        uint64_t rle_len = lits.size();
-
-        if (rle_len + rmeta_len >= 0.99 * cur_size) {
-            order_byte &= ~kRle;
-            do_rle = 0;
-        } else {
-            if (do_simd && (rmeta_len < 32 || rle_len < 32)) {
-                do_simd = 0;
-                order_byte &= ~kX32;
-            }
-            std::vector<uint8_t> cmeta;
-            if (!core_encode(rmeta.data(), rmeta_len, do_simd, 0, cmeta))
-                return {};
-            if (cmeta.size() < rmeta_len) {
-                nb = put_uv(vbuf, rmeta_len * 2);
-                meta.insert(meta.end(), vbuf, vbuf + nb);
-                nb = put_uv(vbuf, uint32_t(rle_len));
-                meta.insert(meta.end(), vbuf, vbuf + nb);
-                nb = put_uv(vbuf, uint32_t(cmeta.size()));
-                meta.insert(meta.end(), vbuf, vbuf + nb);
-                meta.insert(meta.end(), cmeta.begin(), cmeta.end());
-            } else {
-                nb = put_uv(vbuf, rmeta_len * 2 + 1);  // odd => raw meta
-                meta.insert(meta.end(), vbuf, vbuf + nb);
-                nb = put_uv(vbuf, uint32_t(rle_len));
-                meta.insert(meta.end(), vbuf, vbuf + nb);
-                meta.insert(meta.end(), rmeta.begin(), rmeta.end());
-            }
-            rle_store = std::move(lits);
-            cur = rle_store.data();
-            cur_size = uint32_t(rle_store.size());
-        }
-    } else if (do_rle) {
-        order_byte &= ~kRle;
-        do_rle = 0;
-    }
-
-    int order01 = order & 3 & 1;
-    if (order01 && cur_size < 8) {
-        order_byte &= ~1;
-        order01 = 0;
-    }
-
-    std::vector<uint8_t> payload;
-    if (!core_encode(cur, cur_size, do_simd, order01, payload)) return {};
-
-    if (payload.size() >= cur_size) {
-        // rANS didn't help: CAT the (transformed) data
-        order_byte &= ~3;
-        order_byte |= kCat | no_size;
-        payload.assign(cur, cur + cur_size);
-    }
-
-    out.push_back(order_byte);
-    out.insert(out.end(), meta.begin(), meta.end());
-    out.insert(out.end(), payload.begin(), payload.end());
     return out;
+}
+
+// Zero-copy encode: assembles the framed stream directly into `out`
+// (caller-provided, e.g. the final section buffer).  Handles only the
+// plain path (no STRIPE, no requested CAT) — callers fall back to
+// rans_compress for those.  Returns encoded size, -1 on failure, or
+// -2 if `out_cap` is too small (caller retries via the vector path).
+int64_t rans_compress_into(const uint8_t* in, uint32_t in_size, int order,
+                           uint8_t* out, size_t out_cap) {
+    if ((order & kSimdAuto) && in_size >= 50000 && !(order & kStripe))
+        order |= kX32;
+    if (in_size <= 20) order &= ~kStripe;
+    if (in_size <= 1000) order &= ~kX32;
+    if (order & (kStripe | kCat)) {
+        std::vector<uint8_t> tmp = rans_compress(in, in_size, order);
+        if (tmp.empty() && in_size) return -1;
+        if (tmp.size() > out_cap) return -2;
+        memcpy(out, tmp.data(), tmp.size());
+        return int64_t(tmp.size());
+    }
+    PlainEnc pe;
+    if (!compress_plain(in, in_size, order, pe)) return -1;
+    if (pe.total() > out_cap) return -2;
+    uint8_t* p = out;
+    *p++ = pe.order_byte;
+    memcpy(p, pe.meta.data(), pe.meta.size());
+    p += pe.meta.size();
+    if (pe.cat) {
+        memcpy(p, pe.cur, pe.cur_size);
+        p += pe.cur_size;
+    } else {
+        memcpy(p, pe.sp.tab, pe.sp.tab_len);
+        p += pe.sp.tab_len;
+        memcpy(p, pe.sp.stream, pe.sp.stream_len);
+        p += pe.sp.stream_len;
+    }
+    return int64_t(p - out);
 }
 
 // Zero-copy decode: writes the decoded stream directly into `out`

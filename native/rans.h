@@ -12,6 +12,7 @@
 #ifndef FQZ5_RANS_H
 #define FQZ5_RANS_H
 
+#include <cstddef>
 #include <cstdint>
 #include <vector>
 
@@ -21,6 +22,11 @@ namespace fqz5 {
 // rans_uncompress_to_4x16).  Returns empty vector on failure.
 std::vector<uint8_t> rans_compress(const uint8_t* in, uint32_t in_size,
                                    int order);
+// Zero-copy variant: assembles the framed stream directly into `out`
+// (no staging vector on the plain path).  Returns encoded size, -1 on
+// failure, -2 when out_cap is too small.
+int64_t rans_compress_into(const uint8_t* in, uint32_t in_size, int order,
+                           uint8_t* out, size_t out_cap);
 // Raw 32x16 core stream (tables + states + words), NO framing and NO
 // CAT fallback: the device engine uses this to host-encode streams
 // whose tables are too wide for the device plane, keeping the wire
