@@ -55,8 +55,19 @@ def main() -> int:
     if repo not in sys.path:
         sys.path.insert(0, repo)
     sys.meta_path.insert(0, _AxonOnJaxImport())
+    argv = sys.argv[1:]
+    # FQZ5_DAEMON set -> try the pre-warmed daemon first (skips the
+    # ~0.35s numpy boot; fds ride over the socket so stdio behaves
+    # identically).  Any failure falls through to in-process execution;
+    # daemon-control verbs are always handled in-process.
+    if (os.environ.get("FQZ5_DAEMON")
+            and "--daemon" not in argv and "--daemon-stop" not in argv):
+        from fqzcomp5_tpu import daemon
+        rc = daemon.request(None, argv)
+        if rc is not None:
+            return rc
     from fqzcomp5_tpu.cli import main as cli_main
-    return cli_main(sys.argv[1:])
+    return cli_main(argv)
 
 
 if __name__ == "__main__":

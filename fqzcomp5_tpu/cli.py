@@ -183,6 +183,21 @@ def main(argv=None) -> int:
     """CLI entry; decode/encode failures print ERROR: and exit 1
     (reference behavior, fqzcomp5.c decode drivers + test_error_handling.sh)."""
     argv = sys.argv[1:] if argv is None else argv
+    # daemon control verbs (fqz5 --daemon / --daemon-stop): handled
+    # before option parsing — they take no codec flags.  See daemon.py
+    # for the protocol and the FQZ5_DAEMON client routing.
+    if "--daemon" in argv or "--daemon-stop" in argv:
+        from fqzcomp5_tpu import daemon
+
+        rest = [a for a in argv
+                if a not in ("--daemon", "--daemon-stop")]
+        sock = rest[0] if rest else None
+        if "--daemon-stop" in argv:
+            ok = daemon.stop(sock)
+            if not ok:
+                print("fqz5 daemon: no daemon to stop", file=sys.stderr)
+            return 0 if ok else 1
+        return daemon.serve(sock)
     try:
         probe, decomp, _ = parse_args(argv)
         reading_archive = bool(decomp or probe.check_only
