@@ -539,7 +539,46 @@ static uint8_t* enc_walk4_o1(const uint8_t* in, const EncSym (*syms)[256],
 // store->load forwarding when the same symbol recurs (always, for
 // 40-symbol quality data); independent sub-tables count in parallel
 // issue slots (reference utils.h hist8 idea).
+//
+// Large inputs count u16 PAIRS instead (reference hist8's >500KB
+// branch, utils.h:146-178): half the increments per byte, and on real
+// section data the live pair set is tiny (46 qual symbols -> ~2K hot
+// entries), so the 3x256KB tables stay cache-resident.  Measured:
+// the byte-wise form was the bulk of a 1.33x O0-encode gap vs the
+// reference on a 24MB quality payload (tools/oracle/duel.c).
 inline void hist4(const uint8_t* in, uint32_t in_size, uint32_t* F) {
+    if (in_size > 500000) {
+        static thread_local std::unique_ptr<uint32_t[]> pairs;
+        constexpr size_t kPer = 65536 + 37;   // +37: avoid 4K aliasing
+        if (!pairs) pairs.reset(new uint32_t[3 * kPer]);
+        uint32_t* f0 = pairs.get();
+        uint32_t* f1 = f0 + kPer;
+        uint32_t* f2 = f1 + kPer;
+        memset(f0, 0, 3 * kPer * sizeof(uint32_t));
+        uint32_t i = 0, i16 = in_size & ~15u;
+        for (; i < i16; i += 16) {
+            uint16_t a[4], b[4];
+            memcpy(a, in + i, 8);
+            f0[a[0]]++;
+            f1[a[1]]++;
+            f2[a[2]]++;
+            f0[a[3]]++;
+            memcpy(b, in + i + 8, 8);
+            f1[b[0]]++;
+            f0[b[1]]++;
+            f1[b[2]]++;
+            f2[b[3]]++;
+        }
+        for (; i < in_size; i++) F[in[i]]++;
+        for (uint32_t j = 0; j < 65536; j++) {
+            uint32_t c = f0[j] + f1[j] + f2[j];
+            if (c) {
+                F[j & 0xff] += c;
+                F[j >> 8] += c;
+            }
+        }
+        return;
+    }
     uint32_t h[7][256] = {{0}};
     uint32_t i = 0;
     for (; i + 8 <= in_size; i += 8) {
