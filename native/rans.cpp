@@ -93,6 +93,7 @@ extern "C" void fqz5_simd512_enc_o0_32(const uint8_t*, uint32_t,
                                        const uint32_t*, const uint32_t*,
                                        uint32_t*, uint8_t**);
 extern "C" void fqz5_simd512_enc_o1_32(const uint8_t*, uint32_t,
+                                       int64_t, const uint8_t*,
                                        const uint32_t*, const uint32_t*,
                                        const uint32_t*, const uint32_t*,
                                        uint32_t*, uint8_t**);
@@ -968,8 +969,7 @@ bool rans_enc_o1_sp(const uint8_t* in, uint32_t in_size, EncSpans& eo) {
     }
     if (N == 32) iN[N - 1] = int64_t(N) * isz - 2;
 
-    if (N == 32 && isz && in_size >= 32 * isz + 2 &&
-        fqz5_have_avx512()) {
+    if (N == 32 && isz >= 8 && fqz5_have_avx512()) {
         // flat (ctx*256+sym) SoA tables; lanes gather their strided
         // chunk bytes directly (no input transpose)
         static thread_local std::vector<uint32_t> soa;
@@ -993,7 +993,25 @@ bool rans_enc_o1_sp(const uint8_t* in, uint32_t in_size, EncSpans& eo) {
                 scr[k] = uint32_t(e.cmpl) | (uint32_t(e.rcp_shift) << 16);
             }
         }
-        fqz5_simd512_enc_o1_32(in, isz, sxm, src_, sbi, scr, R, &ptr);
+        // The walk's dword gathers read up to 3 bytes past
+        // in[z*isz + i]; run the top columns through the scalar walk
+        // until lane 31's read window fits inside the input.  For
+        // in_size % 32 >= 2 this loop never executes (the old guard's
+        // case); for 32-aligned inputs it runs 1-2 columns.  Emission
+        // order (z = 31..0 per column) matches the vector walk's
+        // group layout, so the stream stays byte-identical.
+        int64_t i_start = int64_t(isz) - 2;
+        while (i_start >= 0 &&
+               31 * int64_t(isz) + i_start + 3 >= int64_t(in_size)) {
+            for (int z = N - 1; z >= 0; z--) {
+                uint8_t c = in[size_t(z) * isz + i_start];
+                enc_put(R[z], ptr, syms[c][lN[z]]);
+                lN[z] = c;
+            }
+            i_start--;
+        }
+        fqz5_simd512_enc_o1_32(in, isz, i_start, lN, sxm, src_, sbi,
+                               scr, R, &ptr);
     } else if (N == 4) {
         ptr = enc_walk4_o1(in, syms, R, iN, lN, ptr);
     } else {

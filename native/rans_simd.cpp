@@ -544,7 +544,10 @@ void fqz5_simd512_enc_o0_32(const uint8_t* in, uint32_t main_sz,
 
 // Order-1: lanes read their strided chunk bytes (in[z*isz + i]) via
 // gathers, so no input transpose is needed; lanes carry their own
-// `last`.  Tables are flat (ctx*256 + sym) SoA.
+// `last` (seeded by the caller, which may have run the top columns
+// scalar to keep the gathers' 3-byte dword overread inside the input
+// buffer).  Walks columns i = i_start down to 0.  Tables are flat
+// (ctx*256 + sym) SoA.
 //
 // Hardware vpgatherdd throughout: unlike the decode walks (where the
 // loop-carried state->table dependency made manual pipelined gathers
@@ -552,6 +555,7 @@ void fqz5_simd512_enc_o0_32(const uint8_t* in, uint32_t main_sz,
 // HW gather's throughput dominates (measured 3.3x: 213 -> 706 MB/s on
 // tokenised-name data, 181 -> 543 MB/s on 40-symbol quality data).
 void fqz5_simd512_enc_o1_32(const uint8_t* in, uint32_t isz,
+                            int64_t i_start, const uint8_t* lastN,
                             const uint32_t* xmax, const uint32_t* rcp,
                             const uint32_t* bias, const uint32_t* crs,
                             uint32_t* Rs, uint8_t** ptr_io) {
@@ -564,9 +568,9 @@ void fqz5_simd512_enc_o1_32(const uint8_t* in, uint32_t isz,
             zo[z] = uint32_t((16 * g + z) * isz);
         zoff[g] = _mm512_load_si512(zo);
     }
-    // dword gathers read up to 3 bytes past in[idx]; the caller only
-    // dispatches here when in_size >= 32*isz + 2 and the loop stops at
-    // i = isz-2, so every read stays inside the input buffer
+    // dword gathers read up to 3 bytes past in[idx]; the caller picks
+    // i_start so that 31*isz + i_start + 3 < in_size, running any
+    // higher columns through the scalar walk first
     auto gather_bytes = [&](int64_t i, int g) {
         __m512i idx = _mm512_add_epi32(zoff[g],
                                        _mm512_set1_epi32(int(i)));
@@ -576,14 +580,13 @@ void fqz5_simd512_enc_o1_32(const uint8_t* in, uint32_t isz,
     __m512i R[2], last[2];
     for (int g = 0; g < 2; g++) {
         R[g] = _mm512_loadu_si512(Rs + 16 * g);
-        // scalar init avoids reading past the final column
         alignas(64) uint32_t l32[16];
         for (int z = 0; z < 16; z++)
-            l32[z] = in[size_t(16 * g + z) * isz + isz - 1];
+            l32[z] = lastN[16 * g + z];
         last[g] = _mm512_load_si512(l32);
     }
 
-    for (int64_t i = int64_t(isz) - 2; i >= 0; i--) {
+    for (int64_t i = i_start; i >= 0; i--) {
         for (int g = 1; g >= 0; g--) {
             __m512i ctx = gather_bytes(i, g);
             __m512i flat = _mm512_add_epi32(
@@ -617,7 +620,8 @@ extern "C" {
 void fqz5_simd512_enc_o0_32(const uint8_t*, uint32_t, const uint32_t*,
                             const uint32_t*, const uint32_t*,
                             const uint32_t*, uint32_t*, uint8_t**) {}
-void fqz5_simd512_enc_o1_32(const uint8_t*, uint32_t, const uint32_t*,
+void fqz5_simd512_enc_o1_32(const uint8_t*, uint32_t, int64_t,
+                            const uint8_t*, const uint32_t*,
                             const uint32_t*, const uint32_t*,
                             const uint32_t*, uint32_t*, uint8_t**) {}
 }

@@ -32,6 +32,12 @@ def gen_corpus():
     cases["len31"] = bytes(range(31))
     cases["len32"] = bytes(range(32))
     cases["len33"] = bytes(range(33))
+    # X32 dispatch boundaries: the O1 SIMD walk's gather overread guard
+    # runs 1-2 top columns scalar when in_size % 32 < 2 (rans.cpp),
+    # so pin byte-parity at sizes straddling the alignment
+    big = RNG.integers(33, 74, 64035).astype(np.uint8)
+    for k in (64032, 64033, 64034, 64035):
+        cases[f"x32a{k % 32}"] = big[:k].tobytes()
     return cases
 
 

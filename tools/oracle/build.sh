@@ -56,4 +56,14 @@ gcc -O2 -I"$DST" -o "$DST/harness/codec_oracle" \
 gcc -O2 -I"$DST" -o "$DST/harness/kbench" \
     "$HERE/kbench.c" \
     $HARNESS_OBJS $HARNESS_ARITH -lm -lz -pthread
-echo "oracle ready: $DST/fqzcomp5  $DST/harness/codec_oracle  $DST/harness/kbench"
+# same-process paired bench (reference objects + our libfqz5): the only
+# drift-immune kernel comparison on clock-throttled boxes
+REPO=$(dirname "$(dirname "$HERE")")
+if [ -f "$REPO/native/libfqz5.so" ]; then
+    # shellcheck disable=SC2086
+    gcc -O2 -I"$DST" -o "$DST/harness/duel" \
+        "$HERE/duel.c" \
+        $HARNESS_OBJS $HARNESS_ARITH \
+        -L"$REPO/native" -lfqz5 -Wl,-rpath,"$REPO/native" -lm -lz -pthread
+fi
+echo "oracle ready: $DST/fqzcomp5  $DST/harness/codec_oracle  $DST/harness/kbench  $DST/harness/duel"

@@ -24,6 +24,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 ORACLE = "/tmp/oracle/fqzcomp5"
 KBENCH = "/tmp/oracle/harness/kbench"
+DUEL = "/tmp/oracle/harness/duel"
 
 
 def gen_corpus(path, target_mb, seed=42):
@@ -89,21 +90,24 @@ def preset_row(src, level, reps, decode=False):
 
 
 def kernel_row(datafile, order, reps):
-    ref = json.loads(subprocess.run(
-        [KBENCH, datafile, str(order), str(reps)], check=True,
-        capture_output=True, text=True).stdout)
-    ours = json.loads(subprocess.run(
-        [sys.executable, os.path.join(ROOT, "tools",
-                                      "host_kernel_bench.py"),
-         datafile, str(order), str(reps)], check=True,
-        capture_output=True, text=True).stdout)
+    """Kernel rows come from the same-process duel harness
+    (tools/oracle/duel.c): reference objects and libfqz5 linked into
+    ONE binary, each timed rep paired back-to-back.  Cross-process
+    comparisons (kbench vs host_kernel_bench) drift up to 2x with this
+    box's CPU clock; the per-pair ratio medians are the stable
+    quantity, and the MB/s columns here share one clock regime."""
+    d = json.loads(subprocess.run(
+        [DUEL, datafile, str(order), str(max(reps * 3, 9))],
+        check=True, capture_output=True, text=True).stdout)
     row = {"row": f"rANS order {order:#x}",
-           "ours_enc_MBps": ours["enc_MBps"],
-           "ours_dec_MBps": ours["dec_MBps"],
-           "ref_enc_MBps": ref["enc_MBps"],
-           "ref_dec_MBps": ref["dec_MBps"],
-           "bytes": ref["bytes"],
-           "comp_parity": ours["csz"] == ref["comp_bytes"]}
+           "ours_enc_MBps": d["enc_ours_MBps"],
+           "ours_dec_MBps": d["dec_ours_MBps"],
+           "ref_enc_MBps": d["enc_ref_MBps"],
+           "ref_dec_MBps": d["dec_ref_MBps"],
+           "enc_ratio": d["enc_ratio_ours_over_ref_time"],
+           "dec_ratio": d["dec_ratio_ours_over_ref_time"],
+           "bytes": d["bytes"],
+           "comp_parity": d["csz_ours"] == d["csz_ref"]}
     print(json.dumps(row), flush=True)
     return row
 
@@ -115,7 +119,7 @@ def main():
     ap.add_argument("--levels", default="1,3,5")
     args = ap.parse_args()
 
-    if not os.path.exists(ORACLE) or not os.path.exists(KBENCH):
+    if not os.path.exists(ORACLE) or not os.path.exists(DUEL):
         print("oracle missing; run tools/oracle/build.sh first",
               file=sys.stderr)
         return 2
@@ -150,7 +154,8 @@ def main():
             print(f"| {r['row']} ({r['bytes'] // 1_000_000}MB) "
                   f"| {r['ours_enc_MBps']}/{r['ours_dec_MBps']} MB/s "
                   f"| {r['ref_enc_MBps']}/{r['ref_dec_MBps']} MB/s "
-                  f"| enc/dec best-of-{args.reps} |")
+                  f"| same-process pairs; time ratios ours/ref "
+                  f"{r['enc_ratio']}/{r['dec_ratio']} |")
     return 0
 
 
