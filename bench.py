@@ -733,27 +733,11 @@ def bench_scaling(src, deadline=420):
 # ---------------------------------------------------------------------
 # TPU e2e (--e2e-tpu subprocess).
 
-def e2e_tpu_main(src) -> int:
-    os.environ["FQZ5_DEVTIME"] = "1"
-    on_tpu = _init_tpu()
-    if not on_tpu:
-        _emit_error("e2e_tpu_encode", "tpu unreachable")
-        return 0
-    from fqzcomp5_tpu.ops import backend, devtimer
-
-    backend.ensure_compile_cache()
-    link = _probe_link_mbps()
-    _emit("e2e_tpu_link_probe", link, "MB/s", 5.0,
-          note="probe before e2e runs (early visibility)")
-    # Size the slice to the phase deadline: measured total link traffic
-    # is ~14x the slice (2 encode + 2 decode runs, tables + payloads),
-    # and the cold run pays ~135s of compiles on top.
-    deadline = float(os.environ.get("FQZ5_E2E_DEADLINE", "600"))
-    link_budget_s = max(deadline - 200.0, 60.0)
-    size = int(min(max(link * 1e6 * link_budget_s / 14, 2_000_000),
-                   24_000_000))
-    from fqzcomp5_tpu import cli
-
+def _e2e_tpu_stage(cli, devtimer, src, size, link, stage, cold_done):
+    """One encode/decode measurement at a given slice size.  Emits the
+    e2e_tpu_* metrics (same names every stage: the parent keeps the
+    LAST captured line, so a larger stage-B slice supersedes stage A)
+    and returns (wall_seconds_total, slice_bytes)."""
     small = src + ".tpu"
     with open(src, "rb") as f:
         data = f.read(size)
@@ -762,12 +746,15 @@ def e2e_tpu_main(src) -> int:
         o.write(data)
     comp = small + ".fqz5"
     out = small + ".out"
+    mb = f"{len(data) / 1_000_000:.1f}MB"
+    t_stage = time.perf_counter()
 
-    t0 = time.perf_counter()
-    cli.main(["-e", "tpu", "-1", "-V", str(small), str(comp)])
-    cold = time.perf_counter() - t0
-    _emit("e2e_tpu_encode_cold", len(data) / cold / 1e6, "MB/s", 66.0,
-          note=f"{len(data) // 1_000_000}MB slice incl. compiles")
+    if not cold_done:
+        t0 = time.perf_counter()
+        cli.main(["-e", "tpu", "-1", "-V", str(small), str(comp)])
+        cold = time.perf_counter() - t0
+        _emit("e2e_tpu_encode_cold", len(data) / cold / 1e6, "MB/s",
+              66.0, note=f"{mb} slice incl. compiles [{stage}]")
     # warm run: the cold one pays Mosaic/XLA compiles for this file's
     # shape buckets (persistent-cached afterwards); steady-state
     # throughput is the warm number
@@ -777,8 +764,7 @@ def e2e_tpu_main(src) -> int:
     enc = time.perf_counter() - t0
     snap = devtimer.snapshot()
     _emit("e2e_tpu_encode", len(data) / enc / 1e6, "MB/s", 66.0,
-          note=f"{len(data) // 1_000_000}MB slice, link "
-               f"{link:.1f}MB/s tunnel; cold(+compile) {cold:.1f}s")
+          note=f"{mb} slice, link {link:.1f}MB/s tunnel [{stage}]")
     if snap["compute_s"] > 0:
         # the VERDICT-7 split: device-compute rate vs link rate for
         # the same run — proves "tunnel-limited" with numbers
@@ -787,9 +773,10 @@ def e2e_tpu_main(src) -> int:
               note=f"device-resident walk seconds only "
                    f"({snap['compute_s']:.2f}s of {enc:.1f}s wall; "
                    f"link moved {snap['link_bytes'] // 1_000_000}MB "
-                   f"in {snap['link_s']:.1f}s)")
+                   f"in {snap['link_s']:.1f}s) [{stage}]")
 
-    cli.main(["-e", "tpu", "-d", "-V", str(comp), str(out)])
+    if not cold_done:
+        cli.main(["-e", "tpu", "-d", "-V", str(comp), str(out)])
     devtimer.reset()
     t0 = time.perf_counter()
     cli.main(["-e", "tpu", "-d", "-V", str(comp), str(out)])
@@ -798,13 +785,51 @@ def e2e_tpu_main(src) -> int:
     with open(out, "rb") as f:
         assert f.read() == data
     _emit("e2e_tpu_decode", len(data) / dec / 1e6, "MB/s", 66.0,
-          note="tunnel-limited; see device_compute split")
+          note=f"tunnel-limited; see device_compute split [{stage}]")
     if snap["compute_s"] > 0:
         _emit("e2e_tpu_decode_device_compute",
               len(data) / snap["compute_s"] / 1e6, "MB/s", 66.0,
               note=f"({snap['compute_s']:.2f}s of {dec:.1f}s wall; "
                    f"link {snap['link_bytes'] // 1_000_000}MB "
-                   f"in {snap['link_s']:.1f}s)")
+                   f"in {snap['link_s']:.1f}s) [{stage}]")
+    return time.perf_counter() - t_stage, len(data)
+
+
+def e2e_tpu_main(src) -> int:
+    os.environ["FQZ5_DEVTIME"] = "1"
+    on_tpu = _init_tpu()
+    if not on_tpu:
+        _emit_error("e2e_tpu_encode", "tpu unreachable")
+        return 0
+    from fqzcomp5_tpu.ops import backend, devtimer
+
+    backend.ensure_compile_cache()
+    t_start = time.perf_counter()
+    deadline = float(os.environ.get("FQZ5_E2E_DEADLINE", "600"))
+    link = _probe_link_mbps()
+    _emit("e2e_tpu_link_probe", link, "MB/s", 5.0,
+          note="probe before e2e runs (early visibility)")
+    from fqzcomp5_tpu import cli
+
+    # Stage A: a small slice that ALWAYS lands metrics, however slow
+    # the tunnel is today (BENCH_r03 died sizing the first slice off a
+    # one-shot probe that overstated the effective rate).  Stage B then
+    # scales the slice from stage A's MEASURED wall, not the probe.
+    size_a = 2_000_000 if link < 20 else 4_000_000
+    wall_a, bytes_a = _e2e_tpu_stage(cli, devtimer, src, size_a, link,
+                                     "stage A", cold_done=False)
+
+    left = deadline - (time.perf_counter() - t_start) - 30.0
+    # stage B repeats only the warm runs (~60% of stage A's wall per
+    # byte); target 70% of the remaining budget
+    rate = bytes_a / max(wall_a, 1e-9)       # bytes/s incl. overheads
+    size_b = int(min(left * 0.7 * rate / 0.6, 24_000_000))
+    if size_b >= 2 * bytes_a and left > 60:
+        try:
+            _e2e_tpu_stage(cli, devtimer, src, size_b, link, "stage B",
+                           cold_done=True)
+        except Exception as e:  # noqa: BLE001 — stage A already landed
+            _emit_error("e2e_tpu_stage_b", e)
     return 0
 
 

@@ -16,7 +16,7 @@ import struct
 import sys
 import zlib
 
-import numpy as np
+from fqzcomp5_tpu.utils.lazy_np import np
 
 from fqzcomp5_tpu import names as names_mod
 from fqzcomp5_tpu.utils import varint
@@ -303,7 +303,7 @@ def decode_block(raw: bytes, file_version: int,
 
     # Per-record flags: from the strat-2 stream or re-derived from names
     if dec_flags is not None and len(dec_flags) >= nrec:
-        flags = np.asarray(dec_flags[:nrec], np.uint32)
+        flags = dec_flags[:nrec]
     else:
         from fqzcomp5_tpu.codecs import native
         flags = native.derive_flags(name_buf, nrec)
@@ -314,7 +314,8 @@ def decode_block(raw: bytes, file_version: int,
     if lstrat > 0:
         fixed, n = varint.get_u32(raw, off)
         off += n
-        lens = np.full(nrec, fixed, np.uint32)
+        from array import array
+        lens = array("I", [fixed]) * nrec
         fixed_len = fixed
         if timings is not None:
             timings.update(3, 1 + n, nrec * 4, 0.0)
@@ -374,5 +375,5 @@ def decode_block(raw: bytes, file_version: int,
 
     return FastqBatch(
         name_buf=name_buf, seq_buf=seq_buf, qual_buf=qual_buf,
-        lens=np.asarray(lens, np.uint32), flags=flags,
+        lens=lens, flags=flags,
         fixed_len=fixed_len, is_fasta=is_fasta)

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import ctypes
 
-import numpy as np
+from fqzcomp5_tpu.utils.lazy_np import np
 
 from fqzcomp5_tpu.codecs import native
 from fqzcomp5_tpu.codecs.native import rans_compress, rans_uncompress  # noqa: F401
@@ -18,10 +18,23 @@ _u8p = ctypes.POINTER(ctypes.c_uint8)
 
 
 def _ptr(buf):
-    if len(buf) == 0:
-        return ctypes.cast(1, _u8p), np.zeros(0, np.uint8)
-    arr = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) \
-        else buf
+    # numpy-free for bytes-like inputs: the decode path must not pull
+    # the ~300ms numpy import (see utils/lazy_np.py).  c_char_p keeps a
+    # reference to the bytes object, so the pointer stays valid while
+    # the returned keep-alive is.
+    n = len(buf)
+    if n == 0:
+        return ctypes.cast(1, _u8p), buf
+    if isinstance(buf, bytes):
+        keep = ctypes.c_char_p(buf)
+        return ctypes.cast(keep, _u8p), keep
+    if isinstance(buf, (bytearray, memoryview)):
+        if isinstance(buf, memoryview) and (buf.readonly
+                                            or not buf.contiguous):
+            return _ptr(bytes(buf))
+        keep = (ctypes.c_uint8 * n).from_buffer(buf)
+        return ctypes.cast(keep, _u8p), keep
+    arr = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, np.uint8)
     return arr.ctypes.data_as(_u8p), arr
 
 
@@ -31,40 +44,43 @@ def _out(cap: int):
 
 def seq_encode(seq_buf: bytes, lens, both_strands: int, ctx_size: int) -> bytes:
     L = native.lib()
-    lens_arr = np.ascontiguousarray(lens, np.uint32)
+    _lk, lensp, nlens = native.u32_buf(lens)
     cap = len(seq_buf) + 100
     out, outp = _out(cap)
     inp, _keep = _ptr(seq_buf)
     rc = L.fqz5_seq_encode(
-        inp, len(seq_buf),
-        lens_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        len(lens_arr), both_strands, ctx_size, outp, cap)
+        inp, len(seq_buf), lensp, nlens, both_strands, ctx_size,
+        outp, cap)
     if rc < 0:
         raise ValueError("seq_encode failed")
-    return out[:rc].tobytes()
+    return native.take(out, rc)
 
 
 def seq_decode(comp: bytes, lens, both_strands: int, ctx_size: int,
                out_size: int) -> bytes:
     L = native.lib()
-    lens_arr = np.ascontiguousarray(lens, np.uint32)
+    _lk, lensp, nlens = native.u32_buf(lens)
     out, outp = _out(out_size)
     inp, _keep = _ptr(comp)
     rc = L.fqz5_seq_decode(
-        inp, len(comp),
-        lens_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        len(lens_arr), both_strands, ctx_size, outp, out_size)
+        inp, len(comp), lensp, nlens, both_strands, ctx_size,
+        outp, out_size)
     if rc < 0:
         raise ValueError("seq_decode failed")
-    return out[:out_size].tobytes()
+    return native.take(out, out_size)
 
 
 def fqz_compress(qual: bytes, lens, flags, seq_buf: bytes | None,
                  strat: int) -> bytes:
     """Compress qualities (already rebased to q-33)."""
+    from array import array
+
     L = native.lib()
-    lens_arr = np.ascontiguousarray(lens, np.uint32)
-    flags_arr = np.array(flags, np.uint32)  # mutated by stats; pass a copy
+    _lk, lensp, nlens = native.u32_buf(lens)
+    # mutated by stats; pass a copy
+    flags_copy = (flags.astype("uint32") if hasattr(flags, "astype")
+                  else array("I", flags))
+    _fk, flagsp, _ = native.u32_buf(flags_copy)
     cap = int(len(qual) * 1.1) + 100000
     out, outp = _out(cap)
     inp, _keep = _ptr(qual)
@@ -74,13 +90,10 @@ def fqz_compress(qual: bytes, lens, flags, seq_buf: bytes | None,
     else:
         seqp, _keep2 = _ptr(seq_buf)
     rc = L.fqz5_fqz_compress(
-        inp, len(qual),
-        lens_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        flags_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        seqp, len(lens_arr), strat, outp, cap)
+        inp, len(qual), lensp, flagsp, seqp, nlens, strat, outp, cap)
     if rc < 0:
         raise ValueError("fqz_compress failed")
-    return out[:rc].tobytes()
+    return native.take(out, rc)
 
 
 def fqz_decompress(comp: bytes, out_size: int,
@@ -96,7 +109,7 @@ def fqz_decompress(comp: bytes, out_size: int,
     rc = L.fqz5_fqz_decompress(inp, len(comp), outp, out_size, seqp)
     if rc < 0:
         raise ValueError("fqz_decompress failed")
-    return out[:rc].tobytes()
+    return native.take(out, rc)
 
 
 def lzp(data: bytes) -> bytes:
@@ -107,7 +120,7 @@ def lzp(data: bytes) -> bytes:
     rc = L.fqz5_lzp(inp, len(data), outp, cap)
     if rc < 0:
         raise ValueError("lzp failed")
-    return out[:rc].tobytes()
+    return native.take(out, rc)
 
 
 def unlzp(data: bytes, out_size: int) -> bytes:
@@ -117,7 +130,7 @@ def unlzp(data: bytes, out_size: int) -> bytes:
     rc = L.fqz5_unlzp(inp, len(data), outp, out_size + 1024)
     if rc < 0:
         raise ValueError("unlzp failed")
-    return out[:rc].tobytes()
+    return native.take(out, rc)
 
 
 def arith_compress(data: bytes, order: int) -> bytes:
@@ -128,7 +141,7 @@ def arith_compress(data: bytes, order: int) -> bytes:
     rc = L.fqz5_arith_compress(inp, len(data), order, outp, cap)
     if rc < 0:
         raise ValueError("arith_compress failed")
-    return out[:rc].tobytes()
+    return native.take(out, rc)
 
 
 def arith_uncompress(data: bytes) -> bytes:
@@ -143,7 +156,7 @@ def arith_uncompress(data: bytes) -> bytes:
     rc = L.fqz5_arith_uncompress(inp, len(data), outp, osz + 64)
     if rc < 0:
         raise ValueError("arith_uncompress failed")
-    return out[:rc].tobytes()
+    return native.take(out, rc)
 
 
 def tok3_encode(names_blk: bytes, level: int, use_arith: int) -> bytes:
@@ -155,7 +168,7 @@ def tok3_encode(names_blk: bytes, level: int, use_arith: int) -> bytes:
     rc = L.fqz5_tok3_encode(inp, len(names_blk), level, use_arith, outp, cap)
     if rc < 0:
         raise ValueError("tok3_encode failed")
-    return out[:rc].tobytes()
+    return native.take(out, rc)
 
 
 def tok3_decode(comp: bytes, expected_len: int | None = None,
@@ -181,4 +194,4 @@ def tok3_decode(comp: bytes, expected_len: int | None = None,
     rc = L.fqz5_tok3_decode(inp, len(comp), outp, cap)
     if rc < 0:
         raise ValueError("tok3_decode failed")
-    return out[:rc].tobytes()
+    return native.take(out, rc)

@@ -13,8 +13,9 @@ import os
 import pathlib
 import subprocess
 import threading
+from array import array
 
-import numpy as np
+from fqzcomp5_tpu.utils.lazy_np import np
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
 # FQZ5_NATIVE_LIB: alternate .so (e.g. an ASan/UBSan build) — the
@@ -111,6 +112,10 @@ def _register_optional(L: ctypes.CDLL) -> None:
         ("fqz5_format_fastq", ctypes.c_int64,
          [u8p, ctypes.c_int64, u8p, u8p, u32p, ctypes.c_int64,
           ctypes.c_int, u8p]),
+        ("fqz5_varint_get_u32_array", ctypes.c_int64,
+         [u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u32p]),
+        ("fqz5_varint_put_u32_array", ctypes.c_int64,
+         [u32p, ctypes.c_int64, u8p]),
     ]:
         try:
             fn = getattr(L, name)
@@ -141,27 +146,68 @@ def _fresh(nbytes):
 def out_scratch(cap: int) -> tuple:
     """Thread-local reusable output buffer (mirrors the reference's TLS
     arena, utils.c:119-205): avoids a fresh multi-MB allocation per
-    codec call.  Returns (array, u8 pointer)."""
+    codec call.  Returns (bytearray, u8 pointer).  bytearray (not
+    ndarray) so the decode path never imports numpy — see
+    utils/lazy_np.py."""
     cap = max(cap, 1)
     if cap > _SCRATCH_MAX:
-        arr = np.empty(cap, np.uint8)
+        arr = bytearray(cap)
     else:
         arr = getattr(_scratch, "buf", None)
-        if arr is None or arr.size < cap:
-            arr = np.empty(max(cap + (cap >> 2), 1 << 20), np.uint8)
+        if arr is None or len(arr) < cap:
+            arr = bytearray(max(cap + (cap >> 2), 1 << 20))
             _scratch.buf = arr
-    return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    ptr = ctypes.cast((ctypes.c_uint8 * len(arr)).from_buffer(arr),
+                      ctypes.POINTER(ctypes.c_uint8))
+    return arr, ptr
+
+
+def take(buf, n: int) -> bytes:
+    """Copy the first n bytes of a scratch buffer out as bytes."""
+    return bytes(memoryview(buf)[:n])
 
 
 def _u8(buf) -> tuple:
-    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(
-        buf, np.ndarray) else buf
-    if arr.size == 0:
+    """(keep-alive, u8 pointer) for any bytes-like or ndarray input.
+    Pure ctypes for bytes/bytearray/memoryview (numpy-free); c_char_p
+    holds a reference to the bytes object so the pointer stays valid
+    while the keep-alive is."""
+    n = len(buf)
+    if n == 0:
         # ctypes needs a valid pointer even for empty buffers
-        arr = np.zeros(1, np.uint8)[:0]
-        ptr = ctypes.cast(1, ctypes.POINTER(ctypes.c_uint8))
-        return arr, ptr
-    return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        return buf, ctypes.cast(1, ctypes.POINTER(ctypes.c_uint8))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if isinstance(buf, bytes):
+        keep = ctypes.c_char_p(buf)
+        return keep, ctypes.cast(keep, u8p)
+    if isinstance(buf, (bytearray, memoryview)):
+        if isinstance(buf, memoryview) and (buf.readonly
+                                            or not buf.contiguous):
+            return _u8(bytes(buf))
+        keep = (ctypes.c_uint8 * n).from_buffer(buf)
+        return keep, ctypes.cast(keep, u8p)
+    arr = buf if isinstance(buf, np.ndarray) \
+        else np.frombuffer(buf, dtype=np.uint8)
+    return arr, arr.ctypes.data_as(u8p)
+
+
+def u32_buf(x) -> tuple:
+    """(keep-alive, u32 pointer, count) for a contiguous u32 buffer:
+    stdlib array('I'), ndarray, or any sequence (copied)."""
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    if isinstance(x, array) and x.typecode == "I":
+        n = len(x)
+        if n == 0:
+            return x, ctypes.cast(1, u32p), 0
+        keep = (ctypes.c_uint32 * n).from_buffer(x)
+        return keep, ctypes.cast(keep, u32p), n
+    if type(x).__name__ == "ndarray":
+        arr = np.ascontiguousarray(x, np.uint32)
+        if arr.size == 0:
+            return arr, ctypes.cast(1, u32p), 0
+        return arr, arr.ctypes.data_as(u32p), int(arr.size)
+    a = array("I", x)
+    return u32_buf(a)
 
 
 def rans_compress(data: bytes, order: int) -> bytes:
@@ -175,7 +221,7 @@ def rans_compress(data: bytes, order: int) -> bytes:
     rc = L.fqz5_rans_compress(src_p, n, order, outp, cap)
     if rc < 0:
         raise ValueError(f"rans_compress failed (order={order:#x})")
-    return out[:rc].tobytes()
+    return take(out, rc)
 
 
 def rans_uncompress(data: bytes, out_hint: int | None = None) -> bytes:
@@ -199,7 +245,7 @@ def rans_uncompress(data: bytes, out_hint: int | None = None) -> bytes:
     rc = L.fqz5_rans_uncompress(src_p, n, outp, cap, osz, know)
     if rc < 0:
         raise ValueError("rans_uncompress failed")
-    return out[:rc].tobytes()
+    return take(out, rc)
 
 
 def _i64p(a: np.ndarray):
@@ -299,7 +345,7 @@ def format_fastq(name_buf: bytes, seq_buf: bytes, qual_buf: bytes,
     out_total = (name_total * (2 if plus_name else 1)
                  + 2 * len(seq_buf) + 6 * n)
     out = _fresh(out_total)
-    lens = np.ascontiguousarray(lens, np.uint32)
+    _lk, lp, _ = u32_buf(lens)
     _, np_ = _u8(name_buf)
     _, sp = _u8(seq_buf)
     _, qp = _u8(qual_buf)
@@ -309,8 +355,7 @@ def format_fastq(name_buf: bytes, seq_buf: bytes, qual_buf: bytes,
     else:
         op = ctypes.cast((ctypes.c_uint8 * len(out)).from_buffer(out), u8)
     rc = L.fqz5_format_fastq(
-        np_, len(name_buf), sp, qp,
-        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
+        np_, len(name_buf), sp, qp, lp, n,
         1 if plus_name else 0, op)
     if rc != out_total:
         raise ValueError("malformed name buffer in format_fastq")
@@ -346,16 +391,16 @@ def parse_fastq_chunk(data: np.ndarray):
     return tuple(a[:n].copy() for a in arrs) + (int(tail[0]),)
 
 
-def derive_flags(name_buf: bytes, nrec: int) -> np.ndarray:
-    """Decode-side FREAD2 flag rebuild (fqzcomp5.c:2344-2374)."""
+def derive_flags(name_buf: bytes, nrec: int):
+    """Decode-side FREAD2 flag rebuild (fqzcomp5.c:2344-2374).
+    Returns a stdlib array('I') (numpy-free decode path)."""
     L = lib()
-    flags = np.zeros(nrec, np.uint32)
+    flags = array("I", bytes(4 * nrec))
     if nrec == 0:
         return flags
+    _fk, fp, _ = u32_buf(flags)
     _, np_ = _u8(name_buf)
-    rc = L.fqz5_derive_flags(
-        np_, len(name_buf), nrec,
-        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    rc = L.fqz5_derive_flags(np_, len(name_buf), nrec, fp)
     if rc != nrec:
         raise ValueError("name buffer truncated while deriving flags")
     return flags
@@ -388,20 +433,20 @@ def split_names(name_buf: bytes):
 
 def join_names(ids: bytes, flags: bytes, comments: bytes):
     """Inverse of split_names under reference decode semantics
-    (fqzcomp5.c:1722-1760).  Returns (name_buf, fread2 uint32 array)."""
+    (fqzcomp5.c:1722-1760).  Returns (name_buf, fread2 array('I'))."""
     L = lib()
     nrec_max = ids.count(0) + 1
     cap = len(ids) + len(comments) + 4 * nrec_max + 16
-    out = np.empty(cap, np.uint8)
-    fread2 = np.zeros(nrec_max, np.uint32)
+    out = bytearray(cap)
+    fread2 = array("I", bytes(4 * nrec_max))
+    _ok, op = _u8(out)
+    _fk, fp, _ = u32_buf(fread2)
     _, idp = _u8(ids)
     _, flp = _u8(flags)
     _, cop = _u8(comments)
     n = L.fqz5_join_names(
-        idp, len(ids), flp, len(flags), cop, len(comments),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        fread2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        idp, len(ids), flp, len(flags), cop, len(comments), op, fp)
     if n < 0:
         raise ValueError("join_names failed")
     nrec = ids.count(0)
-    return out[:n].tobytes(), fread2[:nrec]
+    return take(out, n), fread2[:nrec]

@@ -20,7 +20,7 @@ import gzip
 import io
 from typing import Iterator, Optional
 
-import numpy as np
+from fqzcomp5_tpu.utils.lazy_np import np
 
 from fqzcomp5_tpu.constants import FQZ_FREAD2
 
@@ -345,7 +345,7 @@ def _merge_batches(parts: list[FastqBatch],
                    dup_rule: bool = True) -> FastqBatch:
     if len(parts) == 1:
         return parts[0]
-    flags = [p.flags.copy() for p in parts]
+    flags = [np.array(p.flags, np.uint32) for p in parts]
     # boundary duplicate-name rule: first record of each part vs the
     # previous part's final name (not applicable to interleaved parts,
     # whose flags are positional)
@@ -363,7 +363,7 @@ def _merge_batches(parts: list[FastqBatch],
             first_end = len(cb)
         if pb[last_start:len(pb) - 1] == cb[:first_end]:
             flags[i][0] = FQZ_FREAD2
-    lens = np.concatenate([p.lens for p in parts])
+    lens = np.concatenate([np.asarray(p.lens, np.uint32) for p in parts])
     first = int(lens[0]) if lens.size else 0
     return FastqBatch(
         name_buf=b"".join(p.name_buf for p in parts),
@@ -664,7 +664,7 @@ def open_input(path: Optional[str]):
 
 def format_fastq(batch: FastqBatch, plus_name: bool = False) -> bytes:
     names = batch.names()
-    lens = batch.lens.astype(np.int64)
+    lens = np.asarray(batch.lens, np.uint32).astype(np.int64)
     n = batch.num_records
     out = io.BytesIO()
     sq = np.frombuffer(batch.seq_buf, np.uint8)
@@ -691,7 +691,7 @@ def format_fastq(batch: FastqBatch, plus_name: bool = False) -> bytes:
 
 def format_fasta(batch: FastqBatch) -> bytes:
     names = batch.names()
-    lens = batch.lens.astype(np.int64)
+    lens = np.asarray(batch.lens, np.uint32).astype(np.int64)
     n = batch.num_records
     offs = np.zeros(n + 1, np.int64)
     np.cumsum(lens, out=offs[1:])
@@ -714,7 +714,9 @@ def split_batch(batch: FastqBatch) -> tuple[FastqBatch, FastqBatch]:
     from fqzcomp5_tpu.fastq_fast import concat_ranges
 
     n = batch.num_records
-    lens = batch.lens.astype(np.int64)
+    blens = np.asarray(batch.lens, np.uint32)
+    bflags = np.asarray(batch.flags, np.uint32)
+    lens = blens.astype(np.int64)
     offs = np.zeros(n + 1, np.int64)
     np.cumsum(lens, out=offs[1:])
     nb = np.frombuffer(batch.name_buf, np.uint8)
@@ -728,14 +730,14 @@ def split_batch(batch: FastqBatch) -> tuple[FastqBatch, FastqBatch]:
     halves = []
     for parity in (0, 1):
         sel = np.arange(parity, n, 2)
-        ls = batch.lens[sel] if sel.size else np.zeros(0, np.uint32)
+        ls = blens[sel] if sel.size else np.zeros(0, np.uint32)
         halves.append(FastqBatch(
             name_buf=concat_ranges(nb, nstart[sel], nend[sel]).tobytes(),
             seq_buf=concat_ranges(sq, offs[sel], offs[sel + 1]).tobytes(),
             qual_buf=concat_ranges(ql, offs[sel], offs[sel + 1]).tobytes()
             if len(ql) else b"",
             lens=ls,
-            flags=batch.flags[sel] if sel.size else np.zeros(0, np.uint32),
+            flags=bflags[sel] if sel.size else np.zeros(0, np.uint32),
             fixed_len=max(_fixed_len(ls), 0), is_fasta=batch.is_fasta,
         ))
     return halves[0], halves[1]

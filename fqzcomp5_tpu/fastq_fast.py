@@ -9,7 +9,7 @@ length computation.  Anything unusual falls back to the generic path.
 
 from __future__ import annotations
 
-import numpy as np
+from fqzcomp5_tpu.utils.lazy_np import np
 
 from fqzcomp5_tpu.constants import FQZ_FREAD2
 
@@ -303,7 +303,7 @@ def format_fastq_fast(batch, plus_name: bool = False) -> bytes:
     name_s[0] = 0
     name_s[1:] = nul[:-1] + 1
     name_lens = name_e - name_s
-    lens = batch.lens.astype(np.int64)
+    lens = np.asarray(batch.lens, np.uint32).astype(np.int64)
     soff = np.concatenate([[0], np.cumsum(lens)])
 
     plus_extra = name_lens if plus_name else np.zeros(n, np.int64)
@@ -378,8 +378,8 @@ def interleave_batches(b1, b2):
         scatter_ranges(out, dst[1::2], concat_ranges(a2, o2, o2 + l2), l2)
         return out.tobytes()
 
-    l1 = b1.lens.astype(np.int64)
-    l2 = b2.lens.astype(np.int64)
+    l1 = np.asarray(b1.lens, np.uint32).astype(np.int64)
+    l2 = np.asarray(b2.lens, np.uint32).astype(np.int64)
     seq_buf = interleave_payload(b1.seq_buf, b2.seq_buf, l1, l2)
     qual_buf = b""
     if not b1.is_fasta:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import struct
 
-import numpy as np
+from fqzcomp5_tpu.utils.lazy_np import np
 
 from fqzcomp5_tpu.codecs import host
 from fqzcomp5_tpu.constants import FQZ_FREAD2

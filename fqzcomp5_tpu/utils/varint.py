@@ -6,7 +6,7 @@ continuation bit (0x80) set on every byte except the last.
 
 from __future__ import annotations
 
-import numpy as np
+from fqzcomp5_tpu.utils.lazy_np import np
 
 
 def put_u64(value: int) -> bytes:
@@ -92,13 +92,31 @@ def put_array_u32(values) -> bytes:
     return out.tobytes()
 
 
-def get_array_u32(buf, off: int, count: int) -> tuple[np.ndarray, int]:
-    """Vectorised decode of `count` consecutive u32 varints.
+def get_array_u32(buf, off: int, count: int):
+    """Decode `count` consecutive u32 varints.
 
-    Returns (values, new_offset).
+    Returns (values, new_offset).  The native C walk returns a stdlib
+    array('I') and keeps the decode CLI path numpy-free (cold-start:
+    numpy is ~300ms); the numpy formulation below is the fallback when
+    the native library is unavailable.
     """
+    from array import array
+
     if count == 0:
-        return np.zeros(0, dtype=np.uint32), off
+        return array("I"), off
+    try:
+        from fqzcomp5_tpu.codecs import native
+
+        L = native.lib()
+        vals = array("I", bytes(4 * count))
+        _vk, vp, _ = native.u32_buf(vals)
+        _bk, bp = native._u8(buf)
+        end = L.fqz5_varint_get_u32_array(bp, len(buf), off, count, vp)
+        if end < 0:
+            raise ValueError("truncated varint stream")
+        return vals, int(end)
+    except (OSError, AttributeError):
+        pass  # library missing/stale: numpy fallback below
     data = np.frombuffer(buf, dtype=np.uint8)
     # Terminator bytes have the top bit clear.  u32 varints are at most
     # 6 bytes, so only a bounded window needs scanning (not the whole

@@ -318,4 +318,46 @@ int64_t fqz5_format_fastq(const uint8_t* names, int64_t names_len,
     return o - out;
 }
 
+// Decode `count` consecutive big-endian base-128 u32 varints
+// (htscodecs varint.h:267-290 semantics: at most 5 continuation bytes
+// honoured per value).  Returns the new offset, or -1 on truncation.
+// C replacement for the numpy-vectorised utils/varint.py walk so the
+// decode CLI path stays numpy-free (cold-start: numpy is ~300ms).
+int64_t fqz5_varint_get_u32_array(const uint8_t* in, int64_t in_size,
+                                  int64_t off, int64_t count,
+                                  uint32_t* out) {
+    for (int64_t i = 0; i < count; i++) {
+        uint32_t j = 0;
+        int n = 5;
+        do {
+            if (off >= in_size) return -1;
+            uint8_t c = in[off++];
+            j = (j << 7) | (c & 0x7F);
+            if (!(c & 0x80)) break;
+        } while (n-- > 0);
+        out[i] = j;
+    }
+    return off;
+}
+
+// Encode `count` u32 values as big-endian base-128 varints.  `out`
+// needs at most 5*count bytes.  Returns bytes written.
+int64_t fqz5_varint_put_u32_array(const uint32_t* vals, int64_t count,
+                                  uint8_t* out) {
+    uint8_t* o = out;
+    for (int64_t i = 0; i < count; i++) {
+        uint32_t v = vals[i];
+        uint8_t tmp[5];
+        int k = 0;
+        tmp[k++] = uint8_t(v & 0x7F);
+        v >>= 7;
+        while (v) {
+            tmp[k++] = uint8_t((v & 0x7F) | 0x80);
+            v >>= 7;
+        }
+        while (k) *o++ = tmp[--k];
+    }
+    return o - out;
+}
+
 }  // extern "C"
