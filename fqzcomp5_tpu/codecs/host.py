@@ -60,14 +60,14 @@ def seq_decode(comp: bytes, lens, both_strands: int, ctx_size: int,
                out_size: int) -> bytes:
     L = native.lib()
     _lk, lensp, nlens = native.u32_buf(lens)
-    out, outp = _out(out_size)
+    out, outp = native.fresh_out(out_size)
     inp, _keep = _ptr(comp)
     rc = L.fqz5_seq_decode(
         inp, len(comp), lensp, nlens, both_strands, ctx_size,
         outp, out_size)
     if rc < 0:
         raise ValueError("seq_decode failed")
-    return native.take(out, out_size)
+    return native.seal_out(out, out_size)
 
 
 def fqz_compress(qual: bytes, lens, flags, seq_buf: bytes | None,
@@ -99,7 +99,7 @@ def fqz_compress(qual: bytes, lens, flags, seq_buf: bytes | None,
 def fqz_decompress(comp: bytes, out_size: int,
                    seq_buf: bytes | None = None) -> bytes:
     L = native.lib()
-    out, outp = _out(out_size)
+    out, outp = native.fresh_out(out_size)
     inp, _keep = _ptr(comp)
     if seq_buf is None:
         seqp = ctypes.cast(0, _u8p)
@@ -109,7 +109,7 @@ def fqz_decompress(comp: bytes, out_size: int,
     rc = L.fqz5_fqz_decompress(inp, len(comp), outp, out_size, seqp)
     if rc < 0:
         raise ValueError("fqz_decompress failed")
-    return native.take(out, rc)
+    return native.seal_out(out, rc)
 
 
 def lzp(data: bytes) -> bytes:
@@ -125,12 +125,12 @@ def lzp(data: bytes) -> bytes:
 
 def unlzp(data: bytes, out_size: int) -> bytes:
     L = native.lib()
-    out, outp = _out(out_size + 1024)
+    out, outp = native.fresh_out(out_size)
     inp, _keep = _ptr(data)
-    rc = L.fqz5_unlzp(inp, len(data), outp, out_size + 1024)
+    rc = L.fqz5_unlzp(inp, len(data), outp, out_size)
     if rc < 0:
         raise ValueError("unlzp failed")
-    return native.take(out, rc)
+    return native.seal_out(out, rc)
 
 
 def arith_compress(data: bytes, order: int) -> bytes:

@@ -167,6 +167,30 @@ def take(buf, n: int) -> bytes:
     return bytes(memoryview(buf)[:n])
 
 
+def fresh_out(n: int) -> tuple:
+    """(writable fresh bytes-like of EXACTLY n bytes, u8 pointer).
+
+    Decoders whose output size is known up front write straight into
+    the final bytes object (reference analog: rans_uncompress_to_4x16
+    decodes into the caller buffer) — no scratch + take() copy, which
+    cost a full memcpy pass per multi-MB section."""
+    out = _fresh(n)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    if isinstance(out, bytes):
+        op = ctypes.cast(ctypes.c_char_p(out), u8)
+    else:
+        op = (ctypes.cast((ctypes.c_uint8 * len(out)).from_buffer(out), u8)
+              if len(out) else ctypes.cast(1, u8))
+    return out, op
+
+
+def seal_out(out, rc: int) -> bytes:
+    """Finalise a fresh_out buffer: exact-size hit returns it as-is."""
+    if rc == len(out) and isinstance(out, bytes):
+        return out
+    return bytes(memoryview(out)[:rc])
+
+
 def _u8(buf) -> tuple:
     """(keep-alive, u8 pointer) for any bytes-like or ndarray input.
     Pure ctypes for bytes/bytearray/memoryview (numpy-free); c_char_p
@@ -239,13 +263,12 @@ def rans_uncompress(data: bytes, out_hint: int | None = None) -> bytes:
     else:
         osz = out_hint
         know = 1
-    cap = osz + 64
-    out, outp = out_scratch(cap)
+    out, outp = fresh_out(osz)
     src, src_p = _u8(data)
-    rc = L.fqz5_rans_uncompress(src_p, n, outp, cap, osz, know)
+    rc = L.fqz5_rans_uncompress(src_p, n, outp, osz, osz, know)
     if rc < 0:
         raise ValueError("rans_uncompress failed")
-    return take(out, rc)
+    return seal_out(out, rc)
 
 
 def _i64p(a: np.ndarray):
