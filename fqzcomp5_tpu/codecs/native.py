@@ -116,6 +116,10 @@ def _register_optional(L: ctypes.CDLL) -> None:
          [u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u32p]),
         ("fqz5_varint_put_u32_array", ctypes.c_int64,
          [u32p, ctypes.c_int64, u8p]),
+        ("fqz5_pack_cut", ctypes.c_int64,
+         [i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+          ctypes.c_int64, ctypes.c_int64, i64p]),
+        ("fqz5_sum_i64", ctypes.c_int64, [i64p, ctypes.c_int64]),
     ]:
         try:
             fn = getattr(L, name)
@@ -275,6 +279,44 @@ def _i64p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
+def _u8_at(buf, off: int):
+    """(keep-alive, u8 pointer at byte offset off) into a bytes-like."""
+    keep, p = _u8(buf)
+    if off:
+        p = ctypes.cast(ctypes.cast(p, ctypes.c_void_p).value + off,
+                        ctypes.POINTER(ctypes.c_uint8))
+    return keep, p
+
+
+def i64_buf(x) -> tuple:
+    """(keep-alive, i64 pointer) for array('q'), ctypes i64 array, or
+    ndarray (numpy-free for the stdlib kinds)."""
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    if isinstance(x, array) and x.typecode == "q":
+        if len(x) == 0:
+            return x, ctypes.cast(1, i64)
+        keep = (ctypes.c_int64 * len(x)).from_buffer(x)
+        return keep, ctypes.cast(keep, i64)
+    if isinstance(x, ctypes.Array):
+        return x, ctypes.cast(x, i64)
+    arr = np.ascontiguousarray(x, np.int64)
+    return arr, _i64p(arr)
+
+
+def pack_cut(core_len, seq_s, seq_e, cur: int, budget: int,
+             min_take: int) -> tuple:
+    """Block-packing cut over parsed record ranges (C scan; see
+    fqz5_pack_cut).  Returns (k, taken_acc_total)."""
+    L = lib()
+    taken = (ctypes.c_int64 * 1)()
+    _k1, cp = i64_buf(core_len)
+    _k2, sp = i64_buf(seq_s)
+    _k3, ep = i64_buf(seq_e)
+    k = L.fqz5_pack_cut(cp, sp, ep, len(core_len), cur, budget,
+                        min_take, taken)
+    return int(k), int(taken[0])
+
+
 def gather_ranges(data: np.ndarray, starts: np.ndarray,
                   ends: np.ndarray, total: int) -> np.ndarray:
     """Concatenate data[starts[i]:ends[i]] via the native memcpy kernel."""
@@ -308,55 +350,53 @@ def scatter_ranges(dst: np.ndarray, dst_starts: np.ndarray,
         _i64p(dst_starts), sp, _i64p(lens), len(lens))
 
 
-def build_soa(data: np.ndarray, name_s, name_e, core_len, seq_s,
-              seq_e, qual_s):
+def sum_i64(a) -> int:
+    """C-speed sum of an int64 buffer (array('q') or ndarray)."""
+    if len(a) == 0:
+        return 0
+    L = lib()
+    _k, p = i64_buf(a)
+    return int(L.fqz5_sum_i64(p, len(a)))
+
+
+def _sum_pairs(a, b) -> int:
+    """sum(b[i] - a[i]) for two equal-length int sequences."""
+    return sum_i64(b) - sum_i64(a)
+
+
+def build_soa(data, name_s, name_e, core_len, seq_s, seq_e, qual_s,
+              off: int = 0):
     """One-pass SoA materialisation (name/seq/qual buffers, lens,
-    FREAD2 flags) from parsed record ranges.  Returns
-    (name_buf bytes, seq_buf bytes, qual_buf bytes, lens u32,
-    flags u32)."""
+    FREAD2 flags) from parsed record ranges.  `data` is any bytes-like
+    (offsets are relative to `off`) or an ndarray.  Returns
+    (name_buf bytes, seq_buf bytes, qual_buf bytes, lens array('I'),
+    flags array('I'))."""
     L = lib()
     n = len(name_s)
-    name_s = np.ascontiguousarray(name_s, np.int64)
-    name_e = np.ascontiguousarray(name_e, np.int64)
-    core_len = np.ascontiguousarray(core_len, np.int64)
-    seq_s = np.ascontiguousarray(seq_s, np.int64)
-    seq_e = np.ascontiguousarray(seq_e, np.int64)
-    qual_s = np.ascontiguousarray(qual_s, np.int64)
-    nb_total = int((name_e - name_s).sum()) + n
-    sq_total = int((seq_e - seq_s).sum())
-    # C++ fills fresh PyBytes buffers in place: no numpy scratch +
-    # tobytes double copy (see _fresh).
-    name_buf = _fresh(nb_total)
-    seq_buf = _fresh(sq_total)
-    qual_buf = _fresh(sq_total)
-    lens = np.empty(max(n, 1), np.uint32)
-    flags = np.empty(max(n, 1), np.uint32)
-    data = np.ascontiguousarray(data)
-    _, dp = _u8(data)
-    u8 = ctypes.POINTER(ctypes.c_uint8)
-    u32 = ctypes.POINTER(ctypes.c_uint32)
-
-    def _wp(buf):
-        if isinstance(buf, bytes):
-            return ctypes.cast(ctypes.c_char_p(buf), u8)
-        if len(buf) == 0:
-            return ctypes.cast(1, u8)
-        return ctypes.cast((ctypes.c_uint8 * len(buf))
-                           .from_buffer(buf), u8)
-
-    rc = L.fqz5_build_soa(
-        dp, n, _i64p(name_s), _i64p(name_e), _i64p(core_len),
-        _i64p(seq_s), _i64p(seq_e), _i64p(qual_s),
-        _wp(name_buf), _wp(seq_buf), _wp(qual_buf),
-        lens.ctypes.data_as(u32), flags.ctypes.data_as(u32))
+    nb_total = _sum_pairs(name_s, name_e) + n
+    sq_total = _sum_pairs(seq_s, seq_e)
+    # C++ fills fresh PyBytes buffers in place: no scratch + copy.
+    name_buf, np_ptr = fresh_out(nb_total)
+    seq_buf, sp_ptr = fresh_out(sq_total)
+    qual_buf, qp_ptr = fresh_out(sq_total)
+    lens = array("I", bytes(4 * max(n, 1)))
+    flags = array("I", bytes(4 * max(n, 1)))
+    if type(data).__name__ == "ndarray":
+        data = np.ascontiguousarray(data)
+    _dk, dp = _u8_at(data, off)
+    _k1, p1 = i64_buf(name_s)
+    _k2, p2 = i64_buf(name_e)
+    _k3, p3 = i64_buf(core_len)
+    _k4, p4 = i64_buf(seq_s)
+    _k5, p5 = i64_buf(seq_e)
+    _k6, p6 = i64_buf(qual_s)
+    _lk, lp, _ = u32_buf(lens)
+    _fk, fp, _ = u32_buf(flags)
+    rc = L.fqz5_build_soa(dp, n, p1, p2, p3, p4, p5, p6,
+                          np_ptr, sp_ptr, qp_ptr, lp, fp)
     assert rc == nb_total, (rc, nb_total)
-    return (bytes(name_buf) if isinstance(name_buf, bytearray)
-            else name_buf,
-            bytes(seq_buf) if isinstance(seq_buf, bytearray)
-            else seq_buf,
-            bytes(qual_buf) if isinstance(qual_buf, bytearray)
-            else qual_buf,
-            lens[:n], flags[:n])
+    return (seal_out(name_buf, nb_total), seal_out(seq_buf, sq_total),
+            seal_out(qual_buf, sq_total), lens[:n], flags[:n])
 
 
 def format_fastq(name_buf: bytes, seq_buf: bytes, qual_buf: bytes,
@@ -385,33 +425,38 @@ def format_fastq(name_buf: bytes, seq_buf: bytes, qual_buf: bytes,
     return bytes(out) if isinstance(out, bytearray) else out
 
 
-def parse_fastq_chunk(data: np.ndarray):
-    """Single-pass 4-line FASTQ chunk scan.  Returns
-    (name_s, name_e, core_len, seq_s, seq_e, qual_s, tail) or None when
-    the chunk needs the generic-parser fallback."""
+def parse_fastq_chunk(buf, off: int = 0, size: int | None = None):
+    """Single-pass 4-line FASTQ chunk scan over buf[off:off+size].
+    Returns (name_s, name_e, core_len, seq_s, seq_e, qual_s, tail) as
+    stdlib array('q') — offsets relative to `off` — or None when the
+    chunk needs the generic-parser fallback.  numpy-free: this is the
+    encode CLI path (cold-start: numpy is ~300ms)."""
     L = lib()
-    size = int(data.size)
+    if size is None:
+        size = len(buf) - off
     max_rec = size // 6 + 2  # minimal record "@\n\n+\n\n" is 6 bytes
     # Reusable scratch: the worst-case bound is ~size/6 entries per
     # array (6 x 21MB per 16MB chunk); allocating fresh ones per chunk
     # dominated parse cost.  The used prefix (~n entries) is copied out
     # because ParsedRecords outlives the next chunk.
     arrs = getattr(_scratch, "parse_arrs", None)
-    if arrs is None or arrs[0].size < max_rec:
+    if arrs is None or len(arrs[0]) < max_rec:
         # +1/8 headroom: chunk sizes wobble by the carried tail, and
         # re-allocating 6 x ~20MB per chunk defeats the reuse
-        arrs = [np.empty(max_rec + (max_rec >> 3), np.int64)
-                for _ in range(6)]
+        cap = max_rec + (max_rec >> 3)
+        arrs = [(ctypes.c_int64 * cap)() for _ in range(6)]
         _scratch.parse_arrs = arrs
-    tail = np.zeros(1, np.int64)
-    data = np.ascontiguousarray(data)
-    _, dp = _u8(data)
+    tail = (ctypes.c_int64 * 1)()
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    _dk, dp = _u8_at(buf, off)
     rc = L.fqz5_parse_fastq_chunk(
-        dp, size, max_rec, *[_i64p(a) for a in arrs], _i64p(tail))
+        dp, size, max_rec, *[ctypes.cast(a, i64) for a in arrs],
+        ctypes.cast(tail, i64))
     if rc < 0:
         return None
     n = int(rc)
-    return tuple(a[:n].copy() for a in arrs) + (int(tail[0]),)
+    out = tuple(array("q", bytes(memoryview(a)[:n])) for a in arrs)
+    return out + (int(tail[0]),)
 
 
 def derive_flags(name_buf: bytes, nrec: int):

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import gzip
 import io
+from array import array as _stdarray
 from typing import Iterator, Optional
 
 from fqzcomp5_tpu.utils.lazy_np import np
@@ -232,14 +233,20 @@ class Parser:
                     self._pos = 0
                 else:
                     self._eof = True
-            avail = memoryview(self._buf)[self._pos:]
-            if len(avail) == 0:
+            avail_len = len(self._buf) - self._pos
+            if avail_len == 0:
                 return False
-            data = np.frombuffer(avail, np.uint8)
-            if self._eof and data[-1] != 10:
+            # Numpy-free native path first (the encode CLI's hot path);
+            # the vectorised numpy parse remains the fallback.
+            if self._eof and not self._buf.endswith(b"\n"):
                 # clean tail without trailing newline: virtually add one
-                data = np.concatenate([data, np.array([10], np.uint8)])
-            r = fastq_fast.parse_chunk(data)
+                pbuf, poff = self._buf[self._pos:] + b"\n", 0
+            else:
+                pbuf, poff = self._buf, self._pos
+            r = fastq_fast.parse_chunk_raw(pbuf, poff, len(pbuf) - poff)
+            if r is None:
+                data = np.frombuffer(pbuf, np.uint8)[poff:]
+                r = fastq_fast.parse_chunk(data)
             if r is None:
                 self._fast_ok = False
                 return False
@@ -252,7 +259,7 @@ class Parser:
                 continue  # need more bytes for even one record
             self._fast_seg = recs
             self._fast_cursor = 0
-            if tail >= len(avail):
+            if tail >= avail_len:
                 self._pos = len(self._buf)
             else:
                 self._pos += tail
@@ -269,15 +276,26 @@ class Parser:
                 return None, budget
         seg = self._fast_seg
         cur = self._fast_cursor
-        acc = np.cumsum(seg.acc_size[cur:])
-        k = int(np.searchsorted(acc, budget, side="right"))
-        if k == 0:
-            if not force_one:
+        if isinstance(seg.core_len, _stdarray):
+            # native segment: C scan, no numpy import on this path
+            from fqzcomp5_tpu.codecs import native
+
+            k, total = native.pack_cut(seg.core_len, seg.seq_s,
+                                       seg.seq_e, cur, budget,
+                                       1 if force_one else 0)
+            if k == 0:
                 return None, budget
-            k = 1
+        else:
+            acc = np.cumsum(seg.acc_size[cur:])
+            k = int(np.searchsorted(acc, budget, side="right"))
+            if k == 0:
+                if not force_one:
+                    return None, budget
+                k = 1
+            total = int(acc[k - 1])
         taken = seg.slice(cur, cur + k)
         self._fast_cursor = cur + k
-        return taken, budget - int(acc[k - 1])
+        return taken, budget - total
 
     # -- block packing -----------------------------------------------------
     def next_batch(self, blk_size: int) -> Optional[FastqBatch]:
@@ -341,10 +359,46 @@ class Parser:
         return batch
 
 
+def _merge_batches_arr(parts: list[FastqBatch],
+                       dup_rule: bool) -> FastqBatch:
+    """Numpy-free merge for native-path batches (array('I') fields)."""
+    flags = [_stdarray("I", p.flags) for p in parts]
+    for i in range(1, len(parts) if dup_rule else 0):
+        pb = parts[i - 1].name_buf
+        cb = parts[i].name_buf
+        if not pb or not cb or flags[i][0]:
+            continue
+        last_start = pb.rfind(b"\x00", 0, len(pb) - 1) + 1
+        first_end = cb.find(b"\x00")
+        if first_end < 0:
+            first_end = len(cb)
+        if pb[last_start:len(pb) - 1] == cb[:first_end]:
+            flags[i][0] = FQZ_FREAD2
+    lens = _stdarray("I")
+    for p in parts:
+        lens.frombytes(bytes(memoryview(p.lens)))
+    fl = _stdarray("I")
+    for f in flags:
+        fl.frombytes(bytes(memoryview(f)))
+    n = len(lens)
+    first = int(lens[0]) if n else 0
+    return FastqBatch(
+        name_buf=b"".join(p.name_buf for p in parts),
+        seq_buf=b"".join(p.seq_buf for p in parts),
+        qual_buf=b"".join(p.qual_buf for p in parts),
+        lens=lens,
+        flags=fl,
+        fixed_len=first if n and lens.count(first) == n else 0,
+        is_fasta=parts[0].is_fasta,
+    )
+
+
 def _merge_batches(parts: list[FastqBatch],
                    dup_rule: bool = True) -> FastqBatch:
     if len(parts) == 1:
         return parts[0]
+    if all(isinstance(p.lens, _stdarray) for p in parts):
+        return _merge_batches_arr(parts, dup_rule)
     flags = [np.array(p.flags, np.uint32) for p in parts]
     # boundary duplicate-name rule: first record of each part vs the
     # previous part's final name (not applicable to interleaved parts,
@@ -431,10 +485,10 @@ def scan_blocks(path: str, blk_size: int):
                     eof = True
             if not buf:
                 break
-            data = np.frombuffer(buf, np.uint8)
-            if eof and data[-1] != 10:
-                data = np.concatenate([data, np.array([10], np.uint8)])
-            r = fastq_fast.parse_chunk(data)
+            pbuf = buf + b"\n" if eof and not buf.endswith(b"\n") else buf
+            r = fastq_fast.parse_chunk_raw(pbuf, 0, len(pbuf))
+            if r is None:
+                r = fastq_fast.parse_chunk(np.frombuffer(pbuf, np.uint8))
             if r is None:
                 return None
             recs, tail = r
@@ -445,8 +499,9 @@ def scan_blocks(path: str, blk_size: int):
             if eof and tail < len(buf):
                 return None  # unclean tail after the last record
             # absolute record starts ('@' byte) and per-record seq lens
-            rstart = base + recs.name_s.astype(np.int64) - 1
-            slens = (recs.seq_e - recs.seq_s).astype(np.int64)
+            rstart = base + np.asarray(recs.name_s, np.int64) - 1
+            slens = (np.asarray(recs.seq_e, np.int64)
+                     - np.asarray(recs.seq_s, np.int64))
             acc = recs.acc_size
             cur = 0
             n = recs.n

@@ -90,10 +90,16 @@ def scatter_ranges(dst: np.ndarray, dst_starts, src_cat: np.ndarray,
 
 
 class ParsedRecords:
-    """SoA for a chunk of clean 4-line FASTQ records."""
+    """SoA for a chunk of clean 4-line FASTQ records.
+
+    Index fields are stdlib array('q') on the native path (the encode
+    CLI stays numpy-free; see utils/lazy_np.py) or int64 ndarrays on
+    the fallback path.  ``data`` is either an ndarray over the chunk or
+    a ("raw", buf, off) tuple whose offsets the fields are relative to.
+    """
 
     __slots__ = ("data", "name_s", "name_e", "core_len", "seq_s", "seq_e",
-                 "qual_s", "acc_size")
+                 "qual_s", "_acc")
 
     def __init__(self, data, name_s, name_e, core_len, seq_s, seq_e, qual_s):
         self.data = data
@@ -103,8 +109,18 @@ class ParsedRecords:
         self.seq_s = seq_s
         self.seq_e = seq_e
         self.qual_s = qual_s
-        # kseq block accounting: core name + 1 + seq + qual
-        self.acc_size = (core_len + 1 + 2 * (seq_e - seq_s)).astype(np.int64)
+        self._acc = None
+
+    @property
+    def acc_size(self):
+        """kseq block accounting: core name + 1 + seq + qual (ndarray;
+        only the numpy-using callers — paired/scan — touch this)."""
+        if self._acc is None:
+            cl = np.asarray(self.core_len, np.int64)
+            ss = np.asarray(self.seq_s, np.int64)
+            se = np.asarray(self.seq_e, np.int64)
+            self._acc = cl + 1 + 2 * (se - ss)
+        return self._acc
 
     @property
     def n(self):
@@ -115,6 +131,24 @@ class ParsedRecords:
                              self.name_e[lo:hi], self.core_len[lo:hi],
                              self.seq_s[lo:hi], self.seq_e[lo:hi],
                              self.qual_s[lo:hi])
+
+
+def parse_chunk_raw(buf, off: int, size: int):
+    """Numpy-free chunk parse over buf[off:off+size] (native only).
+
+    Returns (ParsedRecords with ("raw", buf, off) data, tail_offset)
+    or None when the chunk isn't clean 4-line FASTQ — or the native
+    library is unavailable (caller falls back to parse_chunk)."""
+    if size <= 0 or not _have_native():
+        return None
+    from fqzcomp5_tpu.codecs import native
+
+    r = native.parse_fastq_chunk(buf, off, size)
+    if r is None:
+        return None
+    name_s, name_e, core_len, seq_s, seq_e, qual_s, tail = r
+    return ParsedRecords(("raw", buf, off), name_s, name_e, core_len,
+                         seq_s, seq_e, qual_s), tail
 
 
 def parse_chunk(data: np.ndarray):
@@ -191,11 +225,18 @@ def compute_flags(data: np.ndarray, recs: ParsedRecords) -> np.ndarray:
     """Vectorised FREAD2 flags (suffix '/2' or duplicate-of-previous)."""
     n = recs.n
     flags = np.zeros(n, np.uint32)
-    lens = recs.name_e - recs.name_s
+    name_s = np.asarray(recs.name_s, np.int64)
+    name_e = np.asarray(recs.name_e, np.int64)
+    recs = ParsedRecords(recs.data, name_s, name_e,
+                         np.asarray(recs.core_len, np.int64),
+                         np.asarray(recs.seq_s, np.int64),
+                         np.asarray(recs.seq_e, np.int64),
+                         np.asarray(recs.qual_s, np.int64))
+    lens = name_e - name_s
     long_enough = lens > 1
     last1 = np.where(long_enough, data[np.minimum(
-        recs.name_e - 1, len(data) - 1)], 0)
-    last2 = np.where(long_enough, data[np.maximum(recs.name_e - 2, 0)], 0)
+        name_e - 1, len(data) - 1)], 0)
+    last2 = np.where(long_enough, data[np.maximum(name_e - 2, 0)], 0)
     flags[(last2 == ord("/")) & (last1 == ord("2")) & long_enough] = FQZ_FREAD2
 
     # duplicate-name check: filter candidates by (length, byte-sum)
@@ -242,15 +283,17 @@ def build_batch(recs: ParsedRecords):
 
     data = recs.data
     n = recs.n
-    if n and _have_native() and data.dtype == np.uint8:
+    raw = isinstance(data, tuple)
+    if n and _have_native() and (raw or data.dtype == np.uint8):
         # one C++ pass builds all three buffers + lens + flags
         from fqzcomp5_tpu.codecs import native
 
         nb, sb, qb, lens32, flags = native.build_soa(
-            data, recs.name_s, recs.name_e, recs.core_len,
-            recs.seq_s, recs.seq_e, recs.qual_s)
+            data[1] if raw else data, recs.name_s, recs.name_e,
+            recs.core_len, recs.seq_s, recs.seq_e, recs.qual_s,
+            off=data[2] if raw else 0)
         first = int(lens32[0])
-        fixed = first if bool((lens32 == first).all()) else 0
+        fixed = first if lens32.count(first) == n else 0
         return FastqBatch(name_buf=nb, seq_buf=sb, qual_buf=qb,
                           lens=lens32, flags=flags, fixed_len=fixed,
                           is_fasta=False)

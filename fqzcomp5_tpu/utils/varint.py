@@ -60,9 +60,21 @@ def get_u64(buf, off: int = 0) -> tuple[int, int]:
 def put_array_u32(values) -> bytes:
     """Vectorised encode of many u32 varints (used for length streams).
 
-    Equivalent to concatenating put_u32 over `values` but done with
-    numpy so multi-million-record length sections don't loop in Python.
+    The native C walk keeps the encode CLI numpy-free; the numpy
+    formulation below is the fallback when the library is unavailable.
     """
+    n = len(values)
+    if n:
+        try:
+            from fqzcomp5_tpu.codecs import native
+
+            L = native.lib()
+            _vk, vp, cnt = native.u32_buf(values)
+            out, outp = native.fresh_out(5 * cnt)
+            w = L.fqz5_varint_put_u32_array(vp, cnt, outp)
+            return native.seal_out(out, int(w))
+        except (OSError, AttributeError):
+            pass  # library missing/stale: numpy fallback below
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""

@@ -318,6 +318,33 @@ int64_t fqz5_format_fastq(const uint8_t* names, int64_t names_len,
     return o - out;
 }
 
+int64_t fqz5_sum_i64(const int64_t* a, int64_t n) {
+    int64_t s = 0;
+    for (int64_t i = 0; i < n; i++) s += a[i];
+    return s;
+}
+
+// Block-packing cut (fqzcomp5.c:470-478 accounting): scan records
+// starting at `cur`, accumulating acc[i] = core_len + 1 + 2*seq_len,
+// until the running total would exceed `budget`.  Returns the number
+// of records taken (at least min_take) and writes their total
+// accounted size to *taken_out.
+int64_t fqz5_pack_cut(const int64_t* core_len, const int64_t* seq_s,
+                      const int64_t* seq_e, int64_t n, int64_t cur,
+                      int64_t budget, int64_t min_take,
+                      int64_t* taken_out) {
+    int64_t total = 0, k = 0;
+    for (int64_t i = cur; i < n; i++) {
+        int64_t a = core_len[i] + 1 + 2 * (seq_e[i] - seq_s[i]);
+        if (k >= min_take && total + a > budget) break;
+        total += a;
+        k++;
+        if (total > budget) break;  // budget exhausted mid-take
+    }
+    *taken_out = total;
+    return k;
+}
+
 // Decode `count` consecutive big-endian base-128 u32 varints
 // (htscodecs varint.h:267-290 semantics: at most 5 continuation bytes
 // honoured per value).  Returns the new offset, or -1 on truncation.
