@@ -737,7 +737,8 @@ def _e2e_tpu_stage(cli, devtimer, src, size, link, stage, cold_done):
     """One encode/decode measurement at a given slice size.  Emits the
     e2e_tpu_* metrics (same names every stage: the parent keeps the
     LAST captured line, so a larger stage-B slice supersedes stage A)
-    and returns (wall_seconds_total, slice_bytes)."""
+    and returns (warm_seconds, slice_bytes) — warm pace only, since
+    stage B (cold_done=True) repeats just the timed warm pair."""
     small = src + ".tpu"
     with open(src, "rb") as f:
         data = f.read(size)
@@ -747,7 +748,6 @@ def _e2e_tpu_stage(cli, devtimer, src, size, link, stage, cold_done):
     comp = small + ".fqz5"
     out = small + ".out"
     mb = f"{len(data) / 1_000_000:.1f}MB"
-    t_stage = time.perf_counter()
 
     if not cold_done:
         t0 = time.perf_counter()
@@ -792,7 +792,7 @@ def _e2e_tpu_stage(cli, devtimer, src, size, link, stage, cold_done):
               note=f"({snap['compute_s']:.2f}s of {dec:.1f}s wall; "
                    f"link {snap['link_bytes'] // 1_000_000}MB "
                    f"in {snap['link_s']:.1f}s) [{stage}]")
-    return time.perf_counter() - t_stage, len(data)
+    return enc + dec, len(data)
 
 
 def e2e_tpu_main(src) -> int:
@@ -820,10 +820,10 @@ def e2e_tpu_main(src) -> int:
                                      "stage A", cold_done=False)
 
     left = deadline - (time.perf_counter() - t_start) - 30.0
-    # stage B repeats only the warm runs (~60% of stage A's wall per
-    # byte); target 70% of the remaining budget
-    rate = bytes_a / max(wall_a, 1e-9)       # bytes/s incl. overheads
-    size_b = int(min(left * 0.7 * rate / 0.6, 24_000_000))
+    # stage B repeats only the timed warm encode+decode pair; size it
+    # to 70% of the remaining budget at stage A's measured warm pace
+    rate = bytes_a / max(wall_a, 1e-9)       # bytes per warm-pair sec
+    size_b = int(min(left * 0.7 * rate, 24_000_000))
     if size_b >= 2 * bytes_a and left > 60:
         try:
             _e2e_tpu_stage(cli, devtimer, src, size_b, link, "stage B",
