@@ -301,6 +301,12 @@ def decode_block(raw: bytes, file_version: int,
     if timings is not None:
         timings.update(0, c_len, u_len, time.monotonic() - tv)
 
+    # Every decoded name ends in a NUL, so a valid block has
+    # nrec <= len(name_buf); a corrupt header nrec (e.g. 2^30) would
+    # otherwise drive gigabyte flag/length allocations below.
+    if nrec > len(name_buf):
+        raise ValueError("record count exceeds decoded name buffer")
+
     # Per-record flags: from the strat-2 stream or re-derived from names
     if dec_flags is not None and len(dec_flags) >= nrec:
         flags = dec_flags[:nrec]
