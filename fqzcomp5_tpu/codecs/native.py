@@ -10,26 +10,28 @@ from __future__ import annotations
 
 import ctypes
 import os
-import pathlib
 import subprocess
 import threading
 from array import array
 
 from fqzcomp5_tpu.utils.lazy_np import np
 
-_ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
+# os.path (not pathlib: pathlib drags urllib.parse + ipaddress,
+# ~35ms of CLI cold-start).
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 # FQZ5_NATIVE_LIB: alternate .so (e.g. an ASan/UBSan build) — the
 # sanitizer workflow the reference gets from its Makefile's
 # CFLAGS override (fqzcomp5 Makefile).
-_LIB_PATH = pathlib.Path(os.environ.get(
-    "FQZ5_NATIVE_LIB", _ROOT / "native" / "libfqz5.so"))
+_LIB_PATH = os.environ.get(
+    "FQZ5_NATIVE_LIB", os.path.join(_ROOT, "native", "libfqz5.so"))
 _lock = threading.Lock()
 _lib = None
 
 
 def _build() -> None:
     subprocess.run(
-        ["make", "-C", str(_ROOT / "native"), "-j4"],
+        ["make", "-C", os.path.join(_ROOT, "native"), "-j4"],
         check=True,
         capture_output=True,
     )
@@ -42,9 +44,9 @@ def lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not _LIB_PATH.exists():
+        if not os.path.exists(_LIB_PATH):
             _build()
-        L = ctypes.CDLL(str(_LIB_PATH))
+        L = ctypes.CDLL(_LIB_PATH)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         L.fqz5_rans_compress.restype = ctypes.c_int64
         L.fqz5_rans_compress.argtypes = [

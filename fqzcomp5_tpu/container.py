@@ -8,7 +8,7 @@ All integers are little-endian.
 
 from __future__ import annotations
 
-import dataclasses
+from fqzcomp5_tpu.utils import lightclass as dataclasses  # noqa: N813 — see lightclass.py
 import struct
 import zlib
 from typing import BinaryIO, Iterator, Optional

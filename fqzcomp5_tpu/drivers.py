@@ -12,7 +12,7 @@ of worker count.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import dataclasses
+from fqzcomp5_tpu.utils import lightclass as dataclasses  # noqa: N813 — see lightclass.py
 import os
 import sys
 import time

@@ -15,7 +15,7 @@ len(qual)`` and a block closes when the next record would exceed
 
 from __future__ import annotations
 
-import dataclasses
+from fqzcomp5_tpu.utils import lightclass as dataclasses  # noqa: N813 — see lightclass.py
 import gzip
 import io
 from array import array as _stdarray

@@ -7,7 +7,7 @@ defaults (fqzcomp5.c:4748-4770), and the preset method bitmasks
 
 from __future__ import annotations
 
-import dataclasses
+from fqzcomp5_tpu.utils import lightclass as dataclasses  # noqa: N813 — see lightclass.py
 
 from fqzcomp5_tpu.constants import DEFAULT_BLOCK_SIZE, Method, bit
 
