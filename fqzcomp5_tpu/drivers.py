@@ -16,7 +16,8 @@ from fqzcomp5_tpu.utils import lightclass as dataclasses  # noqa: N813 — see l
 import os
 import sys
 import time
-from typing import BinaryIO, Optional
+# typing import dropped: costs ~12ms of CLI cold-start; all uses
+# are string annotations (from __future__ import annotations)
 
 from fqzcomp5_tpu import container, fastq
 from fqzcomp5_tpu.blocks import decode_block, encode_block

@@ -19,7 +19,8 @@ from fqzcomp5_tpu.utils import lightclass as dataclasses  # noqa: N813 — see l
 import gzip
 import io
 from array import array as _stdarray
-from typing import Iterator, Optional
+# typing import dropped: costs ~12ms of CLI cold-start; all uses
+# are string annotations (from __future__ import annotations)
 
 from fqzcomp5_tpu.utils.lazy_np import np
 
