@@ -1604,16 +1604,24 @@ bool unpack_bytes(const uint8_t* data, uint32_t len, uint8_t* out,
 void rle_encode(const uint8_t* in, uint64_t len, std::vector<uint8_t>& runs,
                 std::vector<uint8_t>& lits, uint8_t* rle_syms,
                 int* rle_nsyms) {
+    // Same counting rule as rle.c: +1 when a byte repeats its
+    // predecessor, -1 otherwise.  4-way split tables break the
+    // store-forward serialization on runs of one symbol (the common
+    // case on quality data) — same trick as hist4 above.
     int64_t saved[256] = {0};
-    {
-        int last = -1;
-        for (uint64_t i = 0; i < len; i++) {
-            if (int(in[i]) == last)
-                saved[in[i]]++;
-            else
-                saved[in[i]]--;
-            last = in[i];
+    if (len) {
+        int64_t s4[4][256] = {{0}};
+        saved[in[0]]--;
+        uint64_t i = 1;
+        for (; i + 4 <= len; i += 4) {
+            s4[0][in[i]] += in[i] == in[i - 1] ? 1 : -1;
+            s4[1][in[i + 1]] += in[i + 1] == in[i] ? 1 : -1;
+            s4[2][in[i + 2]] += in[i + 2] == in[i + 1] ? 1 : -1;
+            s4[3][in[i + 3]] += in[i + 3] == in[i + 2] ? 1 : -1;
         }
+        for (; i < len; i++) saved[in[i]] += in[i] == in[i - 1] ? 1 : -1;
+        for (int j = 0; j < 256; j++)
+            saved[j] += s4[0][j] + s4[1][j] + s4[2][j] + s4[3][j];
     }
     int n = 0;
     for (int i = 0; i < 256; i++)
@@ -1621,20 +1629,28 @@ void rle_encode(const uint8_t* in, uint64_t len, std::vector<uint8_t>& runs,
     *rle_nsyms = n;
 
     runs.clear();
-    lits.clear();
+    // resize (not per-byte push_back: a capacity check + size bump per
+    // literal was the bulk of the 0xC1 transform cost); trimmed below.
+    lits.resize(len);
+    uint8_t* lp = lits.empty() ? nullptr : lits.data();
     uint8_t vbuf[8];
-    for (uint64_t i = 0; i < len; i++) {
-        lits.push_back(in[i]);
-        if (saved[in[i]] > 0) {
-            uint64_t start = i;
-            uint8_t last = in[i];
-            while (i < len && in[i] == last) i++;
-            i--;
-            uint32_t rlen = uint32_t(i - start);
+    const uint8_t* p = in;
+    const uint8_t* pend = in + len;
+    while (p < pend) {
+        uint8_t b = *p;
+        *lp++ = b;
+        if (saved[b] > 0) {
+            const uint8_t* q = p + 1;
+            while (q < pend && *q == b) q++;
+            uint32_t rlen = uint32_t(q - p - 1);
             int nb = put_uv(vbuf, rlen);
             runs.insert(runs.end(), vbuf, vbuf + nb);
+            p = q;
+        } else {
+            p++;
         }
     }
+    lits.resize(len ? size_t(lp - lits.data()) : 0);
 }
 
 bool rle_decode(const uint8_t* lit, uint64_t lit_len, const uint8_t* run,
