@@ -885,15 +885,35 @@ def main() -> int:
         return kernels_main()
     if len(sys.argv) > 1 and sys.argv[1] == "--e2e-tpu":
         return e2e_tpu_main(sys.argv[2])
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        if _init_tpu(max_s=60):
+            _emit("tpu_link_upload", _probe_link_mbps(), "MB/s", 5.0,
+                  note="host->device tunnel, 4MB put (probe phase)")
+        return 0
 
     headline_line = None
     fallback_line = None
 
-    # Phase 1: device kernel metrics (headline first, inside them)
+    # Phase 0: cheap tunnel probe with a short hard deadline.  A hung
+    # tunnel blocks inside C (no SIGALRM), so an unguarded kernels
+    # phase would silently burn its whole 1300s deadline; the probe's
+    # outcome sizes that risk instead.
+    probe_line = None
+    if _left() > 150:
+        try:
+            probe_line = _run_subphase(["--probe"], 140,
+                                       "tpu_link_upload")
+        except Exception:  # noqa: BLE001
+            probe_line = None
+
+    # Phase 1: device kernel metrics (headline first, inside them).
+    # Tunnel down -> one short attempt now (it may flap back), and a
+    # retry with leftover budget after the reliable phases.
     if _left() > 120:
         try:
-            headline_line = _run_subphase(
-                ["--kernels"], min(1300.0, _left() - 240), HEADLINE)
+            dl = (min(1300.0, _left() - 240) if probe_line is not None
+                  else 240.0)
+            headline_line = _run_subphase(["--kernels"], dl, HEADLINE)
         except Exception as e:  # noqa: BLE001
             _emit_error("kernels_phase", e)
 
@@ -913,7 +933,9 @@ def main() -> int:
     # metric (cold included) counts as phase evidence.
     if src and _left() > 150:
         try:
-            dl = min(900.0, _left() - 180)
+            hard = (900.0 if (probe_line is not None
+                              or headline_line is not None) else 240.0)
+            dl = min(hard, _left() - 180)
             env_dl = os.environ.get("FQZ5_E2E_DEADLINE")
             os.environ["FQZ5_E2E_DEADLINE"] = str(int(dl))
             got = _run_subphase(["--e2e-tpu", src], dl,
@@ -939,6 +961,15 @@ def main() -> int:
             _emit_error("scaling_work_efficiency_4proc", e)
 
     td.cleanup()
+
+    # Late retry: kernels missed earlier (tunnel down) but budget
+    # remains — the tunnel often comes back within minutes.
+    if headline_line is None and _left() > 300:
+        try:
+            headline_line = _run_subphase(
+                ["--kernels"], _left() - 90, HEADLINE)
+        except Exception as e:  # noqa: BLE001
+            _emit_error("kernels_phase_retry", e)
 
     # Final line = headline (driver parses the last JSON line)
     if headline_line:
