@@ -931,6 +931,7 @@ def main() -> int:
     # BEFORE the CPU-only scaling phase so a slow kernels phase can't
     # starve it; reserve ~180s for scaling).  Any e2e_tpu_encode*
     # metric (cold included) counts as phase evidence.
+    got = None
     if src and _left() > 150:
         try:
             hard = (900.0 if (probe_line is not None
@@ -960,9 +961,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             _emit_error("scaling_work_efficiency_4proc", e)
 
-    td.cleanup()
-
-    # Late retry: kernels missed earlier (tunnel down) but budget
+    # Late retries: a phase missed earlier (tunnel down) but budget
     # remains — the tunnel often comes back within minutes.
     if headline_line is None and _left() > 300:
         try:
@@ -970,6 +969,18 @@ def main() -> int:
                 ["--kernels"], _left() - 90, HEADLINE)
         except Exception as e:  # noqa: BLE001
             _emit_error("kernels_phase_retry", e)
+    if (src and got is None and headline_line is not None
+            and _left() > 360):
+        # kernels retry succeeded => tunnel is back; rerun e2e-tpu
+        try:
+            dl = min(600.0, _left() - 60)
+            os.environ["FQZ5_E2E_DEADLINE"] = str(int(dl))
+            got = _run_subphase(["--e2e-tpu", src], dl,
+                                "e2e_tpu_encode")
+        except Exception as e:  # noqa: BLE001
+            _emit_error("e2e_tpu_retry", e)
+
+    td.cleanup()
 
     # Final line = headline (driver parses the last JSON line)
     if headline_line:
