@@ -152,19 +152,25 @@ def _fresh(nbytes):
 def out_scratch(cap: int) -> tuple:
     """Thread-local reusable output buffer (mirrors the reference's TLS
     arena, utils.c:119-205): avoids a fresh multi-MB allocation per
-    codec call.  Returns (bytearray, u8 pointer).  bytearray (not
-    ndarray) so the decode path never imports numpy — see
-    utils/lazy_np.py."""
+    codec call.  Returns (buffer, u8 pointer) — an uninitialised
+    PyBytes written through its pointer (the _fresh technique:
+    bytearray(n) memsets multi-MB on every growth, and numpy would
+    defeat utils/lazy_np.py).  The buffer is internal-only: callers
+    copy out with take() and never expose it."""
     cap = max(cap, 1)
     if cap > _SCRATCH_MAX:
-        arr = bytearray(cap)
+        arr = _fresh(cap)
     else:
         arr = getattr(_scratch, "buf", None)
         if arr is None or len(arr) < cap:
-            arr = bytearray(max(cap + (cap >> 2), 1 << 20))
+            arr = _fresh(max(cap + (cap >> 2), 1 << 20))
             _scratch.buf = arr
-    ptr = ctypes.cast((ctypes.c_uint8 * len(arr)).from_buffer(arr),
-                      ctypes.POINTER(ctypes.c_uint8))
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    if isinstance(arr, bytes):
+        ptr = ctypes.cast(ctypes.c_char_p(arr), u8)
+    else:
+        ptr = ctypes.cast((ctypes.c_uint8 * len(arr)).from_buffer(arr),
+                          u8)
     return arr, ptr
 
 
