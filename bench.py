@@ -696,15 +696,25 @@ def _run_dist(src, out, nprocs, blk, deadline):
 def bench_scaling(src, deadline=420):
     small = src + ".scale"
     with open(src, "rb") as f:
-        data = f.read(32_000_000)
+        data = f.read(48_000_000)
     data = data[:data.rfind(b"\n@") + 1] if b"\n@" in data else data
     with open(small, "wb") as o:
         o.write(data)
     out1 = small + ".1p.fqz5"
     out4 = small + ".4p.fqz5"
     blk = 2 << 20
-    w1, s1 = _run_dist(small, out1, 1, blk, deadline / 2)
-    w4, s4 = _run_dist(small, out4, 4, blk, deadline / 2)
+    # best-of-2 per config: the work-CPU totals are fractions of a
+    # second, so a single contended run swings the ratio by 10%+
+    w1, s1 = _run_dist(small, out1, 1, blk, deadline / 4)
+    w4, s4 = _run_dist(small, out4, 4, blk, deadline / 4)
+    w1b, s1b = _run_dist(small, out1, 1, blk, deadline / 4)
+    w4b, s4b = _run_dist(small, out4, 4, blk, deadline / 4)
+    if sum(s["work_cpu_s"] for s in s1b) < sum(
+            s["work_cpu_s"] for s in s1):
+        w1, s1 = w1b, s1b
+    if sum(s["work_cpu_s"] for s in s4b) < sum(
+            s["work_cpu_s"] for s in s4):
+        w4, s4 = w4b, s4b
     with open(out1, "rb") as a, open(out4, "rb") as b:
         assert a.read() == b.read(), "4-proc output differs from 1-proc"
     # work_cpu_s counts parse+codec CPU only: whole-process CPU on an
