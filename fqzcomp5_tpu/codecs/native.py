@@ -489,22 +489,20 @@ def split_names(name_buf: bytes):
     L = lib()
     n = len(name_buf)
     nrec_max = name_buf.count(0) + 1
-    ids = np.empty(n + nrec_max + 1, np.uint8)
-    flags = np.empty(nrec_max + 1, np.uint8)
-    comments = np.empty(n + nrec_max + 1, np.uint8)
-    ids_len = np.zeros(1, np.int64)
-    com_len = np.zeros(1, np.int64)
+    ids, idp = fresh_out(n + nrec_max + 1)
+    flags, flp = fresh_out(nrec_max + 1)
+    comments, cop = fresh_out(n + nrec_max + 1)
+    ids_len = (ctypes.c_int64 * 1)()
+    com_len = (ctypes.c_int64 * 1)()
+    i64 = ctypes.POINTER(ctypes.c_int64)
     _, inp = _u8(name_buf)
     nrec = L.fqz5_split_names(
-        inp, n, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        _i64p(ids_len),
-        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        comments.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        _i64p(com_len))
+        inp, n, idp, ctypes.cast(ids_len, i64), flp, cop,
+        ctypes.cast(com_len, i64))
     if nrec < 0:
         raise ValueError("split_names failed")
-    return (ids[:ids_len[0]].tobytes(), flags[:nrec].tobytes(),
-            comments[:com_len[0]].tobytes())
+    return (take(ids, int(ids_len[0])), take(flags, int(nrec)),
+            take(comments, int(com_len[0])))
 
 
 def join_names(ids: bytes, flags: bytes, comments: bytes):

@@ -48,3 +48,29 @@ def test_launcher_host_path_never_imports_jax(tmp_path, data_dir):
     r = subprocess.run([sys.executable, "-S", "-c", probe],
                        capture_output=True, text=True)
     assert r.returncode == 0 and "OK" in r.stdout, (r.stdout, r.stderr)
+
+
+@pytest.mark.skipif(not os.path.exists(FQZ5), reason="launcher missing")
+def test_cli_path_never_imports_numpy(tmp_path, data_dir):
+    """Encode AND decode of clean FASTQ must stay numpy-free: numpy is
+    ~300ms of cold-start (utils/lazy_np.py), 75%+ of the boot budget
+    the reference binary doesn't pay."""
+    probe = (
+        "import sys, os\n"
+        "sys.path.insert(0, os.path.join({repo!r}, 'bin'))\n"
+        "import _fqz5_main\n"
+        "_fqz5_main._add_site_packages()\n"
+        "sys.path.insert(0, {repo!r})\n"
+        "from fqzcomp5_tpu.cli import main\n"
+        "arc, out = {arc!r}, {out!r}\n"
+        "assert main(['-3', {sample!r}, arc]) == 0\n"
+        "assert 'numpy' not in sys.modules, 'encode imported numpy'\n"
+        "assert main(['-d', arc, out]) == 0\n"
+        "assert 'numpy' not in sys.modules, 'decode imported numpy'\n"
+        "assert open(out, 'rb').read() == open({sample!r}, 'rb').read()\n"
+        "print('OK')\n"
+    ).format(repo=REPO, sample=str(data_dir / "sample.fastq"),
+             arc=str(tmp_path / "n.fqz5"), out=str(tmp_path / "n.out"))
+    r = subprocess.run([sys.executable, "-S", "-c", probe],
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and "OK" in r.stdout, (r.stdout, r.stderr)
