@@ -531,7 +531,13 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
     freqs = np.zeros((B + pad, 256), np.uint32)
     for b in range(B):
         syms_lut = (s3s[b] & 0xFF).astype(np.int64)
-        freqs[b][syms_lut] = s3s[b] >> 20
+        f = s3s[b] >> 20
+        freqs[b][syms_lut] = f
+        if not f.any():
+            # single-symbol stream: freq 4096<<20 wraps to 0 in the
+            # u32 LUT; the slot count is the truth (the scan path is
+            # immune because every slot still maps to the right sym)
+            freqs[b][syms_lut[0]] = 1 << rans_jax.TF_SHIFT
     freqs[B:, 0] = 1 << rans_jax.TF_SHIFT  # pad streams: degenerate
     Wmax128 = max(max((len(x) - 128 + 1) // 2 for x in bodies)
                   // 128 + 4, 4)
@@ -899,6 +905,15 @@ def _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax, shift):
     gi = np.arange(G)[:, None, None]
     ci = np.arange(256)[None, :, None]
     freqs[gi, ci, sym_lut] = f_lut
+    # single-symbol contexts: freq (1<<shift) << (shift+8) wraps to 0
+    # in the u32 LUT (shift 12); restore it — every slot of such a
+    # context maps to one symbol, so the row is constant and f_lut all
+    # zero.  USED single-symbol contexts must decode that symbol; for
+    # never-reached contexts the repaired degenerate table is inert.
+    mono = (sym_lut == sym_lut[:, :, :1]).all(axis=2)
+    allz = ~f_lut.any(axis=2)
+    g_ix, c_ix = np.nonzero(mono & allz)
+    freqs[g_ix, c_ix, sym_lut[g_ix, c_ix, 0]] = tot
 
     packed, alphabet, A, A1, last0 = rpd.build_o1_dense_tables(
         freqs, shift)

@@ -27,6 +27,11 @@ CASES = {
     "text": (b"\x00".join(b"read_%d extra" % i for i in range(900))
              + b"\x00"),
     "mult32": bytes(RNG.integers(0, 50, 4096).astype(np.uint8)),
+    # single-symbol stream: its freq table normalises to one symbol at
+    # freq 4096, whose f<<20 wraps to 0 in the u32 s3 LUT — the Pallas
+    # freq recovery must repair it (caught live: constant-quality
+    # blocks decoded to the wrong constant through the device path)
+    "const": bytes([40]) * 8192,
 }
 
 
