@@ -152,19 +152,25 @@ def _fresh(nbytes):
 def out_scratch(cap: int) -> tuple:
     """Thread-local reusable output buffer (mirrors the reference's TLS
     arena, utils.c:119-205): avoids a fresh multi-MB allocation per
-    codec call.  Returns (bytearray, u8 pointer).  bytearray (not
-    ndarray) so the decode path never imports numpy — see
-    utils/lazy_np.py."""
+    codec call.  Returns (buffer, u8 pointer) — an uninitialised
+    PyBytes written through its pointer (the _fresh technique:
+    bytearray(n) memsets multi-MB on every growth, and numpy would
+    defeat utils/lazy_np.py).  The buffer is internal-only: callers
+    copy out with take() and never expose it."""
     cap = max(cap, 1)
     if cap > _SCRATCH_MAX:
-        arr = bytearray(cap)
+        arr = _fresh(cap)
     else:
         arr = getattr(_scratch, "buf", None)
         if arr is None or len(arr) < cap:
-            arr = bytearray(max(cap + (cap >> 2), 1 << 20))
+            arr = _fresh(max(cap + (cap >> 2), 1 << 20))
             _scratch.buf = arr
-    ptr = ctypes.cast((ctypes.c_uint8 * len(arr)).from_buffer(arr),
-                      ctypes.POINTER(ctypes.c_uint8))
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    if isinstance(arr, bytes):
+        ptr = ctypes.cast(ctypes.c_char_p(arr), u8)
+    else:
+        ptr = ctypes.cast((ctypes.c_uint8 * len(arr)).from_buffer(arr),
+                          u8)
     return arr, ptr
 
 
@@ -483,22 +489,20 @@ def split_names(name_buf: bytes):
     L = lib()
     n = len(name_buf)
     nrec_max = name_buf.count(0) + 1
-    ids = np.empty(n + nrec_max + 1, np.uint8)
-    flags = np.empty(nrec_max + 1, np.uint8)
-    comments = np.empty(n + nrec_max + 1, np.uint8)
-    ids_len = np.zeros(1, np.int64)
-    com_len = np.zeros(1, np.int64)
+    ids, idp = fresh_out(n + nrec_max + 1)
+    flags, flp = fresh_out(nrec_max + 1)
+    comments, cop = fresh_out(n + nrec_max + 1)
+    ids_len = (ctypes.c_int64 * 1)()
+    com_len = (ctypes.c_int64 * 1)()
+    i64 = ctypes.POINTER(ctypes.c_int64)
     _, inp = _u8(name_buf)
     nrec = L.fqz5_split_names(
-        inp, n, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        _i64p(ids_len),
-        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        comments.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        _i64p(com_len))
+        inp, n, idp, ctypes.cast(ids_len, i64), flp, cop,
+        ctypes.cast(com_len, i64))
     if nrec < 0:
         raise ValueError("split_names failed")
-    return (ids[:ids_len[0]].tobytes(), flags[:nrec].tobytes(),
-            comments[:com_len[0]].tobytes())
+    return (take(ids, int(ids_len[0])), take(flags, int(nrec)),
+            take(comments, int(com_len[0])))
 
 
 def join_names(ids: bytes, flags: bytes, comments: bytes):
