@@ -11,6 +11,7 @@ Same flag surface as the reference binary (fqzcomp5.c:4697-5302):
 
 from __future__ import annotations
 
+import os
 import struct
 import sys
 
@@ -190,14 +191,18 @@ def main(argv=None) -> int:
         from fqzcomp5_tpu import daemon
 
         rest = [a for a in argv
-                if a not in ("--daemon", "--daemon-stop")]
+                if a not in ("--daemon", "--daemon-stop",
+                             "--daemon-quiet")]
         sock = rest[0] if rest else None
         if "--daemon-stop" in argv:
             ok = daemon.stop(sock)
             if not ok:
                 print("fqz5 daemon: no daemon to stop", file=sys.stderr)
             return 0 if ok else 1
-        return daemon.serve(sock)
+        idle = os.environ.get("FQZ5_DAEMON_IDLE")
+        return daemon.serve(
+            sock, quiet="--daemon-quiet" in argv,
+            idle_timeout=float(idle) if idle else None)
     try:
         probe, decomp, _ = parse_args(argv)
         reading_archive = bool(decomp or probe.check_only

@@ -61,7 +61,7 @@ _SECS = (Section.NAME, Section.SEQ, Section.QUAL)
 # free work efficiency even on an oversubscribed single-core box where
 # gRPC/XLA busy-waiting pollutes whole-process CPU time.
 STATS = {"parse_bytes": 0, "blocks_encoded": 0, "blocks_ticked": 0,
-         "work_cpu_s": 0.0}
+         "work_cpu_s": 0.0, "gather_s": 0.0}
 
 
 class _work_timer:
@@ -90,9 +90,22 @@ def init(coordinator: str, num_processes: int, process_id: int) -> None:
 
 
 def _allgather_bytes(mine: bytes) -> list[bytes]:
-    """All-gather one variable-length byte blob per process."""
+    """All-gather one variable-length byte blob per process.
+
+    Wall seconds spent here accumulate in STATS["gather_s"] so the
+    scaling bench can report communication/serialization separately
+    from codec work (VERDICT r4 item 6: the 0.96 work-efficiency claim
+    must carry its own gather-cost caveat)."""
     from jax.experimental import multihost_utils
 
+    t0 = time.perf_counter()
+    try:
+        return _allgather_bytes_inner(mine, multihost_utils)
+    finally:
+        STATS["gather_s"] += time.perf_counter() - t0
+
+
+def _allgather_bytes_inner(mine, multihost_utils) -> list[bytes]:
     sizes = multihost_utils.process_allgather(
         np.array([len(mine)], np.int64))
     sizes = np.asarray(sizes).reshape(-1)
