@@ -6,6 +6,8 @@ payload must stay byte-identical to the host codecs
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jax/device-heavy: nightly tier (fast tier: pytest -m 'not slow')
+
 from fqzcomp5_tpu.codecs import host
 from fqzcomp5_tpu.ops import adaptive_batch
 

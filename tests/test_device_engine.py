@@ -3,6 +3,8 @@ sharded multi-chip pipeline on the virtual CPU mesh."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jax/device-heavy: nightly tier (fast tier: pytest -m 'not slow')
+
 from fqzcomp5_tpu import engine_tpu
 from fqzcomp5_tpu.utils import varint
 from fqzcomp5_tpu.codecs import host

@@ -8,6 +8,8 @@ import ctypes
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jax/device-heavy: nightly tier (fast tier: pytest -m 'not slow')
+
 from fqzcomp5_tpu.codecs import host, native
 from fqzcomp5_tpu.ops import fqz_ctx_jax, fqz_device_encode
 

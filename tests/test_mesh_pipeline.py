@@ -8,6 +8,8 @@ import io
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jax/device-heavy: nightly tier (fast tier: pytest -m 'not slow')
+
 from fqzcomp5_tpu.ops import backend
 
 

@@ -6,6 +6,8 @@ wire format: 32 flush states + interleaved renormalisation words."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jax/device-heavy: nightly tier (fast tier: pytest -m 'not slow')
+
 from fqzcomp5_tpu import engine_tpu
 from fqzcomp5_tpu.ops import rans_pallas_dec
 
