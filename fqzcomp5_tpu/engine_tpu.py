@@ -301,10 +301,11 @@ class _LazyO0:
         from fqzcomp5_tpu.ops import backend
 
         B = len(datas)
-        self.sizes: list[int] = []
+        self._sizes: list[int] | None = None
         self._tabs: list[bytes] = []
         self._lz = None
         if B == 0:
+            self._sizes = []
             return
         freq_rows = []
         Tmax = 1
@@ -328,9 +329,23 @@ class _LazyO0:
 
         self._lz = backend.encode_flat_lazy(
             flat, np.stack(freq_rows), rans_jax.TF_SHIFT)
-        nw = self._lz.nwords()
-        self.sizes = [len(self._tabs[b]) + 128 + 2 * int(nw[b])
-                      for b in range(B)]
+
+    @property
+    def sizes(self) -> list[int]:
+        """Framed payload length per stream.  Lazy (round 5): the
+        first read flushes the deferred walk batch, so a caller can
+        build several lazy encoders under backend.deferred_walks()
+        and pay ONE fused device call for all their walks+counts."""
+        if self._sizes is None:
+            nw = self._lz.nwords()
+            self._sizes = [len(self._tabs[b]) + 128 + 2 * int(nw[b])
+                           for b in range(len(self._tabs))]
+        return self._sizes
+
+    def prefetch(self, idxs) -> None:
+        """Queue winner gathers (see LazyFlat.prefetch)."""
+        if self._lz is not None:
+            self._lz.prefetch(idxs)
 
     def fetch(self, idxs) -> dict[int, bytes]:
         if self._lz is None:
@@ -601,14 +616,28 @@ class _LazyO1:
 
     def __init__(self, datas: list[bytes]):
         B = len(datas)
-        self.sizes: list[int] = [0] * B
+        self._sizes: list[int] | None = None
+        self._direct_sizes: list[int] = [0] * B
         self._direct: dict[int, bytes] = {}
         # per shift group: (idxs, LazyFlat, {i: head}, {i: tail})
         self._groups: list[tuple] = []
         if B == 0:
-            self.sizes = []
+            self._sizes = []
             return
         self._build(datas)
+
+    @property
+    def sizes(self) -> list[int]:
+        """Lazy per-stream framed lengths (see _LazyO0.sizes)."""
+        if self._sizes is None:
+            sz = list(self._direct_sizes)
+            for idxs, lz, heads, tailbs in self._groups:
+                nw = lz.nwords()
+                for g, i in enumerate(idxs):
+                    sz[i] = (len(heads[i]) + 128 + 2 * int(nw[g])
+                             + len(tailbs[i]))
+            self._sizes = sz
+        return self._sizes
 
     def _build(self, datas: list[bytes]) -> None:
         from fqzcomp5_tpu.ops import backend
@@ -629,7 +658,7 @@ class _LazyO1:
                 if rc < 0:
                     raise ValueError("native o1 core encode failed")
                 self._direct[i] = buf[:rc].tobytes()
-                self.sizes[i] = rc
+                self._direct_sizes[i] = rc
             else:
                 device_idx.append(i)
         preps = {i: o1_prep(datas[i]) for i in device_idx}
@@ -730,11 +759,16 @@ class _LazyO1:
         heads = {i: preps[i][0] for i in idxs}
         tailbs = {i: np.array(tails[g][::-1], "<u2").tobytes()
                   for g, i in enumerate(idxs)}
-        nw = lz.nwords()
-        for g, i in enumerate(idxs):
-            self.sizes[i] = (len(heads[i]) + 128 + 2 * int(nw[g])
-                             + len(tailbs[i]))
         self._groups.append((idxs, lz, heads, tailbs))
+
+    def prefetch(self, want) -> None:
+        """Queue winner gathers across shift groups (LazyFlat
+        prefetch semantics; direct host payloads need none)."""
+        for idxs, lz, heads, tailbs in self._groups:
+            gpos = {i: g for g, i in enumerate(idxs)}
+            sub = [gpos[i] for i in want if i in gpos]
+            if sub:
+                lz.prefetch(sub)
 
     def fetch(self, want) -> dict[int, bytes]:
         out = {i: self._direct[i] for i in want if i in self._direct}

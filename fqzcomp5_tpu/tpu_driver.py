@@ -194,10 +194,16 @@ def _device_section_encode(datas: list[bytes],
         # only SIZES come back (one int32 per stream).  Winner payloads
         # are gathered afterwards in one batched fetch per walk — loser
         # payloads (and CAT-beaten sections) never cross the link.
-        enc0 = encode_o0_batch_lazy(jobs)
-        enc1 = encode_o1_batch_lazy(jobs)
-        senc0 = encode_o0_batch_lazy(sjobs) if sjobs else None
-        senc1 = encode_o1_batch_lazy(sjobs) if sjobs else None
+        # All four walks (O0/O1 x sections/stripes) queue under
+        # deferred_walks and flush as ONE synced device call at the
+        # first sizes read (round 5: the ~40ms tunnel RTT per call was
+        # the device-compute bottleneck, BENCH_r04).
+        from fqzcomp5_tpu.ops import backend as _bk
+        with _bk.deferred_walks():
+            enc0 = encode_o0_batch_lazy(jobs)
+            enc1 = encode_o1_batch_lazy(jobs)
+            senc0 = encode_o0_batch_lazy(sjobs) if sjobs else None
+            senc1 = encode_o1_batch_lazy(sjobs) if sjobs else None
         s0, s1 = enc0.sizes, enc1.sizes
         ss0 = senc0.sizes if senc0 else []
         ss1 = senc1.sizes if senc1 else []
@@ -260,6 +266,16 @@ def _device_section_encode(datas: list[bytes],
                         sneed[pick].add(base + j2)
             plans.append(plan)
 
+        # queue all four winner gathers, flush once at the first fetch
+        with _bk.deferred_walks():
+            if need[0]:
+                enc0.prefetch(sorted(need[0]))
+            if need[1]:
+                enc1.prefetch(sorted(need[1]))
+            if sneed[0]:
+                senc0.prefetch(sorted(sneed[0]))
+            if sneed[1]:
+                senc1.prefetch(sorted(sneed[1]))
         f0 = enc0.fetch(sorted(need[0])) if need[0] else {}
         f1 = enc1.fetch(sorted(need[1])) if need[1] else {}
         sf0 = senc0.fetch(sorted(sneed[0])) if sneed[0] else {}
