@@ -141,8 +141,10 @@ def flush_deferred() -> None:
             o, s = q.fn()
             q.out = o   # visible immediately: a later fn in this
             # batch may _resolve an earlier entry
-            smalls.append(None if s is None
-                          else s.reshape(-1).astype(jnp.int32))
+            if s is not None and (s.ndim != 1
+                                  or s.dtype != jnp.int32):
+                s = s.reshape(-1).astype(jnp.int32)
+            smalls.append(s)
         cat = (jnp.concatenate([s for s in smalls if s is not None])
                if any(s is not None for s in smalls) else None)
         # outs ride in the return tree so devtimer.compute's single
@@ -284,18 +286,28 @@ def _dev_encode_jit():
         PB = jnp.swapaxes(rans_pallas._pack_rows(P), 0, 1)
         Rf, out = rans_pallas.encode_walk(PB, R0p, shift=shift,
                                           interpret=interpret)
-        out = rans_pallas._unpack_rows(
-            jnp.swapaxes(out[:T], 0, 1), B)        # (B, T, n)
-        Rf = rans_pallas._unpack_rows(Rf[:, None, :], B)[:, 0, :]
-        words16 = (out & 0xFFFF).astype(jnp.uint16)
-        mb = (out >> 16) != 0
-        mpk = (mb.reshape(B, T, n // 8, 8).astype(jnp.uint8)
-               << jnp.arange(8, dtype=jnp.uint8)).sum(
-            -1, dtype=jnp.uint8)
-        return Rf, words16, mpk
+        return _walk_outputs(Rf, out, B, T, rans_pallas)
 
     _DEV_ENCODE = _run
     return _run
+
+
+def _walk_outputs(Rf, out, B, T, rans_pallas):
+    """Walk-jit epilogue: per-stream final states, the PACKED word
+    plane in its NATIVE (T, B4, 128) orientation, and per-stream
+    emitted-word counts.  Round 5: the old epilogue unpacked rows to
+    (B, T, 32) u16 + bitmask, whose transposed layout made every
+    downstream winner-gather pay a ~210ms u16 relayout on v5e; keeping
+    the packed plane native moves that cost to a per-stream (T, 32)
+    slice in the gather, which is layout-aligned and <1ms."""
+    import jax.numpy as jnp
+
+    Rf_u = rans_pallas._unpack_rows(Rf[:, None, :], B)[:, 0, :]
+    mb = (out[:T] >> 16) != 0                  # (T, B4, 128)
+    Tn, B4, _ = mb.shape
+    nw = (mb.reshape(Tn, B4, 4, 32).sum((0, 3), dtype=jnp.int32)
+          .reshape(-1))[:B]
+    return Rf_u, out, nw
 
 
 _DEV_ENCODE = None
@@ -361,15 +373,7 @@ def _dev_encode16_jit():
         PB = jnp.swapaxes(rans_pallas._pack_rows(P), 0, 1)
         Rf, out = rans_pallas.encode_walk(PB, R0p, shift=shift,
                                           interpret=interpret)
-        out = rans_pallas._unpack_rows(
-            jnp.swapaxes(out[:T], 0, 1), B)
-        Rf = rans_pallas._unpack_rows(Rf[:, None, :], B)[:, 0, :]
-        words16 = (out & 0xFFFF).astype(jnp.uint16)
-        mb = (out >> 16) != 0
-        mpk = (mb.reshape(B, T, n // 8, 8).astype(jnp.uint8)
-               << jnp.arange(8, dtype=jnp.uint8)).sum(
-            -1, dtype=jnp.uint8)
-        return Rf, words16, mpk
+        return _walk_outputs(Rf, out, B, T, rans_pallas)
 
     _DEV_ENCODE16 = _run
     return _run
@@ -389,15 +393,18 @@ def _pack_R0(R0, B, B4b, rans_pallas):
     return full.reshape(B4b, 128).astype(np.int32)
 
 
-def _fetch_results(Rf_d, w16_d, mpk_d, n):
+def _fetch_results(Rf_d, packed_d, T, B):
+    """Download a walk's packed plane and unpack (host-side) to the
+    (B, T, 32) words/mask pair (the eager fetch_all contract)."""
     from fqzcomp5_tpu.ops import devtimer
 
     Rf = devtimer.get(Rf_d)
-    w16 = devtimer.get(w16_d)
-    mpk = devtimer.get(mpk_d)
-    mask = np.unpackbits(mpk, axis=-1, bitorder="little"
-                         ).astype(bool)[:, :, :n]
-    return (Rf.astype(np.uint32), w16.astype(np.uint32), mask)
+    o = devtimer.get(packed_d)[:T]          # (T, B4, 128) int32
+    B4 = o.shape[1]
+    ob = (o.reshape(T, B4, 4, 32).transpose(1, 2, 0, 3)
+          .reshape(B4 * 4, T, 32))[:B]
+    return (Rf.astype(np.uint32), (ob & 0xFFFF).astype(np.uint32),
+            (ob >> 16) != 0)
 
 
 def _gather_rows(arr_d, sel: np.ndarray) -> np.ndarray:
@@ -425,29 +432,38 @@ def _gather_compact_jit():
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("outcap",))
-    def _run(w16, mpk, sel, Rf, *, outcap: int):
-        """Gather winner rows AND squeeze out the no-op word slots ON
-        DEVICE: the download is ~2 bytes per EMITTED word (the
-        compressed payload) instead of 2 bytes per padded symbol slot.
-        mpk bit order matches np.unpackbits(bitorder='little')."""
-        w = jnp.take(w16, sel, axis=0)        # (K, T, 32) u16
-        m = jnp.take(mpk, sel, axis=0)        # (K, T, 4) u8
+    @functools.partial(jax.jit, static_argnames=("outcap", "T"))
+    def _run(packed, sel, Rf, *, outcap: int, T: int):
+        """Gather winner streams from the walk's NATIVE packed plane
+        (T, B4, 128) AND squeeze out the no-op word slots ON DEVICE:
+        the download is ~2 bytes per EMITTED word (the compressed
+        payload).  Slicing per stream keeps the access layout-aligned
+        (the old (B, T, 32) u16 form paid a ~210ms relayout per call
+        on v5e)."""
+        def slice_one(b):
+            g = b // 4
+            l = (b % 4) * 32
+            s = jax.lax.dynamic_slice(
+                packed, (0, g, l), (T, 1, 32))   # (T, 1, 32)
+            return s.reshape(T * 32)             # t-major, lane-minor
+
+        wf = jax.vmap(slice_one)(sel)            # (K, E) int32
         r = jnp.take(Rf, sel, axis=0)
-        K, T, _ = w.shape
-        E = T * 32
-        bits = (m[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
-        mask = bits.reshape(K, E).astype(jnp.int32)
-        wf = w.reshape(K, E)
-        cumk = jnp.cumsum(mask, axis=1)
-        nw = cumk[:, -1]
+        mask = (wf >> 16) != 0
+        # stable partition by the emit bit: emitted words to the
+        # front, walk order preserved.  lax.sort is ~4.5x faster than
+        # the searchsorted+take formulation on v5e (46ms vs 205ms for
+        # 8x1M slots) — dynamic gathers are the enemy, sorts are not.
+        _, out = jax.lax.sort_key_val(
+            (~mask).astype(jnp.int32), wf & 0xFFFF, dimension=1,
+            is_stable=True)
+        nw = mask.sum(1, dtype=jnp.int32)
+        E = out.shape[1]
+        out = (out[:, :outcap] if outcap <= E else
+               jnp.pad(out, ((0, 0), (0, outcap - E))))
         j = jnp.arange(outcap, dtype=jnp.int32)
-        e = jax.vmap(
-            lambda row: jnp.searchsorted(row, j, side="right"))(cumk)
-        e = jnp.minimum(e, E - 1)
-        out = jnp.take_along_axis(wf, e, axis=1)
         out = jnp.where(j[None, :] < nw[:, None], out, 0)
-        return out, r
+        return out.astype(jnp.uint16), r
 
     _GATHER_COMPACT = _run
     return _run
@@ -499,6 +515,11 @@ class LazyFlat:
             else:
                 if pay.small is None:
                     flush_deferred()
+                if pay.small is None:
+                    # the flush carrying this walk died (tunnel drop):
+                    # surface as the host-fallback trigger
+                    raise RuntimeError(
+                        "deferred walk lost to a failed flush")
                 nw[rows] = pay.small.astype(np.int64)
         self._nw = nw
         return nw
@@ -519,11 +540,12 @@ class LazyFlat:
         nws = [int(nw_all[int(i)]) for i in want]
         outcap = _bucket(max(max(nws), 1))
         sel_d = jnp.asarray(selp)
+        T = self.T
 
         def _fn():
-            Rf_d, w16_d, mpk_d = _resolve(pay)
+            Rf_d, packed_d = _resolve(pay)
             cw_d, Rf_d2 = _gather_compact_jit()(
-                w16_d, mpk_d, sel_d, Rf_d, outcap=outcap)
+                packed_d, sel_d, Rf_d, outcap=outcap, T=T)
             return (cw_d, Rf_d2), None
 
         d = defer(_fn)
@@ -586,7 +608,8 @@ class LazyFlat:
             if kind == "np":
                 r0, w0, m0 = pay
             else:
-                r0, w0, m0 = _fetch_results(*_resolve(pay), self.n)
+                r0, w0, m0 = _fetch_results(*_resolve(pay), self.T,
+                                            len(rows))
             Rf[rows] = r0
             words[rows] = w0.astype(np.uint32)
             mask[rows] = m0
@@ -616,24 +639,15 @@ def _encode_flat_dev8(flat, freqs, shift, R0, B, T, n):
     R0_d = devtimer.put(R0p)
 
     def _fn():
-        Rf_d, w16_d, mpk_d = dev(
+        Rf_d, packed_d, nw_d = dev(
             small_d, nopb_d, ptb_d, R0_d, shift=shift, S=S, T=T,
             Tb=Tb, B4b=B4b, interpret=False)
-        return (Rf_d, w16_d, mpk_d), _popcount_rows(mpk_d)
+        return (Rf_d, packed_d), nw_d
 
     d = defer(_fn)
     if not defer_active():
         flush_deferred()
     return d
-
-
-def _popcount_rows(mpk_d):
-    """(B, ...) packed-bit mask -> (B,) emitted-word counts (device)."""
-    import jax.numpy as jnp
-
-    popc = sum(((mpk_d >> k) & jnp.uint8(1)).astype(jnp.int32)
-               for k in range(8))
-    return popc.reshape(popc.shape[0], -1).sum(1)
 
 
 def _dict_counts(flat, S, B):
@@ -678,10 +692,10 @@ def _encode_flat_dev16(flat, pt, shift, R0, B, T, n, flags):
     R0_d = devtimer.put(R0p)
 
     def _fn():
-        Rf_d, w16_d, mpk_d = dev(
+        Rf_d, packed_d, nw_d = dev(
             small_d, sent_d, ptb_d, R0_d, shift=shift, T=T, Tb=Tb,
             B4b=B4b, interpret=False)
-        return (Rf_d, w16_d, mpk_d), _popcount_rows(mpk_d)
+        return (Rf_d, packed_d), nw_d
 
     d = defer(_fn)
     if not defer_active():

@@ -43,8 +43,12 @@ from fqzcomp5_tpu.options import Options, method_avail_for
 import os as _os
 
 # max blocks per device wave (FQZ5_WAVE_BLOCKS to sweep; see
-# docs/WAVE_SIZING.md for the measured curve behind the default)
-WAVE = int(_os.environ.get("FQZ5_WAVE_BLOCKS", "8"))
+# docs/WAVE_SIZING.md).  Round 5: a steady-state wave costs TWO fused
+# device calls regardless of block count (lockstep segment batching),
+# so bigger waves amortise the per-call fixed cost — 16 measured
+# 89.7 MB/s device-compute on the 24MB corpus vs 53 at 8 blocks; the
+# byte budget (_wave_budget) still bounds -5/-9-sized blocks.
+WAVE = int(_os.environ.get("FQZ5_WAVE_BLOCKS", "16"))
 MIN_DEVICE = 4096   # sections smaller than this stay on the host
 
 
@@ -152,75 +156,104 @@ def stripe_split(data: bytes, N: int) -> list[bytes]:
     return outs
 
 
-def _device_section_encode(datas: list[bytes],
-                           fixed_lens: list[int] | None = None
-                           ) -> list[bytes]:
-    """Best-of {O0, O1, PACK|O0, PACK|O1, STRIPE(readlen)} x32 framed
-    streams for many sections, all walked on the device in two batched
-    calls.  fixed_lens[i] > 1 enables the STRIPE candidate (the
-    RANSXN1 analog: per-read-position sub-streams)."""
-    big_idx = [i for i, d in enumerate(datas) if len(d) >= MIN_DEVICE]
-    out: list[bytes] = [b""] * len(datas)
-    big = set(big_idx)
-    for i, d in enumerate(datas):
-        if i not in big:
-            out[i] = host.rans_compress(d, 1)  # tiny sections: host O1
-    if not big_idx:
-        return out
+class _RansWave:
+    """Staged best-of {O0, O1, PACK|O0, PACK|O1, STRIPE(readlen)} x32
+    device encode for one segment's sections (round 5 restructure).
 
-    plain = [datas[i] for i in big_idx]
-    packs = [pack_np(datas[i]) for i in big_idx]
-    jobs = list(plain)
-    pk_pos = {}
-    for k, p in enumerate(packs):
-        if p is not None and len(p[1]) >= 32:
-            pk_pos[k] = len(jobs)
-            jobs.append(p[1])
-    st_pos = {}
-    st_stripes = {}
-    sjobs = []   # stripes batch separately: their lengths are ~1/N of
-    # the sections', so mixing them would pad everything to the
-    # longest job's step count
-    if fixed_lens is not None:
-        for k, i in enumerate(big_idx):
-            N = fixed_lens[i] if i < len(fixed_lens) else 0
-            if 1 < N <= 255 and len(datas[i]) // N >= 64:
-                stripes = stripe_split(datas[i], N)
-                st_pos[k] = len(sjobs)
-                st_stripes[k] = stripes
-                sjobs.extend(stripes)
-    try:
-        # Lazy candidate walks: every candidate encodes on device, but
-        # only SIZES come back (one int32 per stream).  Winner payloads
-        # are gathered afterwards in one batched fetch per walk — loser
-        # payloads (and CAT-beaten sections) never cross the link.
-        # All four walks (O0/O1 x sections/stripes) queue under
-        # deferred_walks and flush as ONE synced device call at the
-        # first sizes read (round 5: the ~40ms tunnel RTT per call was
-        # the device-compute bottleneck, BENCH_r04).
-        from fqzcomp5_tpu.ops import backend as _bk
-        with _bk.deferred_walks():
-            enc0 = encode_o0_batch_lazy(jobs)
-            enc1 = encode_o1_batch_lazy(jobs)
-            senc0 = encode_o0_batch_lazy(sjobs) if sjobs else None
-            senc1 = encode_o1_batch_lazy(sjobs) if sjobs else None
-        s0, s1 = enc0.sizes, enc1.sizes
-        ss0 = senc0.sizes if senc0 else []
-        ss1 = senc1.sizes if senc1 else []
+    Stages map onto the wave driver's fused device batches:
+      __init__  (under backend.deferred_walks): queue the candidate
+                walks — every candidate encodes on device, but only
+                SIZES ever come back (one int32 per stream);
+      plan():   read sizes (first read flushes the walk batch), decide
+                per-section winner plans and framed lengths;
+      prefetch(winners) (under deferred_walks): queue winner gathers;
+      assemble(winners): fetch + frame payloads for the sections whose
+                METHOD competition rans actually won — loser payloads
+                (and CAT-beaten sections) never cross the link.
 
-        plans = []   # per big section: how to assemble once fetched
-        need = [set(), set()]    # job indices per order walk
-        sneed = [set(), set()]   # stripe-job indices per order walk
-        for k, i in enumerate(big_idx):
-            d = datas[i]
+    fixed_lens[i] > 1 enables the STRIPE candidate (the RANSXN1
+    analog: per-read-position sub-streams).  Any device failure
+    (tunnel drop) falls back to the host dispatcher for the segment,
+    keeping output valid."""
+
+    def __init__(self, datas: list[bytes],
+                 fixed_lens: list[int] | None = None):
+        self.datas = datas
+        self.out_host: dict[int, bytes] = {}
+        self.failed = False
+        self.big_idx = [i for i, d in enumerate(datas)
+                        if len(d) >= MIN_DEVICE]
+        big = set(self.big_idx)
+        for i, d in enumerate(datas):
+            if i not in big:
+                self.out_host[i] = host.rans_compress(d, 1)
+        if not self.big_idx:
+            return
+        self.packs = [pack_np(datas[i]) for i in self.big_idx]
+        jobs = [datas[i] for i in self.big_idx]
+        self.pk_pos = {}
+        for k, p in enumerate(self.packs):
+            if p is not None and len(p[1]) >= 32:
+                self.pk_pos[k] = len(jobs)
+                jobs.append(p[1])
+        self.st_pos = {}
+        self.st_stripes = {}
+        sjobs = []   # stripes batch separately: their lengths are
+        # ~1/N of the sections', so mixing them would pad everything
+        # to the longest job's step count
+        if fixed_lens is not None:
+            for k, i in enumerate(self.big_idx):
+                N = fixed_lens[i] if i < len(fixed_lens) else 0
+                if 1 < N <= 255 and len(datas[i]) // N >= 64:
+                    stripes = stripe_split(datas[i], N)
+                    self.st_pos[k] = len(sjobs)
+                    self.st_stripes[k] = stripes
+                    sjobs.extend(stripes)
+        try:
+            self.enc0 = encode_o0_batch_lazy(jobs)
+            self.enc1 = encode_o1_batch_lazy(jobs)
+            self.senc0 = encode_o0_batch_lazy(sjobs) if sjobs else None
+            self.senc1 = encode_o1_batch_lazy(sjobs) if sjobs else None
+        except RuntimeError:
+            self._fallback()
+
+    def _fallback(self) -> None:
+        self.failed = True
+        for i in self.big_idx:
+            self.out_host[i] = host.rans_compress(self.datas[i],
+                                                  0x05 | 0x80)
+
+    def plan(self) -> list[int]:
+        """Per-section framed payload length (aligned with datas)."""
+        if not self.failed and self.big_idx:
+            try:
+                self._plan_big()
+            except RuntimeError:
+                self._fallback()
+        lens = [0] * len(self.datas)
+        for i, p in self.out_host.items():
+            lens[i] = len(p)
+        if not self.failed:
+            for k, i in enumerate(self.big_idx):
+                lens[i] = self.plan_lens[k]
+        return lens
+
+    def _plan_big(self) -> None:
+        s0, s1 = self.enc0.sizes, self.enc1.sizes
+        ss0 = self.senc0.sizes if self.senc0 else []
+        ss1 = self.senc1.sizes if self.senc1 else []
+        self.plans = []
+        self.plan_lens = []
+        for k, i in enumerate(self.big_idx):
+            d = self.datas[i]
             # insertion order breaks size ties exactly like the old
             # stable sort over materialised payloads did
             cands = [(s0[k], X_32 | 0, b"", 0, k),
                      (s1[k], X_32 | 1, b"", 1, k)]
-            if k in pk_pos:
-                meta, packed, _ = packs[k]
+            if k in self.pk_pos:
+                meta, packed, _ = self.packs[k]
                 pmeta = meta + varint.put_u32(len(packed))
-                j = pk_pos[k]
+                j = self.pk_pos[k]
                 cands.append((len(pmeta) + s0[j],
                               X_PACK | X_32 | 0, pmeta, 0, j))
                 cands.append((len(pmeta) + s1[j],
@@ -233,11 +266,11 @@ def _device_section_encode(datas: list[bytes],
             else:
                 plan = ("plain", order, pmeta, (which, j))
                 plan_len = 1 + len(varint.put_u32(len(d))) + clen
-            if k in st_pos:
+            if k in self.st_pos:
                 # stripe candidate: per stripe the smaller of O0/O1
                 # (O1 on ties), CAT when neither compresses
-                stripes = st_stripes[k]
-                base = st_pos[k]
+                stripes = self.st_stripes[k]
+                base = self.st_pos[k]
                 picks = []
                 inner_lens = []
                 for j2, sd in enumerate(stripes):
@@ -255,66 +288,107 @@ def _device_section_encode(datas: list[bytes],
                 if blob_len < plan_len:
                     plan = ("stripe", picks, base, None)
                     plan_len = blob_len
-            kind = plan[0]
+            self.plans.append(plan)
+            self.plan_lens.append(plan_len)
+
+    def _need_sets(self, winners):
+        need = [set(), set()]
+        sneed = [set(), set()]
+        for k, i in enumerate(self.big_idx):
+            if i not in winners:
+                continue
+            kind, a, b_, c = self.plans[k]
             if kind == "plain":
-                which, j = plan[3]
+                which, j = c
                 need[which].add(j)
             elif kind == "stripe":
-                picks, base = plan[1], plan[2]
+                picks, base = a, b_
                 for j2, pick in enumerate(picks):
                     if pick < 2:
                         sneed[pick].add(base + j2)
-            plans.append(plan)
+        return need, sneed
 
-        # queue all four winner gathers, flush once at the first fetch
-        with _bk.deferred_walks():
+    def prefetch(self, winners) -> None:
+        """Queue winner gathers (call under backend.deferred_walks)."""
+        if self.failed or not self.big_idx:
+            return
+        try:
+            need, sneed = self._need_sets(winners)
             if need[0]:
-                enc0.prefetch(sorted(need[0]))
+                self.enc0.prefetch(sorted(need[0]))
             if need[1]:
-                enc1.prefetch(sorted(need[1]))
+                self.enc1.prefetch(sorted(need[1]))
             if sneed[0]:
-                senc0.prefetch(sorted(sneed[0]))
+                self.senc0.prefetch(sorted(sneed[0]))
             if sneed[1]:
-                senc1.prefetch(sorted(sneed[1]))
-        f0 = enc0.fetch(sorted(need[0])) if need[0] else {}
-        f1 = enc1.fetch(sorted(need[1])) if need[1] else {}
-        sf0 = senc0.fetch(sorted(sneed[0])) if sneed[0] else {}
-        sf1 = senc1.fetch(sorted(sneed[1])) if sneed[1] else {}
-    except RuntimeError:
-        # device unavailable mid-run (tunnel drop): host path for this
-        # wave keeps the output valid
-        for i in big_idx:
-            out[i] = host.rans_compress(datas[i], 0x05 | 0x80)
+                self.senc1.prefetch(sorted(sneed[1]))
+        except RuntimeError:
+            self._fallback()
+
+    def assemble(self, winners) -> dict[int, bytes]:
+        """Framed payloads for the requested section indices."""
+        out = {i: p for i, p in self.out_host.items() if i in winners}
+        if self.failed or not self.big_idx:
+            return out
+        try:
+            need, sneed = self._need_sets(winners)
+            f0 = self.enc0.fetch(sorted(need[0])) if need[0] else {}
+            f1 = self.enc1.fetch(sorted(need[1])) if need[1] else {}
+            sf0 = (self.senc0.fetch(sorted(sneed[0]))
+                   if sneed[0] else {})
+            sf1 = (self.senc1.fetch(sorted(sneed[1]))
+                   if sneed[1] else {})
+        except RuntimeError:
+            self._fallback()
+            return {i: p for i, p in self.out_host.items()
+                    if i in winners}
+        for k, i in enumerate(self.big_idx):
+            if i not in winners:
+                continue
+            d = self.datas[i]
+            kind, a, b_, c = self.plans[k]
+            if kind == "cat":
+                out[i] = _frame(0x20, len(d), d)
+            elif kind == "plain":
+                order, pmeta, (which, j) = a, b_, c
+                payload = (f0, f1)[which][j]
+                out[i] = (bytes([order]) + varint.put_u32(len(d))
+                          + pmeta + payload)
+            else:
+                picks, base = a, b_
+                stripes = self.st_stripes[k]
+                inners = []
+                for j2, sd in enumerate(stripes):
+                    pick = picks[j2]
+                    if pick == 2:
+                        inners.append(bytes([X_CAT | X_NOSZ]) + sd)
+                    else:
+                        pay = (sf0, sf1)[pick][base + j2]
+                        inners.append(
+                            bytes([X_32 | X_NOSZ | pick]) + pay)
+                out[i] = (bytes([X_STRIPE | X_32 | 1])
+                          + varint.put_u32(len(d))
+                          + bytes([len(stripes)])
+                          + b"".join(varint.put_u32(len(x))
+                                     for x in inners)
+                          + b"".join(inners))
         return out
-    for k, i in enumerate(big_idx):
-        d = datas[i]
-        kind, a, b_, c = plans[k]
-        if kind == "cat":
-            out[i] = _frame(0x20, len(d), d)
-        elif kind == "plain":
-            order, pmeta, (which, j) = a, b_, c
-            payload = (f0, f1)[which][j]
-            out[i] = (bytes([order]) + varint.put_u32(len(d)) + pmeta
-                      + payload)
-        else:
-            picks, base = a, b_
-            stripes = st_stripes[k]
-            inners = []
-            for j2, sd in enumerate(stripes):
-                pick = picks[j2]
-                if pick == 2:
-                    inners.append(bytes([X_CAT | X_NOSZ]) + sd)
-                else:
-                    pay = (sf0, sf1)[pick][base + j2]
-                    inners.append(
-                        bytes([X_32 | X_NOSZ | pick]) + pay)
-            out[i] = (bytes([X_STRIPE | X_32 | 1])
-                      + varint.put_u32(len(d))
-                      + bytes([len(stripes)])
-                      + b"".join(varint.put_u32(len(x))
-                                 for x in inners)
-                      + b"".join(inners))
-    return out
+
+
+def _device_section_encode(datas: list[bytes],
+                           fixed_lens: list[int] | None = None
+                           ) -> list[bytes]:
+    """Eager wrapper over _RansWave (all sections materialised)."""
+    from fqzcomp5_tpu.ops import backend as _bk
+
+    with _bk.deferred_walks():
+        rw = _RansWave(datas, fixed_lens)
+    rw.plan()
+    allw = set(range(len(datas)))
+    with _bk.deferred_walks():
+        rw.prefetch(allw)
+    pays = rw.assemble(allw)
+    return [pays[i] for i in range(len(datas))]
 
 
 def _adaptive_jobs_host(jobs):
@@ -366,82 +440,132 @@ def _adaptive_batch_safe(jobs):
 _RANS_FAMILY = 0x3FE  # method bits 1..9: RANS0..RANSXN1
 
 
-def _encode_segment_wave(learner, arg, blocks, sec, datas, seg, mask,
-                         trial, results):
-    """Encode one wave segment (blocks sharing a method mask): device
-    rANS best-of covers the rANS-family bits, SEQ*/FQZ* run through
-    ONE cross-block adaptive batch, LZP3 on host.  Best method per
-    block wins with the host's ascending-method tie-break
-    (fqzcomp5.c:2106 strictly-greater)."""
-    from fqzcomp5_tpu.blocks import _SEQ_PARAMS
-    from fqzcomp5_tpu.constants import bit
+class _SegmentTask:
+    """One wave segment (blocks sharing a method mask) as a staged
+    task, so the lockstep driver can fuse SEQ and QUAL segments'
+    device batches (round 5): start() queues candidate walks, plan()
+    reads sizes + picks winners + records trials, prefetch() queues
+    winner gathers, finish() fetches and writes results.  Best method
+    per block wins with the host's ascending-method tie-break
+    (fqzcomp5.c:2106 strictly-greater); rANS payloads are fetched
+    ONLY for blocks where the rANS family won the method competition."""
 
-    cands = {i: [] for i in seg}  # (method_id, strat, payload)
-    rans_mask = mask & _RANS_FAMILY
-    if rans_mask:
-        # the STRIPE candidate runs for every fixed-length block
-        # (beyond parity: it is one more batched device walk, and at
-        # -1/-3 it often wins on position-correlated qualities)
-        fl = [blocks[i].fixed_len for i in seg]
-        rpay = _device_section_encode([datas[i] for i in seg], fl)
-        rep = (rans_mask & -rans_mask).bit_length() - 1
-        for k, i in enumerate(seg):
-            cands[i].append((rep, 0, rpay[k]))
-    if mask & bit(Method.LZP3):
-        for i in seg:
-            pay = host.rans_compress(host.lzp(datas[i]), 5)
-            cands[i].append((int(Method.LZP3), int(Method.LZP3), pay))
+    def __init__(self, learner, arg, blocks, sec, datas, seg, mask,
+                 trial, results):
+        self.learner = learner
+        self.arg = arg
+        self.blocks = blocks
+        self.sec = sec
+        self.datas = datas
+        self.seg = seg
+        self.mask = mask
+        self.trial = trial
+        self.results = results
 
-    jobs, jobmeta = [], []
+    def start(self) -> None:
+        """Queue device candidate walks (under deferred_walks)."""
+        from fqzcomp5_tpu.blocks import _SEQ_PARAMS
+        from fqzcomp5_tpu.constants import bit
 
-    def add_seq(m, slevel, both):
-        strat = (slevel << 4) | (both << 3) | 1
-        for i in seg:
-            jobs.append(("seq", datas[i], blocks[i].lens, both,
-                         slevel))
-            jobmeta.append((i, int(m), strat))
-
-    for m, (slevel, both) in _SEQ_PARAMS.items():
-        if mask & bit(m):
-            add_seq(m, slevel, both)
-    if mask & bit(Method.SEQ_CUSTOM):
-        add_seq(Method.SEQ_CUSTOM, arg.slevel, arg.both_strands)
-    for m in (Method.FQZ0, Method.FQZ1, Method.FQZ2, Method.FQZ3,
-              Method.FQZ4):
-        if mask & bit(m):
-            strat_n = int(m) - int(Method.FQZ0)
+        seg, mask, datas, blocks = (self.seg, self.mask, self.datas,
+                                    self.blocks)
+        self.rw = None
+        self.rep = None
+        rans_mask = mask & _RANS_FAMILY
+        if rans_mask:
+            # the STRIPE candidate runs for every fixed-length block
+            # (beyond parity: it is one more batched device walk, and
+            # at -1/-3 it often wins on position-correlated qualities)
+            fl = [blocks[i].fixed_len for i in seg]
+            self.rw = _RansWave([datas[i] for i in seg], fl)
+            self.rep = (rans_mask & -rans_mask).bit_length() - 1
+        self.lzp = {}
+        if mask & bit(Method.LZP3):
             for i in seg:
-                jobs.append(("fqz", datas[i], blocks[i].lens,
-                             blocks[i].flags, blocks[i].seq_buf,
-                             strat_n))
-                jobmeta.append((i, int(m), 1))
-    declined = {i: [] for i in seg}
-    if jobs:
-        pays = _adaptive_batch_safe(jobs)
-        for (i, m, strat), pay in zip(jobmeta, pays):
+                self.lzp[i] = host.rans_compress(host.lzp(datas[i]), 5)
+
+        jobs, jobmeta = [], []
+
+        def add_seq(m, slevel, both):
+            strat = (slevel << 4) | (both << 3) | 1
+            for i in seg:
+                jobs.append(("seq", datas[i], blocks[i].lens, both,
+                             slevel))
+                jobmeta.append((i, int(m), strat))
+
+        for m, (slevel, both) in _SEQ_PARAMS.items():
+            if mask & bit(m):
+                add_seq(m, slevel, both)
+        if mask & bit(Method.SEQ_CUSTOM):
+            add_seq(Method.SEQ_CUSTOM, self.arg.slevel,
+                    self.arg.both_strands)
+        for m in (Method.FQZ0, Method.FQZ1, Method.FQZ2, Method.FQZ3,
+                  Method.FQZ4):
+            if mask & bit(m):
+                strat_n = int(m) - int(Method.FQZ0)
+                for i in seg:
+                    jobs.append(("fqz", datas[i], blocks[i].lens,
+                                 blocks[i].flags, blocks[i].seq_buf,
+                                 strat_n))
+                    jobmeta.append((i, int(m), 1))
+        self.jobs = jobs
+        self.jobmeta = jobmeta
+
+    def plan(self) -> None:
+        """Sizes -> winner per block (+ trial records)."""
+        seg, datas = self.seg, self.datas
+        # candidates per block: (method, strat, length, payload|None);
+        # a None payload marks the rANS candidate (fetched lazily)
+        cands = {i: [] for i in seg}
+        if self.rw is not None:
+            rlens = self.rw.plan()
+            for k, i in enumerate(seg):
+                cands[i].append((self.rep, 0, rlens[k], None))
+        for i, pay in self.lzp.items():
+            cands[i].append((int(Method.LZP3), int(Method.LZP3),
+                             len(pay), pay))
+        declined = {i: [] for i in seg}
+        if self.jobs:
+            pays = _adaptive_batch_safe(self.jobs)
+            for (i, m, strat), pay in zip(self.jobmeta, pays):
+                if pay is None:
+                    declined[i].append(m)  # codec skipped this input
+                else:
+                    cands[i].append((m, strat, len(pay), pay))
+        self.rans_winners = set()
+        self.chosen = {}
+        for k, i in enumerate(seg):
+            cl = sorted(cands[i], key=lambda c: c[0])
+            best = min(cl, key=lambda c: c[2])
+            self.chosen[i] = best
+            if best[3] is None:
+                self.rans_winners.add(k)
+            if self.trial:
+                sizes = {m: (len(datas[i]), ln) for m, _s, ln, _p in cl}
+                for m in declined[i]:
+                    sizes[m] = (len(datas[i]), (1 << 32) - 1)
+                self.learner.record_trial(self.sec, sizes)
+
+    def prefetch(self) -> None:
+        if self.rw is not None and self.rans_winners:
+            self.rw.prefetch(self.rans_winners)
+
+    def finish(self) -> None:
+        rpay = (self.rw.assemble(self.rans_winners)
+                if self.rw is not None and self.rans_winners else {})
+        for k, i in enumerate(self.seg):
+            m, strat, ln, pay = self.chosen[i]
             if pay is None:
-                declined[i].append(m)   # codec skipped this input
-            else:
-                cands[i].append((m, strat, pay))
-
-    for i in seg:
-        cl = sorted(cands[i], key=lambda c: c[0])
-        best = min(cl, key=lambda c: len(c[2]))
-        results[i] = (best[1], best[2])
-        if trial:
-            sizes = {m: (len(datas[i]), len(p)) for m, _s, p in cl}
-            for m in declined[i]:
-                sizes[m] = (len(datas[i]), (1 << 32) - 1)
-            learner.record_trial(sec, sizes)
+                pay = rpay[k]
+            self.results[i] = (strat, pay)
 
 
-def _encode_section_wave(learner, arg, blocks, sec, datas):
-    """Method-learned wave encode of one section across blocks:
-    replicates the trial/lock/review state machine block-by-block
-    (learning.py), but batches each segment's codec work on device.
-    Returns [(strat_byte, payload)] aligned with `blocks`."""
+def _section_tasks(learner, arg, blocks, sec, datas, results):
+    """Generator of _SegmentTasks replicating the trial/lock/review
+    state machine block-by-block (learning.py).  The next task's mask
+    is computed only after the previous task's plan() recorded its
+    trials, so resume strictly after finish()."""
     n = len(blocks)
-    results: list = [None] * n
     bi = 0
     while bi < n:
         mask = learner.methods_for(sec)
@@ -460,9 +584,27 @@ def _encode_section_wave(learner, arg, blocks, sec, datas):
                     break
                 seg.append(bi + len(seg))
             trial = False
-        _encode_segment_wave(learner, arg, blocks, sec, datas, seg,
-                             mask, trial, results)
+        yield _SegmentTask(learner, arg, blocks, sec, datas, seg,
+                           mask, trial, results)
         bi = seg[-1] + 1
+
+
+def _encode_section_wave(learner, arg, blocks, sec, datas):
+    """Method-learned wave encode of one section across blocks.
+    Returns [(strat_byte, payload)] aligned with `blocks`.  (Single
+    -section form; encode_wave_blocks drives SEQ+QUAL in lockstep so
+    their segments share fused device batches.)"""
+    from fqzcomp5_tpu.ops import backend as _bk
+
+    results: list = [None] * len(blocks)
+    for tk in _section_tasks(learner, arg, blocks, sec, datas,
+                             results):
+        with _bk.deferred_walks():
+            tk.start()
+        tk.plan()
+        with _bk.deferred_walks():
+            tk.prefetch()
+        tk.finish()
     return results
 
 
@@ -471,13 +613,42 @@ def encode_wave_blocks(learner: MethodLearner, arg: Options,
                        ) -> list[tuple[bytes, Timings]]:
     """Encode one wave of batches into serialized blocks (framing +
     CRC included).  Shared by the streaming driver and the distributed
-    wave engine (parallel/dist_tpu.py)."""
-    seqs = _encode_section_wave(learner, arg, wave, Section.SEQ,
-                                [fq.seq_buf for fq in wave])
+    wave engine (parallel/dist_tpu.py).
+
+    SEQ and QUAL section segments run in LOCKSTEP (round 5): both
+    sections' candidate walks queue into one fused device flush, and
+    both sections' winner gathers into one more — a steady-state
+    (locked) wave costs 2 synced device calls total instead of 8.
+    The learner outcome is identical to the sequential form: its
+    state is per-section, and each section's methods_for/record_trial
+    sequence is unchanged (parallel/dist_tpu.py::_tick_wave groups
+    the journal by section, so record interleaving is invisible)."""
+    from fqzcomp5_tpu.ops import backend as _bk
+
     qual_blocks = [fq for fq in wave if not fq.is_fasta]
-    quals = _encode_section_wave(learner, arg, qual_blocks,
-                                 Section.QUAL,
-                                 [fq.qual_buf for fq in qual_blocks])
+    seqs: list = [None] * len(wave)
+    quals: list = [None] * len(qual_blocks)
+    gens = [
+        _section_tasks(learner, arg, wave, Section.SEQ,
+                       [fq.seq_buf for fq in wave], seqs),
+        _section_tasks(learner, arg, qual_blocks, Section.QUAL,
+                       [fq.qual_buf for fq in qual_blocks], quals),
+    ]
+    pending = [next(g, None) for g in gens]
+    while any(p is not None for p in pending):
+        act = [p for p in pending if p is not None]
+        with _bk.deferred_walks():
+            for tk in act:
+                tk.start()
+        for tk in act:
+            tk.plan()
+        with _bk.deferred_walks():
+            for tk in act:
+                tk.prefetch()
+        for tk in act:
+            tk.finish()
+        pending = [next(g, None) if p is not None else None
+                   for g, p in zip(gens, pending)]
     results = []
     qi = 0
     for w, fq in enumerate(wave):
