@@ -805,9 +805,14 @@ def _e2e_tpu_stage(cli, devtimer, src, size, link, stage, cold_done):
     out = small + ".out"
     mb = f"{len(data) / 1_000_000:.1f}MB"
 
+    # -b 1M so the slice holds enough blocks for method learning to
+    # LOCK (the steady-state regime): the default block size would
+    # leave a 24MB bench slice as 2-3 pure-trial blocks, measuring
+    # trial overhead instead of the production pipeline
+    enc_args = ["-e", "tpu", "-1", "-b", "1M", "-V"]
     if not cold_done:
         t0 = time.perf_counter()
-        cli.main(["-e", "tpu", "-1", "-V", str(small), str(comp)])
+        cli.main(enc_args + [str(small), str(comp)])
         cold = time.perf_counter() - t0
         _emit("e2e_tpu_encode_cold", len(data) / cold / 1e6, "MB/s",
               66.0, note=f"{mb} slice incl. compiles [{stage}]")
@@ -816,18 +821,22 @@ def _e2e_tpu_stage(cli, devtimer, src, size, link, stage, cold_done):
     # throughput is the warm number
     devtimer.reset()
     t0 = time.perf_counter()
-    cli.main(["-e", "tpu", "-1", "-V", str(small), str(comp)])
+    cli.main(enc_args + [str(small), str(comp)])
     enc = time.perf_counter() - t0
     snap = devtimer.snapshot()
     _emit("e2e_tpu_encode", len(data) / enc / 1e6, "MB/s", 66.0,
           note=f"{mb} slice, link {link:.1f}MB/s tunnel [{stage}]")
     if snap["compute_s"] > 0:
         # the VERDICT-7 split: device-compute rate vs link rate for
-        # the same run — proves "tunnel-limited" with numbers
+        # the same run — proves "tunnel-limited" with numbers.
+        # compute_calls = fused device launches for the WHOLE run
+        # (VERDICT r5 item 2 asks for the calls-per-wave record: a
+        # steady wave is 2 calls — walks+counts, winner gathers)
         _emit("e2e_tpu_encode_device_compute",
               len(data) / snap["compute_s"] / 1e6, "MB/s", 66.0,
               note=f"device-resident walk seconds only "
-                   f"({snap['compute_s']:.2f}s of {enc:.1f}s wall; "
+                   f"({snap['compute_s']:.2f}s of {enc:.1f}s wall in "
+                   f"{snap['compute_calls']} fused calls; "
                    f"link moved {snap['link_bytes'] // 1_000_000}MB "
                    f"in {snap['link_s']:.1f}s) [{stage}]")
 
@@ -845,7 +854,8 @@ def _e2e_tpu_stage(cli, devtimer, src, size, link, stage, cold_done):
     if snap["compute_s"] > 0:
         _emit("e2e_tpu_decode_device_compute",
               len(data) / snap["compute_s"] / 1e6, "MB/s", 66.0,
-              note=f"({snap['compute_s']:.2f}s of {dec:.1f}s wall; "
+              note=f"({snap['compute_s']:.2f}s of {dec:.1f}s wall in "
+                   f"{snap['compute_calls']} calls; "
                    f"link {snap['link_bytes'] // 1_000_000}MB "
                    f"in {snap['link_s']:.1f}s) [{stage}]")
     return enc + dec, len(data), len(data) / enc / 1e6, \

@@ -373,11 +373,16 @@ def encode_o0_batch(datas: list[bytes]) -> list[bytes]:
     return _LazyO0(datas).fetch_all()
 
 
-def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
+def decode_o0_batch(payloads: list[bytes], out_szs: list[int],
+                    *, lazy: bool = False):
+    """Batched order-0 device decode.  With lazy=True, returns a
+    zero-arg finisher instead of bytes: create several finishers under
+    backend.deferred_walks() and their device walks flush as ONE fused
+    call at the first finish (round 5; see tpu_driver decode flush)."""
     L = _lib()
     B = len(payloads)
     if B == 0:
-        return []
+        return (lambda: []) if lazy else []
     s3s = np.empty((B, 1 << 12), np.uint32)
     bodies = []
     for b, p in enumerate(payloads):
@@ -391,10 +396,26 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
     t_real = np.array([sz // 32 for sz in out_szs], np.int32)
     Tmax = max(int(t_real.max()), 1)
 
+    def _finish_from(resolve):
+        syms, Rf = resolve()
+        out = []
+        for b, sz in enumerate(out_szs):
+            full = syms[b, :sz // 32].reshape(-1).astype(np.uint8)
+            rem = sz - (sz // 32) * 32
+            if rem:
+                tail = (s3s[b][Rf[b, :rem] & rans_jax.MASK12] & 0xFF
+                        ).astype(np.uint8)
+                full = np.concatenate([full, tail])
+            out.append(full[:sz].tobytes())
+        return out
+
     from fqzcomp5_tpu.ops import backend
     _mesh1 = backend.current_mesh()
     if backend._use_pallas() and (_mesh1 is None or _mesh1.size == 1):
-        syms, Rf = _decode_o0_pallas(bodies, s3s, t_real, Tmax)
+        resolve = _decode_o0_pallas_start(bodies, s3s, t_real, Tmax)
+        if lazy:
+            return lambda: _finish_from(resolve)
+        return _finish_from(resolve)
     else:
         # mesh installed: shard the stream rows over dp x sp (blocks /
         # stripes are independent, results byte-identical).  All dims
@@ -428,16 +449,9 @@ def decode_o0_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
         syms = np.asarray(syms)[:B]
         Rf = np.asarray(Rf)[:B]
 
-    out = []
-    for b, sz in enumerate(out_szs):
-        full = syms[b, :sz // 32].reshape(-1).astype(np.uint8)
-        rem = sz - (sz // 32) * 32
-        if rem:
-            tail = (s3s[b][Rf[b, :rem] & rans_jax.MASK12] & 0xFF
-                    ).astype(np.uint8)
-            full = np.concatenate([full, tail])
-        out.append(full[:sz].tobytes())
-    return out
+    if lazy:
+        return lambda: _finish_from(lambda: (syms, Rf))
+    return _finish_from(lambda: (syms, Rf))
 
 
 def _expand4_dev(tab):
@@ -529,9 +543,12 @@ _DEC_O0_RUN = None
 _DEC_O1_RUN = None
 
 
-def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
-    """Run the Pallas decode walk (v3: 4 streams/row); returns
-    (syms (B,T,32), Rf (B,32)) matching decode_scan's conventions."""
+def _decode_o0_pallas_start(bodies, s3s, t_real, Tmax):
+    """Stage the Pallas decode walk: preps + uploads now, the walk
+    dispatch queued via backend.defer (fusable with sibling decode
+    batches), downloads + unpack at the returned resolver.  The
+    resolver returns (syms (B,T,32), Rf (B,32)) matching decode_scan's
+    conventions."""
     import jax.numpy as jnp
 
     from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
@@ -589,19 +606,24 @@ def _decode_o0_pallas(bodies, s3s, t_real, Tmax):
     f0_d = devtimer.put(freqs[:, 0].astype(np.int32))
     R0_d = devtimer.put(R0p)
     tr_d = devtimer.put(treal)
-    syms_d, Rf_d = devtimer.compute(lambda: _dec_o0_run()(
+    d = _bk.defer(lambda: (_dec_o0_run()(
         w_d, tab_d, f0_d, R0_d, tr_d, T=Tb,
         shift=rans_jax.TF_SHIFT, S=S,
-        v3=bool(os.environ.get("FQZ5_DEC_V3"))))
-    syms = devtimer.get(syms_d[:Tmax]).view(np.uint8)  # (T, B4, 128)
-    Rf4 = devtimer.get(Rf_d)                           # (B4, 128)
-    out_syms = np.empty((B, Tmax, 32), np.uint8)
-    Rf_out = np.empty((B, 32), np.uint32)
-    for b in range(B):
-        sl = slice((b % 4) * 32, (b % 4) * 32 + 32)
-        out_syms[b] = syms[:, b // 4, sl]
-        Rf_out[b] = Rf4[b // 4, sl].astype(np.uint32)
-    return out_syms, Rf_out
+        v3=bool(os.environ.get("FQZ5_DEC_V3"))), None))
+
+    def _resolve():
+        syms_d, Rf_d = _bk._resolve(d)
+        syms = devtimer.get(syms_d[:Tmax]).view(np.uint8)
+        Rf4 = devtimer.get(Rf_d)                       # (B4, 128)
+        out_syms = np.empty((B, Tmax, 32), np.uint8)
+        Rf_out = np.empty((B, 32), np.uint32)
+        for b in range(B):
+            sl = slice((b % 4) * 32, (b % 4) * 32 + 32)
+            out_syms[b] = syms[:, b // 4, sl]
+            Rf_out[b] = Rf4[b // 4, sl].astype(np.uint32)
+        return out_syms, Rf_out
+
+    return _resolve
 
 
 class _LazyO1:
@@ -807,11 +829,13 @@ def encode_o1_batch(datas: list[bytes]) -> list[bytes]:
     return _LazyO1(datas).fetch_all()
 
 
-def decode_o1_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
+def decode_o1_batch(payloads: list[bytes], out_szs: list[int],
+                    *, lazy: bool = False):
+    """Batched order-1 device decode (lazy: see decode_o0_batch)."""
     L = _lib()
     B = len(payloads)
     if B == 0:
-        return []
+        return (lambda: []) if lazy else []
     out = [b""] * B
     parsed = []
     for b, p in enumerate(payloads):
@@ -826,6 +850,7 @@ def decode_o1_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
         parsed.append((shift_c.value, s3[:256 << shift_c.value],
                        arr[used:]))
 
+    group_fins = []   # (group_shift, idxs, words, s3s, resolver)
     for group_shift in (10, 12):
         idxs = [i for i, p in enumerate(parsed) if p[0] == group_shift]
         if not idxs:
@@ -849,16 +874,13 @@ def decode_o1_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
         Tmax = max(int(t_real.max()), 1)
 
         from fqzcomp5_tpu.ops import backend
-        done = False
+        resolver = None
         _mesh1 = backend.current_mesh()
         if backend._use_pallas() and (_mesh1 is None
                                       or _mesh1.size == 1):
-            r = _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax,
-                                        group_shift)
-            if r is not None:
-                syms, Rf, ptrf = r
-                done = True
-        if not done:
+            resolver = _decode_o1_pallas_group_start(
+                words, R0, s3s, t_real, Tmax, group_shift)
+        if resolver is None:
             # mesh installed: shard stream rows over dp x sp (pads
             # with degenerate streams, results byte-identical).  Dims
             # bucket so compiles reuse across waves.
@@ -877,50 +899,61 @@ def decode_o1_batch(payloads: list[bytes], out_szs: list[int]) -> list[bytes]:
                 s3sp[G:] = 1 << (group_shift + 8)  # sym0, f=1
                 trp = np.zeros(Gp2, np.int32)
                 trp[:G] = t_real
-            syms, Rf, ptrf = rans_jax.decode_scan_o1(
+            syms0, Rf0, ptrf0 = rans_jax.decode_scan_o1(
                 backend.shard_rows(wordsp, 1),
                 backend.shard_rows(R0p_, 1),
                 backend.shard_rows(s3sp, 1), Tb2, group_shift,
                 t_real=backend.shard_rows(trp))
-            syms = np.asarray(syms)[:G]
-            Rf = np.asarray(Rf)[:G]
-            ptrf = np.asarray(ptrf)[:G]
-        else:
-            syms = np.asarray(syms)
-            Rf = np.asarray(Rf)
-            ptrf = np.asarray(ptrf)
-        for g, i in enumerate(idxs):
-            sz = out_szs[i]
-            isz = sz // 32
-            res = syms[g, :isz].T.reshape(-1).astype(np.uint8)
-            rem = sz - 32 * isz
-            if rem:
-                R = int(Rf[g, 31])
-                ptr = int(ptrf[g])
-                mask = tot - 1
-                last = int(res[-1]) if isz else 0
-                tail = np.empty(rem, np.uint8)
-                wrow = words[g]
-                for k in range(rem):
-                    m = R & mask
-                    S = int(s3s[g][last * tot + m])
-                    c = S & 0xFF
-                    R = ((S >> (group_shift + 8)) * (R >> group_shift)
-                         + ((S >> 8) & mask))
-                    if R < rans_jax.RANS_L and ptr < len(wrow):
-                        R = ((R << 16) | int(wrow[ptr])) & 0xFFFFFFFF
-                        ptr += 1
-                    tail[k] = c
-                    last = c
-                res = np.concatenate([res, tail])
-            out[i] = res[:sz].tobytes()
-    return out
+            syms0 = np.asarray(syms0)[:G]
+            Rf0 = np.asarray(Rf0)[:G]
+            ptrf0 = np.asarray(ptrf0)[:G]
+            resolver = (lambda s=syms0, r=Rf0, p=ptrf0: (s, r, p))
+        group_fins.append((group_shift, idxs, words, s3s, tot,
+                           resolver))
+
+    def _finish():
+        for group_shift, idxs, words, s3s, tot, resolver in group_fins:
+            syms, Rf, ptrf = resolver()
+            for g, i in enumerate(idxs):
+                sz = out_szs[i]
+                isz = sz // 32
+                res = syms[g, :isz].T.reshape(-1).astype(np.uint8)
+                rem = sz - 32 * isz
+                if rem:
+                    R = int(Rf[g, 31])
+                    ptr = int(ptrf[g])
+                    mask = tot - 1
+                    last = int(res[-1]) if isz else 0
+                    tail = np.empty(rem, np.uint8)
+                    wrow = words[g]
+                    for k in range(rem):
+                        m = R & mask
+                        S = int(s3s[g][last * tot + m])
+                        c = S & 0xFF
+                        R = ((S >> (group_shift + 8))
+                             * (R >> group_shift) + ((S >> 8) & mask))
+                        if R < rans_jax.RANS_L and ptr < len(wrow):
+                            R = ((R << 16)
+                                 | int(wrow[ptr])) & 0xFFFFFFFF
+                            ptr += 1
+                        tail[k] = c
+                        last = c
+                    res = np.concatenate([res, tail])
+                out[i] = res[:sz].tobytes()
+        return out
+
+    if lazy:
+        return _finish
+    return _finish()
 
 
-def _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax, shift):
-    """Pallas order-1 decode for one shift group.  Returns
-    (syms (G,T,32) bytes, Rf (G,32), ptrf (G,)) like decode_scan_o1,
-    or None when the alphabet exceeds the 64-symbol bucket."""
+def _decode_o1_pallas_group_start(words, R0, s3s, t_real, Tmax,
+                                  shift):
+    """Stage the Pallas order-1 decode for one shift group: preps +
+    uploads now, walk dispatch queued via backend.defer.  Returns a
+    resolver yielding (syms (G,T,32) bytes, Rf (G,32), ptrf (G,)) like
+    decode_scan_o1, or None when the alphabet exceeds the 64-symbol
+    bucket (caller takes the scan path)."""
     import jax.numpy as jnp
 
     from fqzcomp5_tpu.ops import rans_pallas_dec as rpd
@@ -983,19 +1016,24 @@ def _decode_o1_pallas_group(words, R0, s3s, t_real, Tmax, shift):
     cd = devtimer.put(packed)
     rd = devtimer.put(R0r)
     td = devtimer.put(treal)
-    syms_d, Rf_d, cur_d = devtimer.compute(lambda: _dec_o1_run()(
+    d = _bk.defer(lambda: (_dec_o1_run()(
         wd, cd, rd, td, T=Tb, shift=shift, A=A, A1=A1,
-        last0=last0, v3=bool(os.environ.get("FQZ5_DEC_V3"))))
-    syms = devtimer.get(syms_d[:Tmax])  # (T, G4, 128) int8 indices
-    Rf4 = devtimer.get(Rf_d)
-    cur4 = devtimer.get(cur_d)
-    lut = alphabet.astype(np.uint8)
-    out_syms = np.empty((G, Tmax, 32), np.uint8)
-    Rf_out = np.empty((G, 32), np.uint32)
-    ptrf = np.empty(G, np.int32)
-    for g in range(G):
-        sl = slice((g % 4) * 32, (g % 4) * 32 + 32)
-        out_syms[g] = lut[syms[:, g // 4, sl]]
-        Rf_out[g] = Rf4[g // 4, sl].astype(np.uint32)
-        ptrf[g] = cur4[g // 4, (g % 4) * 32]
-    return out_syms, Rf_out, ptrf
+        last0=last0, v3=bool(os.environ.get("FQZ5_DEC_V3"))), None))
+
+    def _resolve():
+        syms_d, Rf_d, cur_d = _bk._resolve(d)
+        syms = devtimer.get(syms_d[:Tmax])  # (T,G4,128) int8 indices
+        Rf4 = devtimer.get(Rf_d)
+        cur4 = devtimer.get(cur_d)
+        lut = alphabet.astype(np.uint8)
+        out_syms = np.empty((G, Tmax, 32), np.uint8)
+        Rf_out = np.empty((G, 32), np.uint32)
+        ptrf = np.empty(G, np.int32)
+        for g in range(G):
+            sl = slice((g % 4) * 32, (g % 4) * 32 + 32)
+            out_syms[g] = lut[syms[:, g // 4, sl]]
+            Rf_out[g] = Rf4[g // 4, sl].astype(np.uint32)
+            ptrf[g] = cur4[g // 4, (g % 4) * 32]
+        return out_syms, Rf_out, ptrf
+
+    return _resolve

@@ -882,15 +882,25 @@ def decode_file_tpu(in_fp: BinaryIO, writer, arg: Options,
                 (jobs1 if o01 else jobs0).append(
                     ((i, sec), body, osize, post))
         dev_results = {}
-        for jobs, dec in ((jobs0, decode_o0_batch), (jobs1, decode_o1_batch)):
-            if jobs:
-                res = dec([j[1] for j in jobs], [j[2] for j in jobs])
-                for j, r in zip(jobs, res):
-                    key = j[0]
-                    if len(key) == 3:  # stripe sub-stream
-                        stripe_parts[key[:2]][key[2]] = r
-                    else:
-                        dev_results[key] = j[3](r) if j[3] else r
+        # O0 and O1 batches stage under one deferred context so their
+        # device walks flush as a single fused call (round 5)
+        from fqzcomp5_tpu.ops import backend as _bk
+        fins = []
+        with _bk.deferred_walks():
+            for jobs, dec in ((jobs0, decode_o0_batch),
+                              (jobs1, decode_o1_batch)):
+                if jobs:
+                    fins.append((jobs, dec(
+                        [j[1] for j in jobs], [j[2] for j in jobs],
+                        lazy=True)))
+        for jobs, fin in fins:
+            res = fin()
+            for j, r in zip(jobs, res):
+                key = j[0]
+                if len(key) == 3:  # stripe sub-stream
+                    stripe_parts[key[:2]][key[2]] = r
+                else:
+                    dev_results[key] = j[3](r) if j[3] else r
         for key, parts in stripe_parts.items():
             if all(p is not None for p in parts):
                 dev_results[key] = _unstripe(parts, stripe_ulen[key])
