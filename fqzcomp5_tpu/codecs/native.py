@@ -443,27 +443,35 @@ def parse_fastq_chunk(buf, off: int = 0, size: int | None = None):
     if size is None:
         size = len(buf) - off
     max_rec = size // 6 + 2  # minimal record "@\n\n+\n\n" is 6 bytes
-    # Reusable scratch: the worst-case bound is ~size/6 entries per
-    # array (6 x 21MB per 16MB chunk); allocating fresh ones per chunk
-    # dominated parse cost.  The used prefix (~n entries) is copied out
-    # because ParsedRecords outlives the next chunk.
-    arrs = getattr(_scratch, "parse_arrs", None)
-    if arrs is None or len(arrs[0]) < max_rec:
-        # +1/8 headroom: chunk sizes wobble by the carried tail, and
-        # re-allocating 6 x ~20MB per chunk defeats the reuse
+    # Reusable scratch via ANONYMOUS MMAP: the worst-case bound is
+    # ~size/6 entries per array, but a ctypes array allocation ZEROES
+    # all of it eagerly (6 x ~70MB = ~0.25s on the first 52MB chunk —
+    # the dominant cold-CLI parse cost, round 5).  mmap pages are
+    # zero-filled lazily on first touch, and the parser only writes
+    # the ~nrec-entry prefix, so over-reserving is free.
+    import mmap as _mmap
+
+    sc = getattr(_scratch, "parse_mm", None)
+    if sc is None or sc[1] < max_rec:
+        # +1/8 headroom: chunk sizes wobble by the carried tail
         cap = max_rec + (max_rec >> 3)
-        arrs = [(ctypes.c_int64 * cap)() for _ in range(6)]
-        _scratch.parse_arrs = arrs
+        mm = _mmap.mmap(-1, 6 * cap * 8)
+        sc = (mm, cap,
+              ctypes.addressof(ctypes.c_char.from_buffer(mm)))
+        _scratch.parse_mm = sc
+    mm, cap, base = sc
     tail = (ctypes.c_int64 * 1)()
     i64 = ctypes.POINTER(ctypes.c_int64)
+    ptrs = [ctypes.cast(base + k * cap * 8, i64) for k in range(6)]
     _dk, dp = _u8_at(buf, off)
-    rc = L.fqz5_parse_fastq_chunk(
-        dp, size, max_rec, *[ctypes.cast(a, i64) for a in arrs],
-        ctypes.cast(tail, i64))
+    rc = L.fqz5_parse_fastq_chunk(dp, size, max_rec, *ptrs,
+                                  ctypes.cast(tail, i64))
     if rc < 0:
         return None
     n = int(rc)
-    out = tuple(array("q", bytes(memoryview(a)[:n])) for a in arrs)
+    mv = memoryview(mm)
+    out = tuple(array("q", bytes(mv[k * cap * 8:k * cap * 8 + n * 8]))
+                for k in range(6))
     return out + (int(tail[0]),)
 
 

@@ -81,6 +81,22 @@ constexpr int kShift = 12;            // TF_SHIFT (order-0)
 constexpr uint32_t kTot = 1u << kShift;
 extern "C" int fqz5_have_avx2();
 extern "C" int fqz5_have_avx512();
+
+// Decode-tier pick: FQZ5_DEC_SIMD=avx2|avx512 overrides (the decode
+// walks' emulated-gather AVX2 form and the expand-renorm AVX-512 form
+// trade blows within a few % depending on table size; the duel
+// harness sweeps both).
+static int fqz5_dec_avx512() {
+    static int v = -1;
+    if (v < 0) {
+        const char* e = getenv("FQZ5_DEC_SIMD");
+        if (e && !strcmp(e, "avx2"))
+            v = 0;
+        else
+            v = fqz5_have_avx512();
+    }
+    return v;
+}
 extern "C" void fqz5_simd512_dec_o0_32(const uint32_t*, int,
                                        const uint8_t**, const uint8_t*,
                                        uint32_t*, uint8_t*, uint32_t);
@@ -802,7 +818,7 @@ bool rans_dec_o0(const uint8_t* in, uint32_t in_size, uint8_t* out,
     }
     constexpr uint32_t mask = kTot - 1;
     uint32_t start = 0;
-    if (N == 32 && fqz5_have_avx512()) {
+    if (N == 32 && fqz5_dec_avx512()) {
         uint32_t main_sz = out_sz & ~31u;
         fqz5_simd512_dec_o0_32(s3, kShift, &cp, limit, R, out, main_sz);
         start = main_sz;
@@ -1263,36 +1279,43 @@ bool rans_dec_o1(const uint8_t* in, uint32_t in_size, uint8_t* out,
     const uint32_t mask = tot - 1;
 
     if (use_simd) {
+        // chunked: the (chunk x 32) transposed buffer stays L2-hot, so
+        // the un-transpose pass reads cache instead of re-streaming
+        // the whole section from DRAM (round 5: the full-size tbuf
+        // cost ~3% of the O1 decode wall on 24MB sections).  The SIMD
+        // kernels carry R/last in and out, so chunking is free.
+        constexpr uint32_t kChunk = 4096;   // 128KB tile
         static thread_local std::vector<uint8_t> tbuf;
-        tbuf.resize(size_t(isz) * 32);
-        if (fqz5_have_avx512())
-            fqz5_simd512_dec_o1_32(s3o1, int(shift), &cp, limit, R, l,
-                                   tbuf.data(), isz);
-        else
-            fqz5_simd_dec_o1_32(s3o1, int(shift), &cp, limit, R, l,
-                                tbuf.data(), isz);
-        // un-transpose (isz x 32) into the 32 contiguous lane chunks
+        tbuf.resize(size_t(std::min(isz, kChunk)) * 32);
+        for (uint32_t base = 0; base < isz; base += kChunk) {
+            uint32_t n = std::min(kChunk, isz - base);
+            if (fqz5_dec_avx512())
+                fqz5_simd512_dec_o1_32(s3o1, int(shift), &cp, limit,
+                                       R, l, tbuf.data(), n);
+            else
+                fqz5_simd_dec_o1_32(s3o1, int(shift), &cp, limit, R,
+                                    l, tbuf.data(), n);
+            // un-transpose (n x 32) into the 32 lane chunks
 #if defined(__SSE2__)
-        {
             uint32_t it = 0;
-            for (; it + 16 <= isz; it += 16)
+            for (; it + 16 <= n; it += 16)
                 for (int g = 0; g < 2; g++)
-                    transpose16x16(tbuf.data() + size_t(it) * 32 + 16 * g,
-                                   32, out + i4[16 * g] + it, isz);
-            for (; it < isz; it++)
+                    transpose16x16(
+                        tbuf.data() + size_t(it) * 32 + 16 * g, 32,
+                        out + i4[16 * g] + base + it, isz);
+            for (; it < n; it++)
                 for (int z = 0; z < N; z++)
-                    out[i4[z] + it] = tbuf[size_t(it) * 32 + z];
-            for (int z = 0; z < N; z++) i4[z] += isz;
-        }
+                    out[i4[z] + base + it] = tbuf[size_t(it) * 32 + z];
 #else
-        for (int z = 0; z < N; z++) {
-            uint8_t* dst = out + i4[z];
-            const uint8_t* src = tbuf.data() + z;
-            for (uint32_t i = 0; i < isz; i++)
-                dst[i] = src[size_t(i) * 32];
-            i4[z] += isz;
-        }
+            for (int z = 0; z < N; z++) {
+                uint8_t* dst = out + i4[z] + base;
+                const uint8_t* src = tbuf.data() + z;
+                for (uint32_t i = 0; i < n; i++)
+                    dst[i] = src[size_t(i) * 32];
+            }
 #endif
+        }
+        for (int z = 0; z < N; z++) i4[z] += isz;
     } else {
         // Scalar walk.  The fast loop is specialised per shift value
         // and table layout (the reference's "15% faster to specialise

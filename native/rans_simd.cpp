@@ -65,6 +65,84 @@ inline __m256i renorm8(__m256i R, const uint8_t*& ptr,
     return R;
 }
 
+// Branch-free renorm for the windowed fast path: the caller
+// guarantees 16 readable bytes at ptr (sliding overflow window), so
+// there is no early-out branch and no bound check — the reference
+// AVX2 core's structure (rANS_static32x16pr_avx2.c:586-614), which
+// measured ~5% faster than the branching form on mixed-density
+// renorm patterns (round 5).
+inline __m256i renorm8_fast(__m256i R, const uint8_t*& ptr) {
+    // 2-op unsigned compare (ref's _mm256_cmplt_epu32_imm)
+    __m256i need = _mm256_cmpgt_epi32(
+        _mm256_set1_epi32(int(kRansL - 0x80000000u)),
+        _mm256_xor_si256(R, _mm256_set1_epi32(int(0x80000000u))));
+    int m8 = _mm256_movemask_ps(_mm256_castsi256_ps(need));
+    __m128i w16 = _mm_loadu_si128((const __m128i*)ptr);
+    __m256i w32 = _mm256_cvtepu16_epi32(w16);
+    __m256i pidx = _mm256_load_si256((const __m256i*)kPerm.idx[m8]);
+    __m256i words = _mm256_permutevar8x32_epi32(w32, pidx);
+    __m256i shifted = _mm256_or_si256(_mm256_slli_epi32(R, 16), words);
+    R = _mm256_blendv_epi8(R, shifted, need);
+    ptr += 2 * __builtin_popcount(unsigned(m8));
+    return R;
+}
+
+// Sliding 128-byte overflow window: while >=64 real bytes remain the
+// walk reads the stream directly; near the end it switches into a
+// zero-padded local window so the inner loop never bound-checks
+// (reference overflow[] scheme).  One iteration consumes <= 64 bytes.
+struct StreamWin {
+    const uint8_t* cp;
+    const uint8_t* limit;
+    alignas(32) uint8_t win[128];
+    const uint8_t* real_at_win0 = nullptr;  // real pos of win[0]
+    bool ovf = false;
+
+    StreamWin(const uint8_t* c, const uint8_t* l) : cp(c), limit(l) {}
+
+    inline void ensure64() {
+        if (!ovf) {
+            if (limit - cp >= 64) return;
+            size_t rem = size_t(limit - cp);
+            memcpy(win, cp, rem);
+            memset(win + rem, 0, sizeof win - rem);
+            real_at_win0 = cp;
+            cp = win;
+            ovf = true;
+        } else if (cp > win + 64) {
+            size_t used = size_t(cp - win);
+            memmove(win, cp, sizeof win - used);
+            memset(win + sizeof win - used, 0, used);
+            real_at_win0 += used;
+            cp = win;
+        }
+    }
+
+    const uint8_t* real_cp() const {
+        if (!ovf) return cp;
+        const uint8_t* r = real_at_win0 + (cp - win);
+        return r < limit ? r : limit;  // zeros consumed: clamp (the
+        // scalar tail then sees an exhausted stream; valid streams
+        // never reach the zero pad)
+    }
+};
+
+// 32 decoded symbols (4 groups' low bytes) -> out, in lane order
+// (ref's packus_epi32/permute4x64/packus_epi16 trick).
+inline void pack32_low_bytes(__m256i S0, __m256i S1, __m256i S2,
+                             __m256i S3, uint8_t* out) {
+    const __m256i vff = _mm256_set1_epi32(0xFF);
+    __m256i a = _mm256_packus_epi32(_mm256_and_si256(S0, vff),
+                                    _mm256_and_si256(S1, vff));
+    __m256i b = _mm256_packus_epi32(_mm256_and_si256(S2, vff),
+                                    _mm256_and_si256(S3, vff));
+    a = _mm256_permute4x64_epi64(a, 0xd8);
+    b = _mm256_permute4x64_epi64(b, 0xd8);
+    __m256i c = _mm256_packus_epi16(a, b);
+    c = _mm256_permute4x64_epi64(c, 0xd8);
+    _mm256_storeu_si256((__m256i*)out, c);
+}
+
 // Emulated gather: hardware vpgatherdd is microcoded on every CPU
 // carrying the Downfall mitigation (this image's Ice Lake-class Xeon
 // included) and runs ~5-10x slower than scalar loads.  The index
@@ -75,15 +153,23 @@ inline __m256i renorm8(__m256i R, const uint8_t*& ptr,
 inline __m256i gather8(const uint32_t* tab, __m256i idx) {
     volatile uint32_t c[8] __attribute__((aligned(32)));
     _mm256_store_si256((__m256i*)(uint32_t*)c, idx);
-    __m128i lo = _mm_cvtsi32_si128(int(tab[c[0]]));
-    __m128i hi = _mm_cvtsi32_si128(int(tab[c[4]]));
-    lo = _mm_insert_epi32(lo, int(tab[c[1]]), 1);
-    hi = _mm_insert_epi32(hi, int(tab[c[5]]), 1);
-    lo = _mm_insert_epi32(lo, int(tab[c[2]]), 2);
-    hi = _mm_insert_epi32(hi, int(tab[c[6]]), 2);
-    lo = _mm_insert_epi32(lo, int(tab[c[3]]), 3);
-    hi = _mm_insert_epi32(hi, int(tab[c[7]]), 3);
-    return _mm256_inserti128_si256(_mm256_castsi128_si256(lo), hi, 1);
+    // four independent 2-lane builders + a merge tree: depth 3 with
+    // 4-wide ILP (two serial 4-deep insert chains cost ~3% of the
+    // whole decode walk; this is the reference's emulation shape)
+    uint32_t b1 = tab[c[1]], b3 = tab[c[3]];
+    uint32_t b5 = tab[c[5]], b7 = tab[c[7]];
+    __m128i x0 = _mm_cvtsi32_si128(int(tab[c[0]]));
+    __m128i x1 = _mm_cvtsi32_si128(int(tab[c[2]]));
+    __m128i x2 = _mm_cvtsi32_si128(int(tab[c[4]]));
+    __m128i x3 = _mm_cvtsi32_si128(int(tab[c[6]]));
+    x0 = _mm_insert_epi32(x0, int(b1), 1);
+    x1 = _mm_insert_epi32(x1, int(b3), 1);
+    x2 = _mm_insert_epi32(x2, int(b5), 1);
+    x3 = _mm_insert_epi32(x3, int(b7), 1);
+    __m128i x01 = _mm_unpacklo_epi64(x0, x1);
+    __m128i x23 = _mm_unpacklo_epi64(x2, x3);
+    return _mm256_inserti128_si256(_mm256_castsi128_si256(x01), x23,
+                                   1);
 }
 
 inline void pack8_low_bytes(__m256i S, uint8_t* dst) {
@@ -107,35 +193,34 @@ int fqz5_have_avx2() { return __builtin_cpu_supports("avx2") ? 1 : 0; }
 void fqz5_simd_dec_o0_32(const uint32_t* s3, int shift,
                          const uint8_t** cp_io, const uint8_t* limit,
                          uint32_t* Rs, uint8_t* out, uint32_t main_sz) {
-    const uint8_t* cp = *cp_io;
+    StreamWin w(*cp_io, limit);
     const uint32_t mask = (1u << shift) - 1;
     const __m256i vmask = _mm256_set1_epi32(int(mask));
-    const __m256i vff = _mm256_set1_epi32(0xFF);
     __m256i R[4];
     for (int g = 0; g < 4; g++)
         R[g] = _mm256_loadu_si256((const __m256i*)(Rs + 8 * g));
 
     for (uint32_t i = 0; i < main_sz; i += 32) {
-        // issue the four gathers back-to-back so their latency overlaps;
-        // only the renorms are serial (shared word pointer, lane order)
+        w.ensure64();  // the only bound handling per iteration
+        // issue the four gathers back-to-back so their latency
+        // overlaps; the state update + renorm of groups 0/1 runs
+        // while 2/3's gathers are still in flight
         __m256i S[4];
+        for (int g = 0; g < 4; g++)
+            S[g] = gather8(s3, _mm256_and_si256(R[g], vmask));
         for (int g = 0; g < 4; g++) {
-            __m256i m = _mm256_and_si256(R[g], vmask);
-            S[g] = gather8(s3, m);
-        }
-        for (int g = 0; g < 4; g++) {
-            pack8_low_bytes(_mm256_and_si256(S[g], vff), out + i + 8 * g);
             __m256i f = _mm256_srli_epi32(S[g], shift + 8);
             __m256i b = _mm256_and_si256(_mm256_srli_epi32(S[g], 8),
                                          vmask);
             __m256i q = _mm256_srli_epi32(R[g], shift);
             R[g] = _mm256_add_epi32(_mm256_mullo_epi32(f, q), b);
+            R[g] = renorm8_fast(R[g], w.cp);
         }
-        for (int g = 0; g < 4; g++) R[g] = renorm8(R[g], cp, limit);
+        pack32_low_bytes(S[0], S[1], S[2], S[3], out + i);
     }
     for (int g = 0; g < 4; g++)
         _mm256_storeu_si256((__m256i*)(Rs + 8 * g), R[g]);
-    *cp_io = cp;
+    *cp_io = w.real_cp();
 }
 
 // Order-1 main loop: isz steps over 32 lanes, writing a transposed
@@ -147,7 +232,7 @@ void fqz5_simd_dec_o1_32(const uint32_t* s3o1, int shift,
     // s3o1[(last << shift) + m] = ((f-1) << 20) | (start << 8) | sym:
     // ONE gather per lane per symbol (the two-table version gathered
     // sym and (f,start) separately; gathers dominate this loop)
-    const uint8_t* cp = *cp_io;
+    StreamWin w(*cp_io, limit);
     const uint32_t mask = (1u << shift) - 1;
     const __m256i vmask = _mm256_set1_epi32(int(mask));
     const __m256i vff = _mm256_set1_epi32(0xFF);
@@ -162,6 +247,7 @@ void fqz5_simd_dec_o1_32(const uint32_t* s3o1, int shift,
     }
 
     for (uint32_t i = 0; i < isz; i++) {
+        w.ensure64();
         uint8_t* trow = tbuf + size_t(i) * 32;
         __m256i m[4], sv[4];
         for (int g = 0; g < 4; g++) {
@@ -172,7 +258,6 @@ void fqz5_simd_dec_o1_32(const uint32_t* s3o1, int shift,
         }
         for (int g = 0; g < 4; g++) {
             __m256i c = _mm256_and_si256(sv[g], vff);
-            pack8_low_bytes(c, trow + 8 * g);
             __m256i f = _mm256_add_epi32(
                 _mm256_srli_epi32(sv[g], 20), v1);
             __m256i st = _mm256_and_si256(_mm256_srli_epi32(sv[g], 8),
@@ -181,8 +266,9 @@ void fqz5_simd_dec_o1_32(const uint32_t* s3o1, int shift,
             R[g] = _mm256_sub_epi32(
                 _mm256_add_epi32(_mm256_mullo_epi32(f, q), m[g]), st);
             last[g] = c;
+            R[g] = renorm8_fast(R[g], w.cp);
         }
-        for (int g = 0; g < 4; g++) R[g] = renorm8(R[g], cp, limit);
+        pack32_low_bytes(sv[0], sv[1], sv[2], sv[3], trow);
     }
     for (int g = 0; g < 4; g++) {
         _mm256_storeu_si256((__m256i*)(Rs + 8 * g), R[g]);
@@ -190,7 +276,7 @@ void fqz5_simd_dec_o1_32(const uint32_t* s3o1, int shift,
         _mm256_store_si256((__m256i*)l32, last[g]);
         for (int z = 0; z < 8; z++) lastv[8 * g + z] = uint8_t(l32[z]);
     }
-    *cp_io = cp;
+    *cp_io = w.real_cp();
 }
 
 }  // extern "C"
