@@ -587,11 +587,14 @@ def _decode_o0_pallas_start(bodies, s3s, t_real, Tmax):
         flat = np.zeros(Wmax128 * 128, np.int32)
         flat[:len(w16)] = w16
         words[b] = flat.reshape(Wmax128, 128)
-    # alphabet bucket: the compare loop costs O(S) per step, so compile
-    # for the smallest bucket covering the max symbol value
+    # alphabet bucket: the compare loop costs O(S) per step — at
+    # rows=64 the walk is op-bound, so every spare boundary is ~0.4%
+    # of the step (docs/ROOFLINE.md).  Round 5: buckets refine from
+    # {16,32,64} to multiples of 8 (qual alphabets are ~40-46; the
+    # 64-bucket wasted 28% of the compare loop on them).  Each bucket
+    # compiles once ever (persistent cache).
     max_sym = int(np.max(np.nonzero(freqs[:B].any(0))[0], initial=0))
-    S = (16 if max_sym < 16 else 32 if max_sym < 32
-         else 64 if max_sym < 64 else 256)
+    S = 256 if max_sym >= 64 else max(16, (max_sym + 8) & ~7)
     if S <= 64:
         tab = rpd.build_dec_tables_p(freqs, rans_jax.TF_SHIFT, S)
     else:
