@@ -123,7 +123,12 @@ def _recv_request(conn):
     line = raw.split(b"\n", 1)[0]
     if not line:
         raise ValueError("empty request")
-    return json.loads(line), fds
+    req = json.loads(line)
+    if not isinstance(req, dict):
+        # fuzz finding (round 5): a JSON non-object request reached
+        # req.get() in the accept loop and killed the server
+        raise ValueError("request must be a JSON object")
+    return req, fds
 
 
 def _send_line(conn, obj) -> None:

@@ -104,3 +104,41 @@ class MethodLearner:
         the block exactly as the owner did)."""
         for sec, sizes in journal:
             self.record_trial(sec, sizes)
+
+
+def journal_dumps(journal) -> bytes:
+    """Wire-encode a trial journal as JSON.
+
+    The journal crosses process boundaries on the distributed mesh
+    (parallel/distributed.py, parallel/dist_tpu.py).  It used to ride
+    as pickle — a remote-code-execution surface: any peer (or anything
+    that can write to the all-gather) could inject an arbitrary
+    object graph.  JSON carries exactly the ints the journal contains
+    and nothing else executes on load."""
+    import json
+
+    return json.dumps(
+        [[int(sec), {str(m): [int(u), int(c)]
+                     for m, (u, c) in sizes.items()}]
+         for sec, sizes in journal]).encode()
+
+
+def journal_loads(blob: bytes):
+    """Decode journal_dumps output.  Raises ValueError on anything
+    malformed (fuzzed in tests/test_fuzz_deep.py) — never executes
+    payload content."""
+    import json
+
+    try:
+        raw = json.loads(blob.decode())
+        if not isinstance(raw, list):
+            raise ValueError("journal must be a JSON list")
+        out = []
+        for sec, sizes in raw:
+            out.append((int(sec),
+                        {int(m): (int(u), int(c))
+                         for m, (u, c) in sizes.items()}))
+        return out
+    except (UnicodeDecodeError, json.JSONDecodeError, TypeError,
+            KeyError, AttributeError) as e:
+        raise ValueError(f"malformed trial journal: {e}") from e

@@ -24,13 +24,13 @@ any process count (tests/test_dist_tpu.py).
 
 from __future__ import annotations
 
-import pickle
 import struct
 from typing import BinaryIO
 
 from fqzcomp5_tpu import container, fastq
 from fqzcomp5_tpu.constants import Section
-from fqzcomp5_tpu.learning import MethodLearner
+from fqzcomp5_tpu.learning import (MethodLearner, journal_dumps,
+                                   journal_loads)
 from fqzcomp5_tpu.options import Options, method_avail_for
 
 _WAVE_SECS = (Section.SEQ, Section.QUAL)   # section-wave order in
@@ -160,7 +160,7 @@ def encode_file_dist_tpu(in_path: str, out_fp: BinaryIO | None,
                 enc = encode_wave_blocks(learner, arg, batch)
                 journal = learner.pop_journal()
             if needs_sync:
-                jblob = pickle.dumps(journal)
+                jblob = journal_dumps(journal)
             round_pay[owner] = b"".join(
                 struct.pack("<I", len(blk)) + blk for blk, _bt in enc)
         if needs_sync and num_processes > 1:
@@ -170,7 +170,7 @@ def encode_file_dist_tpu(in_path: str, out_fp: BinaryIO | None,
             blobs = _allgather_bytes(jblob)
             if owner != process_id:
                 _tick_wave(learner, len(wblocks),
-                           pickle.loads(blobs[owner]))
+                           journal_loads(blobs[owner]))
                 STATS["blocks_ticked"] += len(wblocks)
         elif owner != process_id:
             _tick_wave(learner, len(wblocks), [])

@@ -17,7 +17,7 @@ fqzcomp5.c:3063-3120), with ONE reader parsing blocks for the workers
   process (shared mutable state in the reference, guarded by
   metric_m).  Trial blocks are encoded by their OWNER only; the
   owner's per-method trial stats travel to the peers as a tiny
-  pickled journal (learning.MethodLearner.start_journal) through one
+  JSON journal (learning.MethodLearner.start_journal) through one
   allgather per trial block, so the learners stay in lock-step with
   no redundant codec or parse work.  Locked blocks advance the other
   processes' learners with bare methods_for calls;
@@ -38,7 +38,6 @@ CPU processes).
 from __future__ import annotations
 
 import os
-import pickle
 import struct
 import sys
 import time
@@ -49,7 +48,8 @@ import numpy as np
 from fqzcomp5_tpu import container, fastq
 from fqzcomp5_tpu.blocks import encode_block
 from fqzcomp5_tpu.constants import Section
-from fqzcomp5_tpu.learning import MethodLearner
+from fqzcomp5_tpu.learning import (MethodLearner, journal_dumps,
+                                   journal_loads)
 from fqzcomp5_tpu.options import Options, method_avail_for
 
 _SECS = (Section.NAME, Section.SEQ, Section.QUAL)
@@ -201,7 +201,7 @@ def encode_file_distributed(in_path: str, out_fp: BinaryIO | None,
                 if trial:
                     learner.start_journal()
                     round_pay[owner] = encode_block(learner, arg, fq)
-                    blob = pickle.dumps(learner.pop_journal())
+                    blob = journal_dumps(learner.pop_journal())
                 else:
                     round_pay[owner] = encode_block(learner, arg, fq)
         elif trial:
@@ -213,7 +213,7 @@ def encode_file_distributed(in_path: str, out_fp: BinaryIO | None,
             blobs = _allgather_bytes(blob)
             if owner != process_id:
                 _tick_block(learner, is_fasta=False)
-                learner.replay_journal(pickle.loads(blobs[owner]))
+                learner.replay_journal(journal_loads(blobs[owner]))
         round_meta[owner] = (seq_bytes, nrec)
         if (serial + 1) % num_processes == 0:
             flush_round()
