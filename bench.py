@@ -508,8 +508,13 @@ def bench_pass3(on_tpu, tier):
     from fqzcomp5_tpu.ops import rc_pallas
 
     R = 4
-    T1, T2 = {"full": (2048, 16384), "mid": (2048, 16384),
-              "small": (1024, 4096), "cpu": (64, 128)}[tier]
+    # T sized so the walk's O(T) work clears the ~30-55ms fixed wall
+    # of a chunk invocation (dispatch + event-plane writes): at the
+    # old (2048, 16384) the marginal sat under timer resolution and
+    # the metric printed as a meaningless LOWER BOUND (VERDICT r4
+    # item 4; root-caused in round 5)
+    T1, T2 = {"full": (65536, 131072), "mid": (32768, 65536),
+              "small": (8192, 16384), "cpu": (64, 128)}[tier]
     B = R * 128
     rng = np.random.default_rng(7)
     planes = {}
@@ -531,8 +536,10 @@ def bench_pass3(on_tpu, tier):
                                   interpret=not on_tpu)
         import jax
 
+        # block on EVERY output (the event planes are the bulk of the
+        # kernel's work) and force a readback
         jax.block_until_ready(outs)
-        return float(outs[4][0, 0].astype(jnp.float32))
+        return float(np.asarray(outs[4])[0, 0])
 
     dt, floored = _marginal(run, T1, T2, n=5)
     sps = B * (T2 - T1) / dt / 1e6
@@ -887,15 +894,18 @@ def e2e_tpu_main(src) -> int:
         cli, devtimer, src, size_a, link, "stage A", cold_done=False)
 
     left = deadline - (time.perf_counter() - t_start) - 30.0
-    # stage B repeats only the timed warm encode+decode pair; size it
-    # to 70% of the remaining budget at stage A's measured warm pace
+    # stage B pays its own cold pair first (round 5: its bigger waves
+    # hit different shape buckets than stage A, and timing the first
+    # run charged Mosaic compiles as device compute — BENCH r5
+    # validation showed 13.9s of "compute" in 2 decode calls); size it
+    # to 40% of the remaining budget at stage A's measured warm pace
     rate = bytes_a / max(wall_a, 1e-9)       # bytes per warm-pair sec
-    size_b = int(min(left * 0.7 * rate, 24_000_000))
+    size_b = int(min(left * 0.4 * rate, 24_000_000))
     if size_b >= 2 * bytes_a and left > 60:
         try:
             wall_b, _, enc_b, dec_b = _e2e_tpu_stage(
                 cli, devtimer, src, size_b, link, "stage B",
-                cold_done=True)
+                cold_done=False)
             if enc_b < enc_a:
                 # tunnel flapped mid-stage-B.  VERDICT r4 item 10: do
                 # not leave a "stall" note without a retried
