@@ -317,18 +317,30 @@ class _LazyO0:
             T = n // 32 + (1 if n % 32 else 0)
             Tmax = max(Tmax, T)
 
-        flat = np.full((B, Tmax, 32), _NOP_O0, np.int32)
+        # u8 symbol plane + packed nop bitmask, built directly: pad
+        # slots are MASKED by the nop bits, so their content is never
+        # read and needs no write — the old int32 sentinel plane paid
+        # ~2.8s of np.full per 24MB wave (round-5 profile)
+        small = np.empty((B, Tmax, 32), np.uint8)
+        nopb = np.zeros((B, Tmax, 4), np.uint8)
         for b, d in enumerate(datas):
             arr = np.frombuffer(d, np.uint8)
             n = len(arr)
             Tfull = n // 32
-            flat[b, :Tfull] = arr[:Tfull * 32].reshape(Tfull, 32)
+            small[b, :Tfull] = arr[:Tfull * 32].reshape(Tfull, 32)
             rem = n - Tfull * 32
+            pad_from = Tfull
             if rem:
-                flat[b, Tfull, :rem] = arr[Tfull * 32:]
+                small[b, Tfull, :rem] = arr[Tfull * 32:]
+                row = np.zeros(32, np.uint8)
+                row[rem:] = 1
+                nopb[b, Tfull] = np.packbits(row, bitorder="little")
+                pad_from = Tfull + 1
+            if pad_from < Tmax:
+                nopb[b, pad_from:] = 0xFF
 
-        self._lz = backend.encode_flat_lazy(
-            flat, np.stack(freq_rows), rans_jax.TF_SHIFT)
+        self._lz = backend.encode_u8_lazy(
+            small, nopb, np.stack(freq_rows), rans_jax.TF_SHIFT)
 
     @property
     def sizes(self) -> list[int]:
@@ -768,7 +780,10 @@ class _LazyO1:
             Tmax = max(Tmax, isz)
 
         G = len(idxs)
-        flat = np.full((G, Tmax, 32), _NOP_O1, np.int32)
+        # pad rows need the sentinel (the dict remap maps it to the
+        # per-stream nop slot) but only the PAD region — np.full over
+        # the whole plane doubled the fill traffic
+        flat = np.empty((G, Tmax, 32), np.int32)
         for g, i in enumerate(idxs):
             arr = np.frombuffer(datas[i], np.uint8)
             isz = plans[g]
@@ -777,6 +792,8 @@ class _LazyO1:
             f[1:] = chunks.T[:-1] * 256 + chunks.T[1:]
             f[0] = chunks.T[0]  # ctx 0
             flat[g, :isz] = f
+            if isz < Tmax:
+                flat[g, isz:] = _NOP_O1
 
         freqs_g = np.stack([preps[i][1] for i in idxs])  # (G, 256, 256)
         lz = backend.encode_flat_lazy(

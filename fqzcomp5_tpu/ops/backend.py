@@ -617,8 +617,19 @@ class LazyFlat:
 
 
 def _encode_flat_dev8(flat, freqs, shift, R0, B, T, n):
+    """Order-0 device-plane path from an int32 index plane."""
+    S = int(np.prod(freqs.shape[1:]))
+    small = flat.astype(np.uint8)   # sentinel wraps; nop bit marks it
+    nopb = np.packbits(flat == S, axis=-1, bitorder="little")
+    return _encode_flat_dev8_pre(small, nopb, freqs, shift, R0, B, T,
+                                 n)
+
+
+def _encode_flat_dev8_pre(small, nopb, freqs, shift, R0, B, T, n):
     """Order-0 device-plane path: u8 indices + nop bitmask up, compact
-    words down."""
+    words down.  Callers that know stream lengths build (small, nopb)
+    directly (encode_u8_lazy) — the int32 sentinel plane np.full cost
+    ~2.8s per 24MB wave (round-5 profile)."""
     from fqzcomp5_tpu.ops import devtimer, rans_pallas
 
     ensure_compile_cache()
@@ -626,8 +637,6 @@ def _encode_flat_dev8(flat, freqs, shift, R0, B, T, n):
     pt = rans_pallas.build_packed_tables(freqs, shift)  # (B, S+1)
     Tb = _bucket(T)
     B4b = _bucket((B + 3) // 4, lo=2)
-    small = flat.astype(np.uint8)   # sentinel wraps; nop bit marks it
-    nopb = np.packbits(flat == S, axis=-1, bitorder="little")
     x = pt.astype(np.uint32)
     ptb = np.stack([(x >> (8 * k)) & 0xFF for k in range(4)],
                    axis=-1).astype(np.uint8)
@@ -768,6 +777,29 @@ def encode_flat(flat: np.ndarray, freqs: np.ndarray, shift: int,
     65536 for order-1); index S is the no-op sentinel.  Returns numpy
     (Rf (B,32) uint32, words (B,T,32) uint32, mask (B,T,32) bool)."""
     return encode_flat_lazy(flat, freqs, shift, R0).fetch_all()
+
+
+def encode_u8_lazy(small: np.ndarray, nopb: np.ndarray,
+                   freqs: np.ndarray, shift: int,
+                   R0: np.ndarray | None = None) -> LazyFlat:
+    """encode_flat_lazy for order-0 streams whose (u8 symbols, packed
+    nop bitmask) planes are pre-built by the caller: the Pallas path
+    uploads them as-is (pad slots' CONTENT is never read — the nop
+    bits mask them — so callers may leave pad data uninitialised);
+    other backends reconstruct the int32 sentinel plane."""
+    B, T, n = small.shape
+    if (_use_pallas() and (_mesh is None or _mesh.size == 1)
+            and _dev_plane()):
+        lz = LazyFlat(B, T, n)
+        lz._add_dev(np.arange(B), _encode_flat_dev8_pre(
+            small, nopb, freqs, shift, R0, B, T, n))
+        return lz
+    S = int(np.prod(freqs.shape[1:]))
+    flat = small.astype(np.int32)
+    mask = np.unpackbits(nopb, axis=-1,
+                         bitorder="little").astype(bool)[:, :, :n]
+    flat[mask] = S
+    return encode_flat_lazy(flat, freqs, shift, R0)
 
 
 def encode_flat_lazy(flat: np.ndarray, freqs: np.ndarray, shift: int,

@@ -106,7 +106,11 @@ def pack_np(data: bytes):
     alphabet exceeds 16 symbols.  Pad bits are zero, matching the
     reference's partial-byte packing."""
     arr = np.frombuffer(data, np.uint8)
-    syms = np.unique(arr)
+    # bincount-based unique: np.unique SORTS the whole section
+    # (~16ms/MB, 0.7s of a 24MB wave's host time); counting 256 bins
+    # is O(n) with no sort
+    syms = np.flatnonzero(np.bincount(arr, minlength=256)
+                          ).astype(np.uint8)
     n = len(syms)
     if n > 16:
         return None
