@@ -83,7 +83,10 @@ BAD_REQUESTS = [
     b'{"argv": ["-d"], "cwd": 7}\n',      # cwd wrong type
     b'\xff\xfe\x00bin\n',                 # binary garbage
     b'{"umask": "zzz", "argv": []}\n',    # bad umask
-    b'{"argv": [' + b'"x",' * 5000 + b'"x"]}\n',  # huge argv
+    # huge argv (flag-shaped entries so the child cannot create files
+    # in the daemon's cwd)
+    b'{"argv": [' + b'"--no-such-flag",' * 5000
+    + b'"--no-such-flag"]}\n',
 ]
 
 
