@@ -1023,7 +1023,12 @@ def main() -> int:
 
     # Phase 2: host e2e
     src = None
-    td = tempfile.TemporaryDirectory()
+    # corpus + archives on tmpfs when available: /tmp is disk-backed
+    # on this box and writeback throttling stalls a 100MB write by up
+    # to seconds at random (round-5 diagnosis), which would pollute
+    # the e2e walls
+    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    td = tempfile.TemporaryDirectory(dir=_shm)
     if _left() > 90:
         try:
             with _SoftDeadline(min(420.0, _left() - 60)):
