@@ -254,6 +254,24 @@ def _main(argv=None) -> int:
     if decomp:
         in_name = files[0] if len(files) >= 1 else None
         in_fp = open(in_name, "rb") if in_name else sys.stdin.buffer
+        # the container index lives at an offset patched into the
+        # header, so decode needs a seekable input; spool true pipes
+        # to an unlinked temp file.  (BEYOND PARITY: the reference
+        # binary silently decodes 0 blocks from a pipe —
+        # fqzcomp5.c's fseek fails and it writes empty output.)
+        try:
+            in_fp.seek(0, 1)
+        except OSError:
+            import tempfile
+
+            sp = tempfile.TemporaryFile()
+            while True:
+                chunk = in_fp.read(16 << 20)
+                if not chunk:
+                    break
+                sp.write(chunk)
+            sp.seek(0)
+            in_fp = sp
         if len(files) == 3:
             arg.paired_mode = 1
             o1 = fastq.GzExactWriter(files[1]) if is_gz(files[1]) \
