@@ -287,3 +287,29 @@ def test_verbose_report_fields(tmp_path, data_dir, capsys):
     err = capsys.readouterr().err
     m = re.search(r"Names\s+(\d+) to\s+(\d+) in", err)
     assert m and m.group(2) == "45", err
+
+
+def test_pipe_chain_roundtrip(data_dir, tmp_path):
+    """encode | decode through TRUE pipes roundtrips (round 5).
+
+    The container index lives at a header-patched offset, so decode
+    needs a seek; the CLI spools non-seekable stdin to a temp file.
+    BEYOND PARITY: the reference binary silently decodes 0 blocks
+    from a pipe (its fseek fails and it writes empty output)."""
+    import subprocess
+    import sys
+
+    sample = (data_dir / "sample.fastq").read_bytes()
+    env = dict(__import__("os").environ)
+    env["FQZ5_NO_DAEMON"] = "1"  # exercise the in-process CLI path
+    enc = subprocess.run(
+        [sys.executable, "-m", "fqzcomp5_tpu.cli", "-1"],
+        input=sample, stdout=subprocess.PIPE, env=env,
+        stderr=subprocess.DEVNULL, check=True)
+    assert enc.stdout[:4] == b"FQZ5"
+    # feed the archive through a REAL pipe (not a seekable redirect)
+    dec = subprocess.run(
+        [sys.executable, "-m", "fqzcomp5_tpu.cli", "-d"],
+        input=enc.stdout, stdout=subprocess.PIPE, env=env,
+        stderr=subprocess.DEVNULL, check=True)
+    assert dec.stdout == sample
